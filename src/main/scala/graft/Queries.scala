@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One catalog entry: a Spark implementation plus (when SQL-expressible) an
+  * equivalent DuckDB oracle query over the same parquet tables.
+  *
+  * Oracle discipline (hash-match requires bit-identical values):
+  *   - aggregates over doubles go through exact DECIMAL(30,6) summation and
+  *     are cast back to double (order-independent, engine-independent);
+  *   - per-row arithmetic uses only IEEE ops in the same association order
+  *     in both engines;
+  *   - every query ends in a TOTAL order (unique sort key);
+  *   - counts are BIGINT in both engines (DuckDB SUM(int) is HUGEINT — cast).
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryHelpers {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.DecimalType
+
+  /** Order-independent exact sum of a double expression, returned as double. */
+  def sumExact(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
+
+  /** Deterministic average: exact sum divided by count (single IEEE divide). */
+  def avgExact(c: Column): Column = sumExact(c) / count(c)
+
+  /** Load one test table from the scale-factor directory. */
+  def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` table stores TIMESTAMP(NANOS) parquet, which Spark's
+    * vectorized reader rejects. Read nanos as long and floor-convert to
+    * microseconds (integer division — a double cast would lose precision
+    * at 1e18 nanos). DuckDB keeps nanos; queries must truncate outputs to
+    * whole seconds (or coarser) so both engines agree.
+    */
+  def eventsTbl(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryHelpers._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream analytics over the `events` table (JSON props, time
+  * windows, sessionization). These are the batch duals of the Structured
+  * Streaming queries in `graft.streaming` — `window()` / gaps-and-islands
+  * sessionization produce identical semantics in batch and streaming, so
+  * the DuckDB oracle checks the streaming logic too.
+  *
+  * Timestamps: the parquet stores nanosecond precision; all outputs are
+  * truncated to whole seconds and formatted as strings so Spark (micros)
+  * and DuckDB (nanos) agree bit-for-bit.
+  */
+object Events {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    QueryDef("e01_json_extract_agg",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        eventsTbl(s, dir)
+          .withColumn("k", regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("long"))
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"k").as("sum_k"),
+            sumExact($"value").as("sum_value"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    QueryDef("e02_hourly_tumbling",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        eventsTbl(s, dir)
+          .groupBy(
+            date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            $"event_type")
+          .agg(count(lit(1)).as("n"), sumExact($"value").as("sum_value"))
+          .orderBy($"hour", $"event_type")
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    QueryDef("e03_user_daily_active",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        eventsTbl(s, dir)
+          .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+          .agg(
+            countDistinct($"user_id").as("dau"),
+            count(lit(1)).as("n_events"))
+          .orderBy($"day")
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau, COUNT(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY day""")),
+
+    QueryDef("e04_sessionize",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        eventsTbl(s, dir)
+          .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+          .withColumn("new_sess",
+            when($"prev_ts".isNull ||
+              ($"ts".cast("double") - $"prev_ts".cast("double")) > 1800.0, 1L).otherwise(0L))
+          .withColumn("session_id", sum($"new_sess").over(cum))
+          .groupBy($"user_id", $"session_id")
+          .agg(
+            date_format(date_trunc("second", min($"ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            count(lit(1)).as("n_events"),
+            sumExact($"value").as("sum_value"))
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""WITH flagged AS (
+          SELECT user_id, event_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+          SELECT user_id, ts, value,
+            CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id,
+          strftime(date_trunc('second', MIN(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        FROM sessions GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")),
+
+    QueryDef("e05_sliding_window",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        eventsTbl(s, dir)
+          .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n"), sumExact($"value").as("sum_value"))
+          .select(
+            date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            $"event_type", $"n", $"sum_value")
+          .orderBy($"win_start", $"event_type")
+      },
+      Some("""WITH expanded AS (
+          SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start, event_type, value FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type, value FROM events
+        )
+        SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+          COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        FROM expanded GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+  )
+}

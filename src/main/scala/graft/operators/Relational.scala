@@ -1,0 +1,350 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryHelpers._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational core over the TPC-H-ish star schema: scan/filter/project,
+  * hash + broadcast joins, aggregation, windows, set ops, rollup,
+  * subqueries, top-k. All declarative DataFrame plans — Catalyst handles
+  * pushdown, pruning, join selection (small dims are broadcast explicitly),
+  * partial aggregation and AQE. Shuffle keys are the natural group/join
+  * keys, so the plans scale horizontally with the data.
+  *
+  * The reference (`/root/reference/`) has no relational operators at all
+  * (SURVEY.md §2.2); this is the driver-mandated extension surface (§2.3).
+  */
+object Relational {
+
+  private val SumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)"
+
+  val entries: Seq[QueryDef] = Seq(
+
+    QueryDef("q01_pricing_summary",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        tbl(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("2000-06-30").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sumExact($"l_quantity").as("sum_qty"),
+            sumExact($"l_extendedprice").as("sum_base_price"),
+            sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+            sumExact(($"l_extendedprice" * (lit(1.0) - $"l_discount")) * (lit(1.0) + $"l_tax"))
+              .as("sum_charge"),
+            avgExact($"l_quantity").as("avg_qty"),
+            avgExact($"l_extendedprice").as("avg_price"),
+            avgExact($"l_discount").as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef("q02_filter_topn",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        tbl(s, dir, "orders")
+          .filter($"o_orderstatus" === "O" && $"o_totalprice" > 400000.0)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(100)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 400000.0
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    QueryDef("q03_shipping_priority",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val cust = tbl(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        val ord = tbl(s, dir, "orders")
+          .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        val li = tbl(s, dir, "lineitem")
+          .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+        cust.join(ord, $"c_custkey" === $"o_custkey")
+          .join(li, $"o_orderkey" === $"l_orderkey")
+          .groupBy($"l_orderkey", $"o_orderdate")
+          .agg(sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    QueryDef("q04_order_priority_semi",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ord = tbl(s, dir, "orders").filter(
+          $"o_orderdate".between(lit("1996-01-01").cast("timestamp"),
+            lit("1996-12-31").cast("timestamp")))
+        val returned = tbl(s, dir, "lineitem").filter($"l_returnflag" === "R")
+        ord.join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    QueryDef("q05_nation_volume",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ord = tbl(s, dir, "orders").filter(
+          $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        val asia = broadcast(tbl(s, dir, "region").filter($"r_name" === "ASIA"))
+        val nat = broadcast(tbl(s, dir, "nation"))
+        val sup = broadcast(tbl(s, dir, "supplier"))
+        tbl(s, dir, "customer")
+          .join(ord, $"c_custkey" === $"o_custkey")
+          .join(tbl(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+          .join(sup, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(nat, $"s_nationkey" === $"n_nationkey")
+          .join(asia, $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    QueryDef("q06_revenue_forecast",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        tbl(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+            $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24.0)
+          .agg(sumExact($"l_extendedprice" * $"l_discount").as("revenue"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""")),
+
+    QueryDef("q07_top_customers",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        tbl(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(sumExact($"o_totalprice").as("total_spent"), count(lit(1)).as("n_orders"))
+          .join(tbl(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .select($"c_custkey", $"c_name", $"total_spent", $"n_orders")
+          .orderBy($"total_spent".desc, $"c_custkey")
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, total_spent, n_orders
+        FROM (SELECT o_custkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_spent,
+                COUNT(*) AS n_orders
+              FROM orders GROUP BY o_custkey) o
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_spent DESC, c_custkey LIMIT 20""")),
+
+    QueryDef("q08_part_type_revenue",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        tbl(s, dir, "lineitem")
+          .join(broadcast(tbl(s, dir, "part")), $"l_partkey" === $"p_partkey")
+          .groupBy($"p_type")
+          .agg(
+            sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"p_type")
+      },
+      Some("""SELECT p_type,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type ORDER BY p_type""")),
+
+    QueryDef("q09_customer_order_ranks",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+        tbl(s, dir, "orders")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 3 && $"o_custkey" < 200)
+          .select($"o_custkey", $"rnk", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_custkey", $"rnk")
+      },
+      Some("""SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders) t
+        WHERE rnk <= 3 AND o_custkey < 200
+        ORDER BY o_custkey, rnk""")),
+
+    QueryDef("q10_running_quantity",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_suppkey")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tbl(s, dir, "lineitem")
+          .filter($"l_suppkey" <= 5)
+          .withColumn("running_qty", sum($"l_quantity").over(w))
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+          .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+          SUM(l_quantity) OVER (PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        FROM lineitem WHERE l_suppkey <= 5
+        ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    QueryDef("q11_distinct_combos",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        tbl(s, dir, "customer")
+          .join(tbl(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+          .select($"c_mktsegment", $"o_orderpriority")
+          .distinct()
+          .orderBy($"c_mktsegment", $"o_orderpriority")
+      },
+      Some("""SELECT DISTINCT c_mktsegment, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        ORDER BY c_mktsegment, o_orderpriority""")),
+
+    QueryDef("q12_nations_except",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // nation keys that are not also region keys — non-empty at every sf
+        tbl(s, dir, "nation").select($"n_nationkey".as("key"))
+          .except(tbl(s, dir, "nation").select($"n_regionkey".as("key")))
+          .orderBy($"key")
+      },
+      Some("""SELECT n_nationkey AS key FROM nation
+        EXCEPT SELECT n_regionkey FROM nation
+        ORDER BY key""")),
+
+    QueryDef("q12b_shared_nations_intersect",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        tbl(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+          .intersect(tbl(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+          .orderBy($"nationkey")
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    QueryDef("q13_rollup_summary",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        tbl(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), sumExact($"l_quantity").as("sum_qty"))
+          .select(
+            coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+            coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+            $"n", $"sum_qty")
+          .orderBy($"returnflag", $"linestatus")
+      },
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        COALESCE(l_linestatus, 'ALL') AS linestatus,
+        COUNT(*) AS n, $SumQty AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus""")),
+
+    QueryDef("q14_conditional_agg",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        tbl(s, dir, "orders")
+          .join(tbl(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(
+            sum(when($"l_quantity" > 25.0, 1L).otherwise(0L)).as("high_qty"),
+            sum(when($"l_quantity" <= 25.0, 1L).otherwise(0L)).as("low_qty"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS high_qty,
+        CAST(SUM(CASE WHEN l_quantity <= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS low_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    QueryDef("q15_above_avg_orders",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ord = tbl(s, dir, "orders")
+        val avgRow = ord.agg(avgExact($"o_totalprice").as("avg_price"))
+        ord.crossJoin(broadcast(avgRow))
+          .filter($"o_totalprice" > $"avg_price")
+          .agg(count(lit(1)).as("n_above"))
+      },
+      Some("""SELECT COUNT(*) AS n_above FROM orders
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(o_totalprice)
+          FROM orders)""")),
+
+    QueryDef("q16_big_customers_having",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        tbl(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_orders"))
+          .filter($"n_orders" >= 15)
+          .orderBy($"n_orders".desc, $"o_custkey")
+      },
+      Some("""SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        GROUP BY o_custkey HAVING COUNT(*) >= 15
+        ORDER BY n_orders DESC, o_custkey""")),
+
+    QueryDef("q17_star_wide",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        tbl(s, dir, "lineitem")
+          .join(tbl(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(tbl(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .join(broadcast(tbl(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(tbl(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"o_orderpriority")
+          .agg(
+            sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"r_name", $"o_orderpriority")
+      },
+      Some("""SELECT r_name, o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, o_orderpriority ORDER BY r_name, o_orderpriority"""))
+  )
+}

@@ -1,0 +1,62 @@
+package graft.util
+
+import java.time.Duration
+import scala.util.{Failure, Success, Try}
+
+/** Human-readable refresh-interval parser.
+  *
+  * Re-expresses `/root/reference/flusher/refresh_interval.py:6-27` in pure
+  * Scala: `"2 days 3 hours 4 minutes"` -> `Duration`. Semantics preserved:
+  *   - plurals normalized (`days` -> `day`, etc.; `refresh_interval.py:8-10`)
+  *   - non-alphanumeric tokens stripped (`refresh_interval.py:11`)
+  *   - units other than day/hour/minute REJECTED (seconds, weeks, months;
+  *     `refresh_interval.py:16-17`)
+  *   - at least one of day/hour/minute required (`refresh_interval.py:18-19`)
+  *   - the quantity of a unit is the token immediately before it
+  *     (`refresh_interval.py:23-25`)
+  */
+object HumanInterval {
+
+  final case class InvalidInterval(message: String) extends IllegalArgumentException(message)
+
+  private val Allowed = Set("day", "hour", "minute")
+  private val Rejected = Set("second", "microsecond", "week", "month", "year", "millisecond")
+
+  private def normalize(token: String): String = {
+    val alnum = token.filter(_.isLetterOrDigit).toLowerCase
+    if (alnum.endsWith("s")) alnum.dropRight(1) else alnum
+  }
+
+  /** Parse or throw [[InvalidInterval]]. */
+  def parse(text: String): Duration = {
+    val tokens = text.trim.split("\\s+").filter(_.nonEmpty).map(normalize).toIndexedSeq
+    val unitIdx = tokens.zipWithIndex.filter { case (t, _) => Allowed(t) || Rejected(t) }
+    if (unitIdx.exists { case (t, _) => Rejected(t) })
+      throw InvalidInterval(
+        s"unsupported unit in '$text': only days, hours and minutes are allowed")
+    if (!unitIdx.exists { case (t, _) => Allowed(t) })
+      throw InvalidInterval(s"no day/hour/minute unit found in '$text'")
+    var d = Duration.ZERO
+    unitIdx.foreach { case (unit, i) =>
+      if (i == 0) throw InvalidInterval(s"missing quantity before '$unit' in '$text'")
+      val qty = Try(tokens(i - 1).toLong) match {
+        case Success(n) => n
+        case Failure(_) =>
+          throw InvalidInterval(s"invalid quantity '${tokens(i - 1)}' before '$unit' in '$text'")
+      }
+      d = unit match {
+        case "day"    => d.plusDays(qty)
+        case "hour"   => d.plusHours(qty)
+        case "minute" => d.plusMinutes(qty)
+      }
+    }
+    d
+  }
+
+  def tryParse(text: String): Either[String, Duration] =
+    Try(parse(text)) match {
+      case Success(d)                  => Right(d)
+      case Failure(InvalidInterval(m)) => Left(m)
+      case Failure(e)                  => Left(e.getMessage)
+    }
+}
