@@ -1,24 +1,50 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric","value","unit","queries","sf"}.
+  *
+  * Each query executes via a `noop`-format write so the measured plan is
+  * the FULL plan — final sorts and all payload columns survive (a bare
+  * `.count()` would let Catalyst drop top-level ORDER BY via
+  * EliminateSorts and prune every non-key column). Failures are reported
+  * per-query and make the process exit nonzero.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    var failures = List.empty[(String, String)]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          failures ::= (name -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val errs =
+      if (failures.isEmpty) ""
+      else failures.reverse.map { case (k, m) =>
+        "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
+      }.mkString(",\"errors\":{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) {
+      failures.reverse.foreach { case (k, m) => System.err.println(s"[bench] $k FAILED: $m") }
+      sys.exit(1)
+    }
   }
 }

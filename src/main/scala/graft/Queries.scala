@@ -38,9 +38,15 @@ object QueryHelpers {
     * microseconds (integer division — a double cast would lose precision
     * at 1e18 nanos). DuckDB keeps nanos; queries must truncate outputs to
     * whole seconds (or coarser) so both engines agree.
+    *
+    * Bench/Verify set `nanosAsLong` once at session build; the
+    * conditional set below only covers foreign sessions (e.g. driver
+    * smoke) and never flips an already-correct value, so concurrent
+    * queries cannot race on session conf.
     */
   def eventsTbl(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Event-stream analytics over the `events` table (JSON props, time
-  * windows, sessionization). These are the batch duals of the Structured
-  * Streaming queries in `graft.streaming` — `window()` / gaps-and-islands
-  * sessionization produce identical semantics in batch and streaming, so
-  * the DuckDB oracle checks the streaming logic too.
+  * windows, sessionization). `graft.streaming.EventStreams` carries the
+  * Structured Streaming forms (watermarked tumbling/sliding/session
+  * windows); the queries here are their batch duals, so the DuckDB oracle
+  * checks the shared windowing logic too.
   *
   * Timestamps: the parquet stores nanosecond precision; all outputs are
   * truncated to whole seconds and formatted as strings so Spark (micros)
@@ -24,7 +24,7 @@ object Events {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         eventsTbl(s, dir)
-          .withColumn("k", regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("long"))
+          .withColumn("k", get_json_object($"props", "$.k").cast("long"))
           .groupBy($"event_type")
           .agg(
             count(lit(1)).as("n"),
@@ -33,9 +33,50 @@ object Events {
           .orderBy($"event_type")
       },
       Some("""SELECT event_type, COUNT(*) AS n,
-        CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    QueryDef("e06_props_map_buckets",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.{MapType, StringType}
+        // full JSON parse to MapType (FIXTURES.md B) — then group by a
+        // decile bucket of the map's "k" value.
+        eventsTbl(s, dir)
+          .withColumn("props_map", from_json($"props", MapType(StringType, StringType)))
+          .withColumn("k", element_at($"props_map", "k").cast("long"))
+          .groupBy(($"k" / 10).cast("long").as("k_bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"k").as("sum_k"),
+            sumExact($"value").as("sum_value"))
+          .orderBy($"k_bucket")
+      },
+      // Spark ($"k"/10).cast("long") is double-divide then truncate-toward
+      // -zero; k>=0 so integer floor-divide matches. DuckDB // floors.
+      Some("""SELECT CAST(k // 10 AS BIGINT) AS k_bucket, COUNT(*) AS n,
+        CAST(SUM(k) AS BIGINT) AS sum_k,
+        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
+        GROUP BY 1 ORDER BY k_bucket""")),
+
+    // HyperLogLog++ approximate distinct — the scale path for e03's
+    // count-distinct at 100 TB (no per-key shuffle of raw user_ids; HLL
+    // sketches merge map-side). No SQL oracle: DuckDB's approx sketch
+    // differs by construction, so the driver records a rows-only check;
+    // EventsApproxSpec asserts <5% relative error vs the exact count.
+    QueryDef("e07_approx_dau",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        eventsTbl(s, dir)
+          .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+          .agg(
+            approx_count_distinct($"user_id", 0.02).as("approx_dau"),
+            count(lit(1)).as("n_events"))
+          .orderBy($"day")
+      },
+      None),
 
     QueryDef("e02_hourly_tumbling",
       (s: SparkSession, dir: String) => {
@@ -70,11 +111,14 @@ object Events {
         import s.implicits._
         val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
         val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // gap compare on INTEGER microseconds (unix_micros) — both engines
+        // floor-truncate nanos to micros identically, so a gap within 1us
+        // of the 1800s boundary cannot split sessions differently.
         eventsTbl(s, dir)
           .withColumn("prev_ts", lag($"ts", 1).over(byUser))
           .withColumn("new_sess",
             when($"prev_ts".isNull ||
-              ($"ts".cast("double") - $"prev_ts".cast("double")) > 1800.0, 1L).otherwise(0L))
+              (unix_micros($"ts") - unix_micros($"prev_ts")) > 1800000000L, 1L).otherwise(0L))
           .withColumn("session_id", sum($"new_sess").over(cum))
           .groupBy($"user_id", $"session_id")
           .agg(
@@ -86,7 +130,7 @@ object Events {
       Some("""WITH flagged AS (
           SELECT user_id, event_id, ts, value,
             CASE WHEN lag(ts) OVER w IS NULL
-                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS new_sess
+                 OR (epoch_ns(ts) // 1000) - (epoch_ns(lag(ts) OVER w) // 1000) > 1800000000 THEN 1 ELSE 0 END AS new_sess
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (

@@ -116,7 +116,9 @@ object Relational {
             $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
         val asia = broadcast(tbl(s, dir, "region").filter($"r_name" === "ASIA"))
         val nat = broadcast(tbl(s, dir, "nation"))
-        val sup = broadcast(tbl(s, dir, "supplier"))
+        // supplier scales with sf (unlike nation/region) — no broadcast
+        // hint; AQE picks broadcast at small sf and shuffle join at scale.
+        val sup = tbl(s, dir, "supplier")
         tbl(s, dir, "customer")
           .join(ord, $"c_custkey" === $"o_custkey")
           .join(tbl(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
@@ -175,8 +177,9 @@ object Relational {
     QueryDef("q08_part_type_revenue",
       (s: SparkSession, dir: String) => {
         import s.implicits._
+        // part scales with sf — no broadcast hint (AQE decides).
         tbl(s, dir, "lineitem")
-          .join(broadcast(tbl(s, dir, "part")), $"l_partkey" === $"p_partkey")
+          .join(tbl(s, dir, "part"), $"l_partkey" === $"p_partkey")
           .groupBy($"p_type")
           .agg(
             sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),

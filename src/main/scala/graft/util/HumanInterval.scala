@@ -6,7 +6,7 @@ import scala.util.{Failure, Success, Try}
 /** Human-readable refresh-interval parser.
   *
   * Re-expresses `/root/reference/flusher/refresh_interval.py:6-27` in pure
-  * Scala: `"2 days 3 hours 4 minutes"` -> `Duration`. Semantics preserved:
+  * Scala: `"2 days 3 hours 4 minutes"` -> `Duration`. Preserved semantics:
   *   - plurals normalized (`days` -> `day`, etc.; `refresh_interval.py:8-10`)
   *   - non-alphanumeric tokens stripped (`refresh_interval.py:11`)
   *   - units other than day/hour/minute REJECTED (seconds, weeks, months;
@@ -14,6 +14,16 @@ import scala.util.{Failure, Success, Try}
   *   - at least one of day/hour/minute required (`refresh_interval.py:18-19`)
   *   - the quantity of a unit is the token immediately before it
   *     (`refresh_interval.py:23-25`)
+  *
+  * DELIBERATE divergences from the reference's edge cases (hardenings,
+  * documented like A1Notation's base-25 bug note):
+  *   - a repeated unit ("1 day 2 days") SUMS here; the reference's
+  *     `parts.index(unit)` finds only the first occurrence.
+  *   - a leading unit ("days 2") is REJECTED here; the reference's
+  *     `parts[index-1]` wraps to the LAST token on index 0 (so "days 2"
+  *     silently parses as 2 days there).
+  *   - banned units are matched as whole normalized tokens here; the
+  *     reference raises on substring hits (e.g. rejects "weekly").
   */
 object HumanInterval {
 

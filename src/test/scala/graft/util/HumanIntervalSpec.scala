@@ -32,7 +32,11 @@ class HumanIntervalSpec extends AnyFunSuite {
     intercept[InvalidInterval](parse("5"))
   }
 
-  test("quantity is the token immediately before the unit (refresh_interval.py:23-25)") {
+  test("leading unit rejected — deliberate hardening over the reference") {
+    // refresh_interval.py:23-25 computes parts[parts.index('day')-1]; for a
+    // LEADING unit the -1 wraps to the last token, so "days 2" silently
+    // parses as 2 days there. We reject instead (documented divergence in
+    // the HumanInterval scaladoc).
     intercept[InvalidInterval](parse("days 2"))
     intercept[InvalidInterval](parse("two days"))
   }

@@ -70,11 +70,16 @@ def main():
         if mism:
             print(f"FAIL {name}: " + "; ".join(mism[:3]))
             n_fail += 1
+            continue
+        # dtypes are a first-class schema check (mirrors the driver gate's
+        # schema_match) — a mismatch FAILS, same as a value mismatch.
+        dt_w = [str(t) for t in w.dtypes]; dt_g = [str(t) for t in g.dtypes]
+        if dt_w != dt_g:
+            diff = [(c, a, b) for c, a, b in zip(w.columns, dt_w, dt_g) if a != b]
+            print(f"FAIL {name}: dtype mismatch: {diff}")
+            n_fail += 1
         else:
-            # dtypes too (schema check)
-            dt_w = [str(t) for t in w.dtypes]; dt_g = [str(t) for t in g.dtypes]
-            tag = "" if dt_w == dt_g else f"  [dtype diff: {list(zip(w.columns, dt_w, dt_g))}]"
-            print(f"PASS {name} ({len(w)} rows){tag}")
+            print(f"PASS {name} ({len(w)} rows)")
             n_pass += 1
     missing = [q for q in glob.glob(f"{outdir}/*/") if os.path.basename(q.rstrip('/')) not in oracle]
     for q in missing:
