@@ -6,7 +6,8 @@ package graft
 object Catalog {
   def all: Seq[QueryDef] =
     operators.Relational.entries ++
-      operators.Events.entries
+      operators.Events.entries ++
+      operators.Documents.entries
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

@@ -1,0 +1,289 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryHelpers._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` table: exact and
+  * near-duplicate detection, text analysis, fingerprinting, language ID.
+  * The reference (`/root/reference/`) has no text operators (SURVEY.md
+  * §2.2); this is the driver-mandated extension surface (§2.3).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a hash groupBy — shuffles only (fingerprint, doc_id).
+  *  - near-dup NEVER does an all-pairs join. d02 builds an inverted index
+  *    on 3-word shingles (explode → self-join on shingle → count =
+  *    intersection size), so cost is Σ_shingle df(shingle)², not n².
+  *  - d03 is the true scale path: 64 MinHash signatures (32 bands × 2
+  *    rows) shrink the join key space to band buckets; candidates are then
+  *    verified with the exact Jaccard, so output precision is 1.0 and
+  *    recall for sim ≥ 0.9 pairs is 1 − (1 − 0.81)^32 ≈ 1 − 1e-23.
+  *  - d04 SimHash packs a document into one 64-bit key; banded self-join
+  *    on 16-bit sub-keys finds hamming-close pairs without n².
+  */
+object Documents {
+
+  /** documents with a whitespace token array column `toks`. */
+  private def toked(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").withColumn("toks", split(col("text"), " "))
+
+  /** doc_id + distinct 3-word shingles (docs with <3 tokens dropped). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    toked(s, dir)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(toks)-2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("shingles"))
+
+  /** Exact Jaccard on two distinct-shingle arrays; single long/long IEEE
+    * division so DuckDB computes the identical double. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("long")
+    inter / (size(a) + size(b) - inter).cast("long")
+  }
+
+  /** Shared DuckDB oracle for d02/d03: brute-force all-pairs exact Jaccard
+    * is fine AS AN ORACLE at sf0.01 (500 docs); the Spark plans avoid it.
+    * Shingling is index-aligned with the Spark side: DuckDB lists are
+    * 1-based with range(1, n-1) = 1..n-2; Spark arrays are 0-based with
+    * sequence(1, n-2) and toks[i-1..i+1].
+    */
+  private val NeardupOracle =
+    """WITH sh AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, len(toks)-1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         WHERE len(toks) >= 3)
+       SELECT doc_a, doc_b, jaccard FROM (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+                / CAST(len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS jaccard
+         FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+       WHERE jaccard >= 0.5
+       ORDER BY doc_a, doc_b"""
+
+  val entries: Seq[QueryDef] = Seq(
+
+    QueryDef("d01_exact_dedup",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        tbl(s, dir, "documents")
+          .groupBy(md5($"text").as("fingerprint"))
+          .agg(min($"doc_id").as("canonical_doc"), count(lit(1)).as("n_copies"))
+          .orderBy($"fingerprint")
+      },
+      Some("""SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_doc,
+        COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY fingerprint""")),
+
+    QueryDef("d02_neardup_jaccard",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val sh = shingled(s, dir)
+        val sizes = sh.select($"doc_id", size($"shingles").as("n"))
+        val ex = sh.select($"doc_id", explode($"shingles").as("shingle"))
+        ex.as("a").join(ex.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+          .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+          .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter").cast("long"))
+          .filter($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b", $"jaccard")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(NeardupOracle)),
+
+    QueryDef("d03_neardup_minhash",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val H = 64          // minhash functions
+        val bands = 32      // 32 bands x 2 rows
+        val sh = shingled(s, dir).cache()
+        val ex = sh.select($"doc_id", explode($"shingles").as("shingle"))
+        // signature: per doc, min over shingles of xxhash64(h, shingle)
+        val sigCols = (0 until H).map(h => min(xxhash64(lit(h), $"shingle")).as(s"mh$h"))
+        val sig = ex.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+        // band keys: hash of each band's rows; docs sharing any band key
+        // become candidate pairs
+        val bandStructs = (0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key")))
+        val bk = sig.select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+          .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+        val cand = bk.as("x").join(bk.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        // verification pass: exact Jaccard on candidates only → precision 1
+        cand
+          .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sha")), "doc_a")
+          .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("shb")), "doc_b")
+          .withColumn("jaccard", jaccard($"sha", $"shb"))
+          .filter($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b", $"jaccard")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      // candidate recall at the data's sim levels (≥0.9) is 1 − 1e-23, so
+      // the verified output equals the exact d02 result and shares its
+      // oracle (checked empirically at sf0.01 via tools/check_oracle.py).
+      Some(NeardupOracle)),
+
+    QueryDef("d04_simhash_neardup",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // 64-bit SimHash over distinct 3-word shingles (unigrams are
+        // useless on a tiny vocabulary — every doc holds most tokens):
+        // bit b is the sign of Σ ±1 over shingle hashes.
+        val th = shingled(s, dir)
+          .select($"doc_id", explode($"shingles").as("shingle"))
+          .select($"doc_id", xxhash64($"shingle").as("h"))
+        val bitSums = (0 until 64).map(b =>
+          sum(when($"h".bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"s$b"))
+        val sums = th.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+        val sim = sums.select($"doc_id",
+          (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+            .reduce(_ bitwiseOR _).as("simhash"))
+        // banded self-join on 8 bands × 8 bits: a pair with hamming ≤ 7
+        // has ≥1 clean band (pigeonhole), so for the ≤6 threshold below
+        // the banded join is EXHAUSTIVE — identical output to an n² scan,
+        // without the n² cost.
+        val withBand = sim.select($"doc_id", $"simhash",
+          explode(array((0 until 8).map(i =>
+            struct(lit(i).as("i"),
+              shiftrightunsigned($"simhash", i * 8).bitwiseAND(lit(0xFFL)).as("k"))): _*)).as("b"))
+          .select($"doc_id", $"simhash", $"b.i".as("i"), $"b.k".as("k"))
+        withBand.as("x").join(withBand.as("y"),
+            col("x.i") === col("y.i") && col("x.k") === col("y.k") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+          .distinct()
+          .filter($"hamming" <= 6)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      // xxhash64 is Spark-specific → no cross-engine oracle (driver does a
+      // rows-only check); DocumentsSpec pins precision/recall vs d02.
+      None),
+
+    QueryDef("t01_text_stats",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        toked(s, dir)
+          .withColumn("n_ws", size($"toks").cast("long"))
+          .withColumn("n_bpe", size(regexp_extract_all($"text", lit("[a-z]{1,4}"), lit(0))).cast("long"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("sum_chars"),
+            sum($"n_ws").as("sum_ws_tokens"),
+            sum($"n_bpe").as("sum_bpe_tokens"),
+            (sum($"n_ws") / count(lit(1))).as("avg_ws_tokens"),
+            countDistinct($"source").as("n_sources"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(n_ws) AS BIGINT) AS sum_ws_tokens,
+        CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+        CAST(SUM(n_ws) AS BIGINT) / COUNT(*) AS avg_ws_tokens,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM (SELECT lang, source, n_chars,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+                CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe
+              FROM documents)
+        GROUP BY lang ORDER BY lang""")),
+
+    QueryDef("t02_quality_score",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        toked(s, dir)
+          .withColumn("n_toks", size($"toks").cast("long"))
+          .withColumn("n_uniq", size(array_distinct($"toks")).cast("long"))
+          .withColumn("n_stop",
+            expr("size(filter(toks, x -> x IN ('the', 'a')))").cast("long"))
+          .withColumn("uniq_ratio", $"n_uniq" / $"n_toks")
+          .withColumn("stop_ratio", $"n_stop" / $"n_toks")
+          .withColumn("score", ($"uniq_ratio" * 0.6) + ((lit(1.0) - $"stop_ratio") * 0.4))
+          .select($"doc_id", $"n_toks", $"n_uniq", $"n_stop",
+            $"uniq_ratio", $"stop_ratio", $"score")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, n_toks, n_uniq, n_stop,
+        n_uniq / n_toks AS uniq_ratio,
+        n_stop / n_toks AS stop_ratio,
+        ((n_uniq / n_toks) * 0.6) + ((1.0 - (n_stop / n_toks)) * 0.4) AS score
+        FROM (SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_toks,
+                CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+                CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        ORDER BY doc_id""")),
+
+    QueryDef("t03_token_frequency",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        toked(s, dir)
+          .select($"doc_id", explode($"toks").as("tok"))
+          .groupBy($"tok")
+          .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
+          .orderBy($"n".desc, $"tok")
+      },
+      Some("""SELECT tok, COUNT(*) AS n,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok ORDER BY n DESC, tok""")),
+
+    QueryDef("t04_fingerprint",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // order-insensitive content fingerprint: md5 of the sorted distinct
+        // token set — robust to token shuffling, unlike d01's exact hash
+        toked(s, dir)
+          .select($"doc_id",
+            md5(concat_ws(" ", array_sort(array_distinct($"toks")))).as("fingerprint"),
+            size(array_distinct($"toks")).cast("long").as("n_uniq_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    QueryDef("t05_lang_id",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // stopword-hit language ID (n-gram heuristic): score each candidate
+        // language by stopword occurrences; argmax with a fixed tie order.
+        toked(s, dir)
+          .withColumn("en", expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and')))"))
+          .withColumn("de", expr("size(filter(toks, x -> x IN ('der', 'die', 'das', 'und')))"))
+          .withColumn("es", expr("size(filter(toks, x -> x IN ('el', 'la', 'los', 'y')))"))
+          .withColumn("predicted",
+            when($"en" >= $"de" && $"en" >= $"es" && $"en" > 0, "en")
+              .when($"de" >= $"es" && $"de" > 0, "de")
+              .when($"es" > 0, "es")
+              .otherwise("und"))
+          .groupBy($"lang", $"predicted")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"lang", $"predicted")
+      },
+      Some("""SELECT lang, CASE
+          WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+          WHEN de >= es AND de > 0 THEN 'de'
+          WHEN es > 0 THEN 'es'
+          ELSE 'und' END AS predicted,
+        COUNT(*) AS n_docs
+        FROM (SELECT lang,
+                len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS en,
+                len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und'))) AS de,
+                len(list_filter(toks, x -> x IN ('el', 'la', 'los', 'y'))) AS es
+              FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents))
+        GROUP BY 1, 2 ORDER BY lang, predicted"""))
+  )
+}
