@@ -7,7 +7,8 @@ object Catalog {
   def all: Seq[QueryDef] =
     operators.Relational.entries ++
       operators.Events.entries ++
-      operators.Documents.entries
+      operators.Documents.entries ++
+      operators.Embeddings.entries
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryHelpers._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  * No reference counterpart (SURVEY.md §2.2) — driver-mandated §2.3.
+  *
+  * Oracle-exactness discipline: dot products and squared norms are sums of
+  * double products truncated to DECIMAL(17,12) — exact decimal addition is
+  * ORDER-INDEPENDENT, so Spark's fold and DuckDB's SUM-over-unnest produce
+  * bit-identical values regardless of partitioning; the remaining ops
+  * (sqrt, multiply, divide) are single IEEE ops on identical inputs.
+  *
+  * Scale design (100 TB):
+  *  - v01 brute-force is the correctness baseline; it broadcasts the small
+  *    query set and streams the corpus — linear in corpus size, no shuffle
+  *    of the corpus itself. Right shape for "few queries vs huge corpus".
+  *  - v02 is the scale path for all-pairs-style workloads: an LSH bucket
+  *    (sign pattern of leading dimensions = fixed axis-aligned hyperplanes)
+  *    keys a shuffle, and the quadratic work happens only WITHIN buckets.
+  *    More planes → smaller buckets; planes are data-independent so the
+  *    bucketing is a plain repartition, no global index build.
+  *  - v03 shows the aggregation shape: per-(label, dim) partial sums give
+  *    centroids without ever collecting a vector to the driver.
+  */
+object Embeddings {
+
+  /** embeddings with double-cast vector and exact L2 norm. */
+  private def based(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Exact decimal fold: products truncate to DECIMAL(17,12) (same cast in
+    * the DuckDB oracle), additions happen at scale 12 (closed, lossless for
+    * |sum| < 1e8), and the explicit cast back to DECIMAL(20,12) keeps the
+    * lambda's type equal to the accumulator's (Spark's decimal-precision
+    * growth rules would otherwise drift the scale).
+    */
+  private val NormSql =
+    "sqrt(CAST(aggregate(v, CAST(0 AS DECIMAL(20,12)), " +
+      "(acc, x) -> CAST(acc + CAST(x*x AS DECIMAL(17,12)) AS DECIMAL(20,12))) AS DOUBLE))"
+
+  private val DotSql =
+    "CAST(aggregate(zip_with(qv, cv, (x, y) -> x*y), CAST(0 AS DECIMAL(20,12)), " +
+      "(acc, p) -> CAST(acc + CAST(p AS DECIMAL(17,12)) AS DECIMAL(20,12))) AS DOUBLE)"
+
+  val entries: Seq[QueryDef] = Seq(
+
+    QueryDef("v01_similarity_topk",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val base = based(s, dir).withColumn("nrm", expr(NormSql))
+        val queries = base.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val corpus = base
+          .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
+        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        corpus.join(broadcast(queries), $"query_id" =!= $"neighbor_id")
+          .withColumn("cosine", expr(DotSql) / ($"qn" * $"cn"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 10)
+          .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+          .orderBy($"query_id", $"rnk")
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(x*x AS DECIMAL(17,12))) AS DOUBLE)) AS nrm
+               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        dots AS (SELECT qid, cid, CAST(SUM(CAST(qx*cx AS DECIMAL(17,12))) AS DOUBLE) AS dot
+                 FROM (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                              unnest(q.v) AS qx, unnest(c.v) AS cx
+                       FROM base q, base c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+                 GROUP BY 1, 2),
+        scored AS (SELECT qid AS query_id, cid AS neighbor_id,
+                          dot / (a.nrm * b.nrm) AS cosine,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS rnk
+                   FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
+        SELECT query_id, rnk, neighbor_id, cosine FROM scored
+        WHERE rnk <= 10 ORDER BY query_id, rnk""")),
+
+    QueryDef("v02_ann_bucketed",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // LSH bucket: sign pattern of dims 0..3 (fixed axis-aligned
+        // hyperplanes). Neighbors are searched WITHIN the bucket only.
+        val bucketCol =
+          (when($"v".getItem(0) >= 0.0, 8).otherwise(0)
+            + when($"v".getItem(1) >= 0.0, 4).otherwise(0)
+            + when($"v".getItem(2) >= 0.0, 2).otherwise(0)
+            + when($"v".getItem(3) >= 0.0, 1).otherwise(0)).cast("long")
+        val base = based(s, dir)
+          .withColumn("nrm", expr(NormSql))
+          .withColumn("bucket", bucketCol)
+        val a = base.select($"bucket", $"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val b = base.select($"bucket", $"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
+        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        a.join(b, Seq("bucket")).filter($"query_id" =!= $"neighbor_id")
+          .withColumn("cosine", expr(DotSql) / ($"qn" * $"cn"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 3)
+          .select($"query_id", $"rnk", $"neighbor_id", $"bucket", $"cosine")
+          .orderBy($"query_id", $"rnk")
+      },
+      Some("""WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 CAST(CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+                    + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+          FROM embeddings),
+        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(x*x AS DECIMAL(17,12))) AS DOUBLE)) AS nrm
+               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        dots AS (SELECT qid, cid, bkt, CAST(SUM(CAST(qx*cx AS DECIMAL(17,12))) AS DOUBLE) AS dot
+                 FROM (SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket AS bkt,
+                              unnest(q.v) AS qx, unnest(c.v) AS cx
+                       FROM base q, base c
+                       WHERE q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+                 GROUP BY 1, 2, 3),
+        scored AS (SELECT qid AS query_id, cid AS neighbor_id, bkt AS bucket,
+                          dot / (a.nrm * b.nrm) AS cosine,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS rnk
+                   FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
+        SELECT query_id, rnk, neighbor_id, bucket, cosine FROM scored
+        WHERE rnk <= 3 ORDER BY query_id, rnk""")),
+
+    QueryDef("v03_label_centroid_sim",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // per-(label, dim) exact mean → centroid cosine per label pair,
+        // computed entirely as joins/aggs (no vector ever collected)
+        val comps = tbl(s, dir, "embeddings")
+          .select($"label".cast("long").as("label"),
+            posexplode($"embedding".cast("array<double>")).as(Seq("pos", "x")))
+          .groupBy($"label", $"pos")
+          .agg((sum($"x".cast(DecimalType38)).cast("double") / count(lit(1))).as("m"))
+        val norms = comps.groupBy($"label")
+          .agg(sqrt(sum(($"m" * $"m").cast(DecimalType38)).cast("double")).as("nrm"))
+        val dots = comps.as("a")
+          .join(comps.as("b"),
+            col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+          .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+          .agg(sum((col("a.m") * col("b.m")).cast(DecimalType38)).cast("double").as("dot"))
+        dots
+          .join(norms.select($"label".as("label_a"), $"nrm".as("na")), "label_a")
+          .join(norms.select($"label".as("label_b"), $"nrm".as("nb")), "label_b")
+          .select($"label_a", $"label_b", ($"dot" / ($"na" * $"nb")).as("cosine"))
+          .orderBy($"label_a", $"label_b")
+      },
+      Some("""WITH comps AS (
+          SELECT CAST(label AS BIGINT) AS label, i AS pos,
+                 CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+          FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings)
+          GROUP BY 1, 2),
+        norms AS (SELECT label, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+                  FROM comps GROUP BY label),
+        dots AS (SELECT a.label AS label_a, b.label AS label_b,
+                        CAST(SUM(CAST(a.m * b.m AS DECIMAL(38,12))) AS DOUBLE) AS dot
+                 FROM comps a JOIN comps b ON a.pos = b.pos AND a.label < b.label
+                 GROUP BY 1, 2)
+        SELECT label_a, label_b, dot / (na.nrm * nb.nrm) AS cosine
+        FROM dots JOIN norms na ON label_a = na.label JOIN norms nb ON label_b = nb.label
+        ORDER BY label_a, label_b"""))
+  )
+
+  import org.apache.spark.sql.types.DecimalType
+  private val DecimalType38 = DecimalType(38, 12)
+}
