@@ -1,0 +1,98 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import java.time.{Clock, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+/** Load destinations (SURVEY.md §2.1 K1–K3, K5, D1). The reference's only
+  * real sink is a BigQuery dataset `g_sheets` with delete-then-reload vs
+  * append semantics (`/root/reference/flusher/load/bigquery.py:9,42-47`);
+  * here that maps to Spark catalog tables. A CSV sink mirrors the
+  * intermediate file the reference always materializes
+  * (`export.py:59-66`) for export-only jobs (no Target System,
+  * `manager.py:193`).
+  */
+final case class LoadRequest(df: DataFrame, destination: String, incremental: Boolean)
+
+trait Sink {
+  /** Load and return the human-readable result string (the reference
+    * returns `"dataset.table"`, `bigquery.py:28`). */
+  def load(req: LoadRequest): String
+}
+
+/** K2/K3/K5: Spark-catalog warehouse sink. Non-incremental load is
+  * `SaveMode.Overwrite` — for a datasource table this drops and recreates
+  * with the NEW schema, matching the reference's delete-then-reload +
+  * re-autodetect (`bigquery.py:38-39,45-46`); incremental appends
+  * (`bigquery.py:45-46`). The database is auto-created like the dataset
+  * bootstrap (`bigquery.py:13-16`) — but lazily at load, not at import
+  * (explicit lifecycle, SURVEY §2.1 X2).
+  */
+final class WarehouseSink(database: String = WarehouseSink.DefaultDatabase) extends Sink {
+  def load(req: LoadRequest): String = {
+    val spark = req.df.sparkSession
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    val mode = if (req.incremental) SaveMode.Append else SaveMode.Overwrite
+    req.df.write.mode(mode).format("parquet").saveAsTable(s"`$database`.`${req.destination}`")
+    s"$database.${req.destination}"
+  }
+}
+
+object WarehouseSink {
+  /** `bigquery.py:9` — the reference's single hard-coded dataset. */
+  val DefaultDatabase = "g_sheets"
+}
+
+/** K1: CSV sink with all-cells-quoted output. The reference writes
+  * `QUOTE_NONNUMERIC`, and since every gspread cell is a string, every
+  * field ends up quoted in practice (`export.py:62`; SURVEY §2.1 K1) —
+  * `quoteAll` reproduces the observed files.
+  */
+final class CsvSink(baseDir: String, header: Boolean = false) extends Sink {
+  def load(req: LoadRequest): String = {
+    val path = s"$baseDir/${req.destination}"
+    val mode = if (req.incremental) SaveMode.Append else SaveMode.Overwrite
+    req.df.write.mode(mode)
+      .option("quoteAll", "true")
+      .option("header", header.toString)
+      .csv(path)
+    path
+  }
+}
+
+object CsvSink {
+  private val TsFmt = DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss").withZone(ZoneOffset.UTC)
+
+  /** The reference's export filename convention
+    * `document.sheet.cellrange.YYYYMMDD_HHmmss.csv` (`export.py:14-15`).
+    * Clock injected for testability. */
+  def fileName(document: String, sheet: String, cellRange: String,
+      clock: Clock = Clock.systemUTC()): String =
+    Seq(document, sheet, cellRange, TsFmt.format(clock.instant()))
+      .filter(_.nonEmpty).mkString(".") + ".csv"
+}
+
+/** D1: dispatch on the control row's `Target System`, normalized with
+  * `lower` + strip-spaces exactly like `manager.py:52-53`; unknown targets
+  * surface the reference's NotImplemented message (`manager.py:55-58`).
+  */
+final class SinkRegistry(sinks: Map[String, Sink]) {
+  def resolve(targetSystem: String): Either[String, Sink] = {
+    val key = SinkRegistry.normalize(targetSystem)
+    sinks.get(key).toRight(s"Cannot load to target system: $targetSystem")
+  }
+  def withSink(name: String, sink: Sink): SinkRegistry =
+    new SinkRegistry(sinks + (SinkRegistry.normalize(name) -> sink))
+}
+
+object SinkRegistry {
+  def normalize(s: String): String = s.toLowerCase.replace(" ", "")
+
+  /** Default registry: the warehouse sink answers to both its native name
+    * and the reference's `bigquery` spelling (a flusher user's control
+    * rows keep working unchanged). */
+  def default(csvDir: String): SinkRegistry = new SinkRegistry(Map(
+    "bigquery" -> new WarehouseSink(),
+    "warehouse" -> new WarehouseSink(),
+    "csv" -> new CsvSink(csvDir)))
+}
