@@ -1,0 +1,114 @@
+package graft.control
+
+import graft.sinks.{LoadRequest, SinkRegistry}
+import graft.sources.SheetSource
+import graft.util.Timed
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path}
+import java.time.Clock
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** The job execution core (`manager.py:183-203`) + poll loop
+  * (`manager.py:206-214`, L1), wired Spark-first: export and load fuse
+  * into ONE DataFrame plan per job (read → slice → infer → sink) instead
+  * of the reference's materialize-CSV-then-upload two-step
+  * (SURVEY §3.4, §4.1 "fused").
+  *
+  * Documents live under `sourceRoot/<document>/<sheet>.csv` (zero-egress
+  * sheet emulation). An empty Sheet cell falls back to the document's
+  * first worksheet, like `export.py:39`.
+  */
+final class JobRunner(
+    spark: SparkSession,
+    control: ControlTable,
+    registry: SinkRegistry,
+    sourceRoot: Path,
+    runLog: RunLog,
+    identity: String = "graft-engine",
+    clock: Clock = Clock.systemUTC(),
+    log: String => Unit = s => System.err.println(s"[graft] $s")) {
+
+  /** Resolve document/sheet to a CSV path; throws the E1-translatable
+    * errors. Candidates mirror `available_sheets` (`manager.py:64-66`). */
+  private[control] def resolveSheet(document: String, sheet: String): Path = {
+    val docDir = sourceRoot.resolve(document)
+    if (!Files.isDirectory(docDir)) throw DocumentNotFound(document)
+    val sheets = Files.list(docDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".csv")).toSeq.sortBy(_.getFileName.toString)
+    if (sheet.trim.isEmpty)
+      sheets.headOption.getOrElse(throw WorksheetNotFound(document, "<first>", Seq.empty))
+    else
+      sheets.find(_.getFileName.toString == s"$sheet.csv").getOrElse(
+        throw WorksheetNotFound(document, sheet,
+          sheets.map(_.getFileName.toString.stripSuffix(".csv"))))
+  }
+
+  /** The export side: one declarative plan — full sheet or A1 slice, then
+    * autodetect typing (`run_export`, `manager.py:40-45` + `export.py`). */
+  private[control] def exportPlan(job: JobSpec): DataFrame =
+    SheetSource.read(spark, resolveSheet(job.document, job.sheet).toString,
+      cellRange = Option(job.range.trim).filter(_.nonEmpty),
+      header = true, infer = true)
+
+  /** Run one job through the U1→(U2|U3) lifecycle, appending the log line
+    * (`run_job`, `manager.py:183-203`; log `manager.py:147-164`). */
+  def runJob(job: JobSpec): Boolean = {
+    val start = StateMachine.markRunning(control, job, clock)
+    val outcome =
+      try {
+        val df = exportPlan(job)
+        val result =
+          if (job.targetSystem.trim.isEmpty)
+            // no Target System ⇒ export-only: keep the CSV artifact, like
+            // the reference skipping the load but keeping the file
+            // (`manager.py:193-196` inverse)
+            registry.resolve("csv").toOption.get
+              .load(LoadRequest(df, s"${job.document}.${job.sheet}", job.isIncremental))
+          else registry.resolve(job.targetSystem) match {
+            case Right(sink) => Timed(s"load ${job.document} -> ${job.destination}", log)(
+              sink.load(LoadRequest(df, job.destination, job.isIncremental)))
+            case Left(notImplemented) => throw new IllegalArgumentException(notImplemented)
+          }
+        StateMachine.markSuccess(control, job, result, clock)
+        Right(result)
+      } catch {
+        case NonFatal(e) =>
+          val msg = Errors.translate(e, identity)
+          StateMachine.markFailure(control, job, msg)
+          Left(msg)
+      }
+    val end = clock.instant()
+    runLog.append(RunLogEntry(start, end, job.document, job.sheet, job.range,
+      if (outcome.isRight) StateMachine.Success else StateMachine.Failure,
+      outcome.merge))
+    outcome.isRight
+  }
+
+  /** One poll cycle: P1 scan → P5 repair (applies U4 to broken rows) →
+    * P2 filter → run due jobs SEQUENTIALLY (the Running state is the
+    * double-run guard, `manager.py:179`). Returns jobs run. */
+  def pollOnce(): Int = {
+    val now = clock.instant()
+    val (valid, invalid) = Scheduler.partitionValid(control.jobs())
+    invalid.foreach { case (job, err) =>
+      log(s"invalid schedule on row ${job.row}: $err")
+      StateMachine.markInvalidSchedule(control, job, err)
+    }
+    val due = valid.filter { case (job, interval) => Scheduler.shouldRun(job, interval, now) }
+    due.foreach { case (job, _) => runJob(job) }
+    due.size
+  }
+
+  /** L1 — the daemon loop (`run`, `manager.py:206-214`): re-read the
+    * control table every `pollMillis`, run due jobs. `maxCycles` bounds
+    * the loop for tests/batch use; None = run forever. */
+  def run(pollMillis: Long = 1000L, maxCycles: Option[Int] = None): Unit = {
+    var cycle = 0
+    while (maxCycles.forall(cycle < _)) {
+      Timed(s"poll cycle $cycle", log)(pollOnce())
+      cycle += 1
+      if (maxCycles.forall(cycle < _)) Thread.sleep(pollMillis)
+    }
+  }
+}

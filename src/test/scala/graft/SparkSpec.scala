@@ -19,6 +19,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // the catalog is fresh per JVM but the warehouse dir persists across
+    // runs — stale table locations would fail CREATE, so start clean
+    def purge(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(purge)
+      f.delete()
+    }
+    purge(new java.io.File("target/test-warehouse"))
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
