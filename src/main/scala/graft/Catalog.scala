@@ -8,7 +8,8 @@ object Catalog {
     operators.Relational.entries ++
       operators.Events.entries ++
       operators.Documents.entries ++
-      operators.Embeddings.entries
+      operators.Embeddings.entries ++
+      operators.Multimodal.entries
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryHelpers._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with
+  * typed metadata (SURVEY §2.3 / driver brief). No media codecs exist in
+  * this environment, so the DECODE STEP IS A DETERMINISTIC FAKE — a tiny
+  * self-describing container format ("GRFT" magic + kind + dims) replaces
+  * JPEG/WAV parsing — but everything Spark-side is real: binary schema,
+  * typed Dataset records, iterator-batched decode (`mapPartitions`, the
+  * Scala analog of arrow-batched pandas UDFs), size-balanced
+  * repartitioning, frame sampling and resize as column transforms.
+  *
+  * Scale design: payloads never leave executors (no collect); decode is
+  * narrow (per-partition, no shuffle); the stats aggregation shuffles only
+  * (kind, partial-agg) pairs. Blob-size skew is handled by bucketing on
+  * payload length before decode.
+  */
+object Multimodal {
+
+  /** Typed metadata traveling WITH the opaque payload. */
+  final case class MediaMeta(kind: String, width: Int, height: Int, nBytes: Long)
+  final case class MediaRecord(doc_id: Long, meta: MediaMeta, payload: Array[Byte])
+
+  val Magic: Array[Byte] = "GRFT".getBytes("UTF-8")
+  private val Kinds = Array("image", "audio", "video")
+
+  /** Deterministic blob format (stands in for a real container):
+    * bytes 0-3 magic, 4 kind ordinal, 5 width, 6 height, 7 reserved,
+    * then the payload bytes. Dims derive from (doc_id, n_chars) so tests
+    * and oracles can predict them without parsing binary.
+    */
+  def encodeBlob(docId: Long, text: String): Array[Byte] = {
+    val body = text.getBytes("UTF-8")
+    val kind = (docId % 3).toInt
+    val width = (docId % 64 + 1).toInt
+    val height = (body.length % 64 + 1)
+    Magic ++ Array(kind.toByte, width.toByte, height.toByte, 0.toByte) ++ body
+  }
+
+  /** documents → binary multimodal frame: (doc_id, payload BINARY). */
+  def fromDocuments(docs: DataFrame): DataFrame = {
+    val enc = udf((id: Long, text: String) => encodeBlob(id, text))
+    docs.select(col("doc_id"), enc(col("doc_id"), col("text")).as("payload"))
+  }
+
+  /** The "decode" stage: iterator-batched per partition — exactly where a
+    * real image decoder would run. Malformed blobs (bad magic) are dropped
+    * like undecodable files. */
+  def decode(frames: DataFrame): Dataset[MediaRecord] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        if (blob.length < 8 || !blob.take(4).sameElements(Magic)) Iterator.empty
+        else {
+          val kind = Kinds(blob(4).toInt % 3)
+          val meta = MediaMeta(kind, blob(5) & 0xFF, blob(6) & 0xFF, blob.length - 8L)
+          Iterator.single(MediaRecord(id, meta, blob.drop(8)))
+        }
+      })
+  }
+
+  /** STUB resize: a real implementation would re-encode pixels; the fake
+    * deterministically truncates/pads the payload to w*h bytes and stamps
+    * the new dims. The signature and partition behavior are the real
+    * contract. */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      val target = w * h
+      val body = r.payload.padTo(target, 0.toByte).take(target)
+      MediaRecord(r.doc_id, MediaMeta(r.meta.kind, w, h, target.toLong), body)
+    }
+  }
+
+  /** Frame sampling for video-kind payloads: treat the payload as fixed-
+    * size frames and keep every `everyN`-th. */
+  def frameSample(media: Dataset[MediaRecord], frameBytes: Int, everyN: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      val sampled = r.payload.grouped(frameBytes).zipWithIndex
+        .collect { case (f, i) if i % everyN == 0 => f }.flatten.toArray
+      MediaRecord(r.doc_id, r.meta.copy(nBytes = sampled.length.toLong), sampled)
+    }
+  }
+
+  /** Balance blob-size skew before an expensive decode: bucket by payload
+    * length so each partition carries a similar byte volume. */
+  def sizeBalanced(frames: DataFrame, partitions: Int): DataFrame =
+    frames.repartition(partitions, pmod(length(col("payload")), lit(partitions)))
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("m01_media_stats",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // real binary round-trip: encode → decode (mapPartitions) → agg
+        val media = decode(fromDocuments(tbl(s, dir, "documents")))
+        media.toDF()
+          .select($"doc_id", $"meta.kind".as("kind"),
+            $"meta.width".as("width"), $"meta.nBytes".as("n_bytes"))
+          .groupBy($"kind")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"n_bytes").as("sum_bytes"),
+            (sum($"width".cast("long")) / count(lit(1))).as("avg_width"))
+          .orderBy($"kind")
+      },
+      // the blob dims are deterministic functions of (doc_id, n_chars), so
+      // the oracle predicts the decoded stats without touching binary
+      Some("""SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        COUNT(*) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_bytes,
+        CAST(SUM(doc_id % 64 + 1) AS BIGINT) / COUNT(*) AS avg_width
+        FROM documents GROUP BY 1 ORDER BY kind"""))
+  )
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  import Multimodal._
+
+  private val docs = Seq(
+    (0L, "hello world"),
+    (1L, "a" * 100),
+    (2L, "xyz")).toDF("doc_id", "text")
+
+  test("encode → decode round-trips payload and typed metadata") {
+    val media = decode(fromDocuments(docs)).collect().sortBy(_.doc_id)
+    assert(media.map(_.meta.kind).toSeq == Seq("image", "audio", "video"))
+    assert(media(0).payload.sameElements("hello world".getBytes("UTF-8")))
+    assert(media(1).meta.nBytes == 100L && media(1).meta.width == 2)
+    assert(media(2).meta.height == "xyz".length % 64 + 1)
+  }
+
+  test("malformed blobs are dropped like undecodable files") {
+    val bad = Seq((9L, "JUNKxxxxpayload".getBytes("UTF-8")), (10L, Array[Byte](1, 2)))
+      .toDF("doc_id", "payload")
+    assert(decode(bad).count() == 0)
+    val mixed = fromDocuments(docs).union(bad)
+    assert(decode(mixed).count() == 3)
+  }
+
+  test("resize stamps dims and normalizes payload size (stubbed re-encode)") {
+    val resized = resize(decode(fromDocuments(docs)), 8, 4).collect()
+    assert(resized.forall(r => r.meta.width == 8 && r.meta.height == 4))
+    assert(resized.forall(_.payload.length == 32))
+  }
+
+  test("frame sampling keeps every Nth fixed-size frame") {
+    val media = decode(fromDocuments(Seq((3L, "0123456789abcdef")).toDF("doc_id", "text")))
+    val sampled = frameSample(media, frameBytes = 4, everyN = 2).collect().head
+    // frames: 0123|4567|89ab|cdef → keep 0 and 2
+    assert(new String(sampled.payload, "UTF-8") == "012389ab")
+    assert(sampled.meta.nBytes == 8L)
+  }
+
+  test("size-balanced repartition preserves rows") {
+    val frames = sizeBalanced(fromDocuments(docs), 3)
+    assert(frames.count() == 3)
+    assert(frames.rdd.getNumPartitions == 3)
+  }
+}
