@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.QueryHelpers._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Training-data pipeline operators over the `documents` table: exact and
   * near-duplicate detection, text analysis, fingerprinting, language ID.
@@ -24,9 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Documents {
 
-  /** documents with a whitespace token array column `toks`. */
+  /** documents with a whitespace token array column `toks`. The scan is
+    * repartitioned to the session's parallelism first: the test corpus is
+    * one small parquet file = ONE input split, and the tokenize/shingle
+    * expressions are higher-order functions that evaluate outside
+    * whole-stage codegen — left unpartitioned they run on a single core
+    * (~5 s at sf0.1; ~0.3 s spread over 32). At real scale many splits
+    * make this a no-op cost-wise, but a cheap roundRobin here never
+    * hurts: everything downstream shuffles anyway. */
   private def toked(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "documents").withColumn("toks", split(col("text"), " "))
+    tbl(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", split(col("text"), " "))
 
   /** doc_id + distinct 3-word shingles (docs with <3 tokens dropped). */
   private def shingled(s: SparkSession, dir: String): DataFrame =
@@ -82,7 +92,17 @@ object Documents {
     QueryDef("d02_neardup_jaccard",
       (s: SparkSession, dir: String) => {
         import s.implicits._
-        val sh = shingled(s, dir)
+        // Inverted-index self-join: pair cost is Σ_shingle df², never n².
+        // The compact shingle table is CACHED and materialized once —
+        // shingle construction is a higher-order expression chain
+        // (transform/concat/distinct) that evaluates outside whole-stage
+        // codegen, so recomputing it for each join side and the size
+        // table would dominate the query (~4× measured). At zipfian-
+        // corpus scale, hot shingles would need df-capping or AllPairs
+        // prefix filtering — d03's MinHash banding is this catalog's
+        // scale path for that regime.
+        val sh = shingled(s, dir).cache()
+        sh.count() // populate once, before the three downstream readers
         val sizes = sh.select($"doc_id", size($"shingles").as("n"))
         val ex = sh.select($"doc_id", explode($"shingles").as("shingle"))
         ex.as("a").join(ex.as("b"),
@@ -104,9 +124,14 @@ object Documents {
         val H = 64          // minhash functions
         val bands = 32      // 32 bands x 2 rows
         val sh = shingled(s, dir).cache()
+        sh.count()
+        // two-level hashing: hash the variable-length shingle ONCE, then
+        // derive the 64 minhash functions by hashing the fixed-width base
+        // (re-hashing the string 64× was the dominant cost; wrapping
+        // linear combos would trip ANSI overflow checks)
         val ex = sh.select($"doc_id", explode($"shingles").as("shingle"))
-        // signature: per doc, min over shingles of xxhash64(h, shingle)
-        val sigCols = (0 until H).map(h => min(xxhash64(lit(h), $"shingle")).as(s"mh$h"))
+          .select($"doc_id", xxhash64($"shingle").as("h0"))
+        val sigCols = (0 until H).map(h => min(xxhash64($"h0", lit(h))).as(s"mh$h"))
         val sig = ex.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
         // band keys: hash of each band's rows; docs sharing any band key
         // become candidate pairs

@@ -10,10 +10,10 @@ import org.apache.spark.sql.expressions.Window
   * No reference counterpart (SURVEY.md §2.2) — driver-mandated §2.3.
   *
   * Oracle-exactness discipline: dot products and squared norms are sums of
-  * double products truncated to DECIMAL(17,12) — exact decimal addition is
-  * ORDER-INDEPENDENT, so Spark's fold and DuckDB's SUM-over-unnest produce
-  * bit-identical values regardless of partitioning; the remaining ops
-  * (sqrt, multiply, divide) are single IEEE ops on identical inputs.
+  * double products rounded to 1e-12 fixed point — exact integer addition
+  * is ORDER-INDEPENDENT, so Spark's fold and DuckDB's SUM-over-unnest
+  * produce bit-identical values regardless of partitioning; the remaining
+  * ops (sqrt, multiply, divide) are single IEEE ops on identical inputs.
   *
   * Scale design (100 TB):
   *  - v01 brute-force is the correctness baseline; it broadcasts the small
@@ -34,19 +34,27 @@ object Embeddings {
     tbl(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** Exact decimal fold: products truncate to DECIMAL(17,12) (same cast in
-    * the DuckDB oracle), additions happen at scale 12 (closed, lossless for
-    * |sum| < 1e8), and the explicit cast back to DECIMAL(20,12) keeps the
-    * lambda's type equal to the accumulator's (Spark's decimal-precision
-    * growth rules would otherwise drift the scale).
+  /** Exact fixed-point fold: each double product is rounded to 1e-12
+    * (floor(p*1e12 + 0.5): multiply/add/floor are single IEEE ops —
+    * Spark's ROUND on doubles would allocate a BigDecimal per element)
+    * and summed as BIGINT — exact integer addition is order-independent, and
+    * the long accumulator stays inside whole-stage codegen's primitive
+    * fast path (a DECIMAL(20,12) accumulator exceeds Spark's long-backed
+    * decimal precision and falls off to BigDecimal — ~4× slower on the
+    * bucketed ANN join). The DuckDB oracle applies the identical
+    * FLOOR(p*1e12 + 0.5) → BIGINT → SUM, so values match bit-for-bit.
+    * Magnitudes: |product| ≲ 1 ⇒ |term| ≲ 1e12, 64 dims ⇒ |sum| ≲ 6.4e13,
+    * far inside both i64 and double-exact (2^53) range.
     */
+  private val Scale = "1000000000000.0"
+
   private val NormSql =
-    "sqrt(CAST(aggregate(v, CAST(0 AS DECIMAL(20,12)), " +
-      "(acc, x) -> CAST(acc + CAST(x*x AS DECIMAL(17,12)) AS DECIMAL(20,12))) AS DOUBLE))"
+    s"sqrt(CAST(aggregate(v, CAST(0 AS BIGINT), " +
+      s"(acc, x) -> acc + CAST(FLOOR((x*x) * $Scale + 0.5) AS BIGINT)) AS DOUBLE) / $Scale)"
 
   private val DotSql =
-    "CAST(aggregate(zip_with(qv, cv, (x, y) -> x*y), CAST(0 AS DECIMAL(20,12)), " +
-      "(acc, p) -> CAST(acc + CAST(p AS DECIMAL(17,12)) AS DECIMAL(20,12))) AS DOUBLE)"
+    s"CAST(aggregate(zip_with(qv, cv, (x, y) -> x*y), CAST(0 AS BIGINT), " +
+      s"(acc, p) -> acc + CAST(FLOOR(p * $Scale + 0.5) AS BIGINT)) AS DOUBLE) / $Scale"
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -67,9 +75,9 @@ object Embeddings {
           .orderBy($"query_id", $"rnk")
       },
       Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(x*x AS DECIMAL(17,12))) AS DOUBLE)) AS nrm
+        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
                FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
-        dots AS (SELECT qid, cid, CAST(SUM(CAST(qx*cx AS DECIMAL(17,12))) AS DOUBLE) AS dot
+        dots AS (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
                  FROM (SELECT q.vec_id AS qid, c.vec_id AS cid,
                               unnest(q.v) AS qx, unnest(c.v) AS cx
                        FROM base q, base c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
@@ -112,9 +120,9 @@ object Embeddings {
                     + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
                     + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
           FROM embeddings),
-        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(x*x AS DECIMAL(17,12))) AS DOUBLE)) AS nrm
+        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
                FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
-        dots AS (SELECT qid, cid, bkt, CAST(SUM(CAST(qx*cx AS DECIMAL(17,12))) AS DOUBLE) AS dot
+        dots AS (SELECT qid, cid, bkt, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
                  FROM (SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket AS bkt,
                               unnest(q.v) AS qx, unnest(c.v) AS cx
                        FROM base q, base c
