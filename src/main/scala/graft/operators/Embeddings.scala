@@ -136,6 +136,35 @@ object Embeddings {
         SELECT query_id, rnk, neighbor_id, bucket, cosine FROM scored
         WHERE rnk <= 3 ORDER BY query_id, rnk""")),
 
+    QueryDef("v04_cosine_neardup",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // exact embedding-cosine near-dup pairs. Inherently quadratic —
+        // the one-row-side-small broadcast nested-loop is fine for a
+        // correctness baseline, and v02's bucketing is the scale path
+        // (same outputs minus cross-bucket pairs, documented recall < 1).
+        val base = based(s, dir).withColumn("nrm", expr(NormSql))
+        val a = base.select($"vec_id".as("doc_a"), $"v".as("qv"), $"nrm".as("qn"))
+        val b = base.select($"vec_id".as("doc_b"), $"v".as("cv"), $"nrm".as("cn"))
+        a.join(b, $"doc_a" < $"doc_b")
+          .withColumn("cosine", expr(DotSql) / ($"qn" * $"cn"))
+          .filter($"cosine" >= 0.45)
+          .select($"doc_a", $"doc_b", $"cosine")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        dots AS (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+                 FROM (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                              unnest(q.v) AS qx, unnest(c.v) AS cx
+                       FROM base q, base c WHERE q.vec_id < c.vec_id)
+                 GROUP BY 1, 2)
+        SELECT qid AS doc_a, cid AS doc_b, dot / (a.nrm * b.nrm) AS cosine
+        FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id
+        WHERE dot / (a.nrm * b.nrm) >= 0.45
+        ORDER BY doc_a, doc_b""")),
+
     QueryDef("v03_label_centroid_sim",
       (s: SparkSession, dir: String) => {
         import s.implicits._
