@@ -1,0 +1,18 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Session-extension entry point: add
+  * `spark.sql.extensions=graft.functions.GraftExtensions` to register the
+  * engine's SQL functions at session build; `ParseHumanInterval.install`
+  * does the same against a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("parse_human_interval"),
+      ParseHumanInterval.info,
+      (exprs: Seq[Expression]) => ParseHumanInterval(exprs.head)))
+}
