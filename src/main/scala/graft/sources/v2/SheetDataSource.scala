@@ -1,0 +1,231 @@
+package graft.sources.v2
+
+import graft.control.CsvCodec
+import graft.util.A1Notation
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+/** DataSource V2 "sheet" format (SURVEY §4.2c): a sheet-semantics
+  * connector — all-string cells, A1 range addressing, header promotion,
+  * autodetect typing — readable as
+  *
+  * {{{
+  * spark.read.format("sheet")
+  *   .option("range", "B2:AD")    // optional A1 slice
+  *   .option("header", "true")    // first row of the slice names columns
+  *   .option("inferSchema", "true")
+  *   .load("/path/to/sheet.csv")
+  * }}}
+  *
+  * Zero-egress environment: local CSV files stand in for the live sheet
+  * API (same emulation as [[graft.sources.SheetSource]]); the connector
+  * boundary is exactly where a real Sheets HTTP client would slot in.
+  *
+  * Scan design: `SupportsPushDownRequiredColumns` prunes at the CELL
+  * level — unprojected columns are never type-converted (the reference's
+  * server-side range fetch, `export.py:50`, is the same idea: move only
+  * the cells you need). A sheet is ONE ordered file, so the scan is one
+  * `InputPartition`: row order is part of sheet semantics and sheets are
+  * small by nature — the big-data path in this engine is parquet, not
+  * sheets. Columns without a header are named by their A1 letters.
+  */
+class SheetDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "sheet"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SheetDataSource.resolve(options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    SheetDataSource.resolve(new CaseInsensitiveStringMap(properties))
+}
+
+object SheetDataSource {
+  private val TsFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss[.SSS][.SS][.S]")
+  private val DateRe = "^\\d{4}-\\d{2}-\\d{2}$".r
+  private val TsRe = "^\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?$".r
+
+  /** Geometry + typing of one sheet read, computed once on the driver and
+    * shipped to the reader. 0-based column offsets are relative to the
+    * RAW file row; rows are 1-based sheet rows. */
+  final case class SheetSpec(
+      path: String,
+      colOffsets: Seq[Int],
+      dataStartRow: Long,
+      endRow: Option[Long],
+      schema: StructType) extends Serializable
+
+  def resolve(options: CaseInsensitiveStringMap): SheetTable = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("sheet source requires a path"))
+    val header = options.getBoolean("header", false)
+    val infer = options.getBoolean("inferSchema", false)
+    val rangeOpt = Option(options.get("range")).map(_.trim).filter(_.nonEmpty)
+
+    val rows = readRows(path)
+    require(rows.nonEmpty, s"empty sheet: $path")
+    val width = rows.map(_.length).max
+
+    val (cols, startRow, endRow) = rangeOpt match {
+      case Some(r) =>
+        val cr = A1Notation.parseRange(r)
+        require(cr.startCol <= width, s"range '$r' starts past sheet width $width")
+        ((cr.startCol - 1) until math.min(cr.endCol, width),
+          cr.startRow.toLong, cr.endRow.map(_.toLong))
+      case None => (0 until width, 1L, None)
+    }
+
+    val sliced = rows.zipWithIndex
+      .filter { case (_, i) =>
+        val rn = i + 1L
+        rn >= startRow && endRow.forall(rn <= _)
+      }
+      .map { case (cells, _) => cols.map(c => if (c < cells.length) cells(c) else "") }
+
+    val (names, dataRows, dataStartRow) =
+      if (header) {
+        require(sliced.nonEmpty, "header requested on an empty range")
+        val ns = sliced.head.zipWithIndex.map { case (raw, i) =>
+          val clean = raw.trim.replaceAll("[^A-Za-z0-9_]", "_")
+          if (clean.isEmpty || clean.head.isDigit) s"col$i" else clean
+        }
+        (ns, sliced.tail, startRow + 1)
+      } else
+        (cols.map(c => A1Notation.colLetters(c + 1)), sliced, startRow)
+
+    val types: Seq[DataType] =
+      if (infer) cols.indices.map(i => inferColumn(dataRows.iterator.map(_(i))))
+      else cols.map(_ => StringType)
+
+    val schema = StructType(names.zip(types).map { case (n, t) =>
+      StructField(n, t, nullable = true)
+    }.toSeq)
+    new SheetTable(SheetSpec(path, cols, dataStartRow, endRow, schema))
+  }
+
+  private[v2] def readRows(path: String): Vector[Seq[String]] = {
+    val src = scala.io.Source.fromFile(path)
+    try src.getLines().map(CsvCodec.parseLine).toVector
+    finally src.close()
+  }
+
+  /** Autodetect priority (K4 parity): BIGINT → DOUBLE → BOOLEAN → DATE →
+    * TIMESTAMP → STRING over non-empty cells; all-empty stays string. */
+  private def inferColumn(values: Iterator[String]): DataType = {
+    var sawAny = false
+    var okLong, okDouble, okBool, okDate, okTs = true
+    values.foreach { v0 =>
+      val v = v0.trim
+      if (v.nonEmpty) {
+        sawAny = true
+        if (okLong) okLong = Try(v.toLong).isSuccess
+        if (okDouble) okDouble = Try(v.toDouble).isSuccess
+        if (okBool) okBool = v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false")
+        if (okDate) okDate = DateRe.matches(v) && Try(LocalDate.parse(v)).isSuccess
+        if (okTs) okTs = TsRe.matches(v)
+      }
+    }
+    if (!sawAny) StringType
+    else if (okLong) LongType
+    else if (okDouble) DoubleType
+    else if (okBool) BooleanType
+    else if (okDate) DateType
+    else if (okTs) TimestampType
+    else StringType
+  }
+
+  /** Convert one trimmed cell to Spark's internal representation. */
+  private[v2] def convert(v: String, t: DataType): Any = {
+    val s = v.trim
+    if (s.isEmpty && t != StringType) null
+    else t match {
+      case StringType    => if (v.isEmpty) null else UTF8String.fromString(v)
+      case LongType      => s.toLong
+      case DoubleType    => s.toDouble
+      case BooleanType   => s.equalsIgnoreCase("true")
+      case DateType      => LocalDate.parse(s).toEpochDay.toInt
+      case TimestampType =>
+        val ldt = LocalDateTime.parse(s.replace('T', ' '), TsFmt)
+        ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+      case other => throw new IllegalStateException(s"unsupported sheet type $other")
+    }
+  }
+}
+
+final class SheetTable(spec: SheetDataSource.SheetSpec) extends Table with SupportsRead {
+  override def name(): String = s"sheet:${spec.path}"
+  override def schema(): StructType = spec.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SheetScanBuilder(spec)
+}
+
+final class SheetScanBuilder(spec: SheetDataSource.SheetSpec)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = spec.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = SheetScan(spec, required)
+}
+
+final case class SheetScan(spec: SheetDataSource.SheetSpec, required: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SheetScan ${spec.path} cols=${required.fieldNames.mkString(",")}"
+  // one ordered partition — sheet row order is part of the contract
+  override def planInputPartitions(): Array[InputPartition] = Array(SheetPartition(spec))
+  override def createReaderFactory(): PartitionReaderFactory =
+    SheetReaderFactory(spec, required)
+}
+
+final case class SheetPartition(spec: SheetDataSource.SheetSpec) extends InputPartition
+
+final case class SheetReaderFactory(spec: SheetDataSource.SheetSpec, required: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SheetReader(spec, required)
+}
+
+/** Streams the sheet rows, converting ONLY the pruned-to columns. */
+final class SheetReader(spec: SheetDataSource.SheetSpec, required: StructType)
+  extends PartitionReader[InternalRow] {
+
+  private val fieldIdx: Array[Int] =
+    required.fieldNames.map(n => spec.schema.fieldIndex(n))
+  private val rows = SheetDataSource.readRows(spec.path).iterator.zipWithIndex
+    .filter { case (_, i) =>
+      val rn = i + 1L
+      rn >= spec.dataStartRow && spec.endRow.forall(rn <= _)
+    }
+    .map(_._1)
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!rows.hasNext) false
+    else {
+      val cells = rows.next()
+      val values = fieldIdx.map { fi =>
+        val c = spec.colOffsets(fi)
+        val raw = if (c < cells.length) cells(c) else ""
+        SheetDataSource.convert(raw, spec.schema.fields(fi).dataType)
+      }
+      current = InternalRow.fromSeq(values.toIndexedSeq)
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
