@@ -146,6 +146,52 @@ object Events {
         FROM sessions GROUP BY user_id, session_id
         ORDER BY user_id, session_id""")),
 
+    QueryDef("e08_asof_last_purchase",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // AS-OF JOIN, Spark-first: for every event, the user's most recent
+        // prior-or-same 'purchase' event. Spark has no asof operator, so
+        // this is the scalable composition (SURVEY §2.1 custom-op
+        // preference (a)): tag both sides, UNION, and carry the last seen
+        // right-row forward with an ignore-nulls window — ONE shuffle on
+        // the key, no per-row range probe, no broadcast of either side.
+        // Right rows sort before left rows at equal time (tag 0 < 1), so
+        // the join is inclusive; the right side is pre-deduped to one row
+        // per (user, time) to keep the result well-defined.
+        // Times compare as integer microseconds in both engines.
+        val ev = eventsTbl(s, dir)
+        val purch = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id", unix_micros($"ts").as("t"))
+          .agg(max($"event_id").as("purchase_id"))
+        val left = ev.select($"user_id", unix_micros($"ts").as("t"),
+          lit(1).as("tag"), $"event_id", lit(null).cast("long").as("purchase_id"))
+        val right = purch.select($"user_id", $"t", lit(0).as("tag"),
+          lit(null).cast("long").as("event_id"), $"purchase_id")
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"tag")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        left.unionByName(right)
+          .withColumn("last_purchase_id", last($"purchase_id", ignoreNulls = true).over(w))
+          .withColumn("pt", last(when($"tag" === 0, $"t"), ignoreNulls = true).over(w))
+          .filter($"tag" === 1)
+          .select(
+            $"event_id", $"user_id",
+            date_format(date_trunc("second", timestamp_micros($"t")), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            $"last_purchase_id",
+            ($"t" - $"pt").as("gap_micros"))
+          .orderBy($"event_id")
+      },
+      // the oracle uses DuckDB's NATIVE ASOF JOIN on the same floored-
+      // micros key — two independent formulations of the semantics
+      Some("""WITH e AS (SELECT event_id, user_id, ts, epoch_ns(ts) // 1000 AS tsm FROM events),
+        purch AS (SELECT user_id, epoch_ns(ts) // 1000 AS tsm, MAX(event_id) AS purchase_id
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id,
+          strftime(date_trunc('second', e.ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+          p.purchase_id AS last_purchase_id,
+          e.tsm - p.tsm AS gap_micros
+        FROM e ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.tsm >= p.tsm
+        ORDER BY e.event_id""")),
+
     QueryDef("e05_sliding_window",
       (s: SparkSession, dir: String) => {
         import s.implicits._

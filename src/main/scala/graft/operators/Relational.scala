@@ -348,6 +348,57 @@ object Relational {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
-        GROUP BY r_name, o_orderpriority ORDER BY r_name, o_orderpriority"""))
+        GROUP BY r_name, o_orderpriority ORDER BY r_name, o_orderpriority""")),
+
+    QueryDef("q19_revenue_deciles",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // ntile deciles WITHIN each priority — partitioned windows keep
+        // the sort distributed (a global ntile would funnel every row
+        // through one partition)
+        val w = Window.partitionBy($"o_orderpriority")
+          .orderBy($"o_totalprice", $"o_orderkey")
+        tbl(s, dir, "orders")
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy($"o_orderpriority", $"decile")
+          .agg(
+            count(lit(1)).as("n"),
+            sumExact($"o_totalprice").as("sum_price"),
+            max($"o_totalprice").as("max_price"))
+          .orderBy($"o_orderpriority", $"decile")
+      },
+      Some("""SELECT o_orderpriority, decile, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        MAX(o_totalprice) AS max_price
+        FROM (SELECT o_orderpriority, o_totalprice,
+                ntile(10) OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey) AS decile
+              FROM orders)
+        GROUP BY 1, 2 ORDER BY o_orderpriority, decile""")),
+
+    QueryDef("q20_pivot_priority",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // explicit pivot values: fixes column order AND skips the extra
+        // distinct-values job Spark otherwise runs
+        val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val renames = Seq("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
+        val pivoted = tbl(s, dir, "customer")
+          .join(tbl(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+          .groupBy($"c_mktsegment")
+          .pivot("o_orderpriority", priorities)
+          .agg(count(lit(1)))
+        priorities.zip(renames).foldLeft(pivoted) { case (df, (from, to)) =>
+          df.withColumnRenamed(from, to)
+        }.na.fill(0L, renames).orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_urgent,
+        CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2_high,
+        CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3_medium,
+        CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
+        CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }
