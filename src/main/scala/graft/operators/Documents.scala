@@ -280,6 +280,27 @@ object Documents {
         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens
         FROM documents ORDER BY doc_id""")),
 
+    QueryDef("t06_rolling_hash",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // polynomial rolling hash over the character stream:
+        // h = fold(c => (h*31 + c) mod 1e9+7) — integer-exact and
+        // engine-independent, unlike md5-of-sorted-tokens (t04) this is
+        // order-SENSITIVE, the classic content-defined fingerprint
+        toked(s, dir)
+          .select($"doc_id",
+            expr("aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+              "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)").as("rhash"),
+            length($"text").cast("long").as("n_chars_txt"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash,
+        CAST(length(text) AS BIGINT) AS n_chars_txt
+        FROM documents ORDER BY doc_id""")),
+
     QueryDef("t05_lang_id",
       (s: SparkSession, dir: String) => {
         import s.implicits._

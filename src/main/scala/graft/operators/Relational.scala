@@ -376,6 +376,28 @@ object Relational {
               FROM orders)
         GROUP BY 1, 2 ORDER BY o_orderpriority, decile""")),
 
+    QueryDef("q21_cube_grouping",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        tbl(s, dir, "lineitem")
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            sumExact($"l_quantity").as("sum_qty"))
+          .select(
+            coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+            coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+            $"gid", $"n", $"sum_qty")
+          .orderBy($"gid", $"returnflag", $"linestatus")
+      },
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        COALESCE(l_linestatus, 'ALL') AS linestatus,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        COUNT(*) AS n, $SumQty AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY gid, returnflag, linestatus""")),
+
     QueryDef("q20_pivot_priority",
       (s: SparkSession, dir: String) => {
         import s.implicits._
