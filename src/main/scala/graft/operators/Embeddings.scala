@@ -136,6 +136,45 @@ object Embeddings {
         SELECT query_id, rnk, neighbor_id, bucket, cosine FROM scored
         WHERE rnk <= 3 ORDER BY query_id, rnk""")),
 
+    QueryDef("v05_topk_aggregated",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // same semantics as v01 but ranked by the TopKAggregator typed
+        // aggregate instead of a rank window: partial top-k buffers merge
+        // map-side, so no per-group full sort / full materialization —
+        // the §4.2b shape for huge candidate sets. Shares v01's oracle:
+        // two independent top-k implementations must agree exactly.
+        val topk = udaf(new graft.functions.TopKAggregator(10))
+        val base = based(s, dir).withColumn("nrm", expr(NormSql))
+        val queries = base.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val corpus = base
+          .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
+        corpus.join(broadcast(queries), $"query_id" =!= $"neighbor_id")
+          .withColumn("cosine", expr(DotSql) / ($"qn" * $"cn"))
+          .groupBy($"query_id")
+          .agg(topk($"cosine", $"neighbor_id").as("top"))
+          .select($"query_id", posexplode($"top.items").as(Seq("pos", "item")))
+          .select($"query_id", ($"pos" + 1).cast("long").as("rnk"),
+            $"item.id".as("neighbor_id"), $"item.score".as("cosine"))
+          .orderBy($"query_id", $"rnk")
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        dots AS (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+                 FROM (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                              unnest(q.v) AS qx, unnest(c.v) AS cx
+                       FROM base q, base c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+                 GROUP BY 1, 2),
+        scored AS (SELECT qid AS query_id, cid AS neighbor_id,
+                          dot / (a.nrm * b.nrm) AS cosine,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS rnk
+                   FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
+        SELECT query_id, rnk, neighbor_id, cosine FROM scored
+        WHERE rnk <= 10 ORDER BY query_id, rnk""")),
+
     QueryDef("v04_cosine_neardup",
       (s: SparkSession, dir: String) => {
         import s.implicits._
