@@ -398,6 +398,46 @@ object Relational {
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         ORDER BY gid, returnflag, linestatus""")),
 
+    QueryDef("q22_customers_no_orders_anti",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // customers with NO orders in 2001 — anti-join against a
+        // date-filtered side (filter pushes below the join build)
+        val recent = tbl(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+        tbl(s, dir, "customer")
+          .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_inactive"),
+            sumExact($"c_acctbal").as("sum_acctbal"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_inactive,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_acctbal
+        FROM customer WHERE NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    QueryDef("q23_price_band_range_frame",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // RANGE frame over a numeric ordering: for each order, how many
+        // same-priority orders fall within ±1000 of its total price
+        val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+          .rangeBetween(-1000L, 1000L)
+        tbl(s, dir, "orders")
+          .filter($"o_custkey" < 100)
+          .withColumn("n_in_band", count(lit(1)).over(w))
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice", $"n_in_band")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+        COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_in_band
+        FROM orders WHERE o_custkey < 100
+        ORDER BY o_orderkey""")),
+
     QueryDef("q20_pivot_priority",
       (s: SparkSession, dir: String) => {
         import s.implicits._
