@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout helpers for the 100 TB regime: bucketing to pre-pay a
+  * join shuffle once at write time, and salting to split hot keys that
+  * AQE's skew handling can't reach (e.g. a skewed aggregation key).
+  */
+object CoLocated {
+
+  /** Write a table bucketed+sorted on its join key. Two tables bucketed
+    * on the same key with the same bucket count join WITHOUT a shuffle
+    * (and without a sort, since buckets are pre-sorted): the exchange is
+    * paid once at load time instead of on every join. */
+  def writeBucketed(df: DataFrame, database: String, table: String,
+      key: String, buckets: Int): String = {
+    val spark = df.sparkSession
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(s"`$database`.`$table`")
+    s"$database.$table"
+  }
+}
+
+object Salting {
+
+  /** Skew-safe aggregation: count/sum-like partial aggregation over
+    * (key, salt) first — hot keys spread across `buckets` reducers — then
+    * the final (cheap, one row per (key, salt)) re-aggregation by key.
+    * `uniqueCol` supplies deterministic row identity for the salt. */
+  def saltedCounts(df: DataFrame, key: String, uniqueCol: String, buckets: Int): DataFrame =
+    df.withColumn("_salt", pmod(xxhash64(col(uniqueCol)), lit(buckets.toLong)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as("n"))
+
+  /** Skew-safe inner equi-join: every `big` row gets a deterministic salt
+    * from `uniqueCol`; `small` is replicated once per salt bucket, so a
+    * hot key's rows land on `buckets` different reducers instead of one.
+    * Results are identical to `big.join(small, key)` — only the
+    * partitioning changes. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      uniqueCol: String, buckets: Int): DataFrame = {
+    val salted = big.withColumn("_salt", pmod(xxhash64(col(uniqueCol)), lit(buckets.toLong)))
+    val replicated = small.withColumn("_salt",
+      explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

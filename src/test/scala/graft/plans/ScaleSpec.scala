@@ -1,0 +1,52 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without a shuffle (exchange paid at write time)") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    CoLocated.writeBucketed(orders.select($"o_custkey", $"o_totalprice"),
+      "g_bucketed", "orders_b", "o_custkey", 8)
+    CoLocated.writeBucketed(customer.select($"c_custkey", $"c_mktsegment"),
+      "g_bucketed", "cust_b", "c_custkey", 8)
+
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("g_bucketed.orders_b")
+        .join(spark.table("g_bucketed.cust_b"), $"o_custkey" === $"c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and the result is right
+      assert(joined.count() ==
+        orders.join(customer, $"o_custkey" === $"c_custkey").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val salted = Salting.saltedCounts(orders, "o_custkey", "o_orderkey", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = orders.groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val salted = Salting.saltedJoin(orders, customer, "o_custkey", "o_orderkey", 4)
+    val plain = orders.join(customer, Seq("o_custkey"))
+    assert(salted.count() == plain.count())
+    val s1 = salted.agg(sum($"o_totalprice")).collect()(0).getDouble(0)
+    val s2 = plain.agg(sum($"o_totalprice")).collect()(0).getDouble(0)
+    assert(math.abs(s1 - s2) < 1e-6)
+  }
+}
