@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.QueryHelpers._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -34,18 +34,23 @@ object Embeddings {
     tbl(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** Exact fixed-point fold: each double product is rounded to 1e-12
-    * (floor(p*1e12 + 0.5): multiply/add/floor are single IEEE ops —
+  /** Exact fixed-point arithmetic: each double product is rounded to
+    * 1e-12 (floor(p*1e12 + 0.5): multiply/add/floor are single IEEE ops —
     * Spark's ROUND on doubles would allocate a BigDecimal per element)
-    * and summed as BIGINT — exact integer addition is order-independent, and
-    * the long accumulator stays inside whole-stage codegen's primitive
-    * fast path (a DECIMAL(20,12) accumulator exceeds Spark's long-backed
-    * decimal precision and falls off to BigDecimal — ~4× slower on the
-    * bucketed ANN join). The DuckDB oracle applies the identical
-    * FLOOR(p*1e12 + 0.5) → BIGINT → SUM, so values match bit-for-bit.
-    * Magnitudes: |product| ≲ 1 ⇒ |term| ≲ 1e12, 64 dims ⇒ |sum| ≲ 6.4e13,
-    * far inside both i64 and double-exact (2^53) range.
+    * and summed as BIGINT — exact integer addition is order-independent.
+    * The DuckDB oracle applies the identical FLOOR(p*1e12 + 0.5) →
+    * BIGINT → SUM, so values match bit-for-bit. Magnitudes: |product| ≲ 1
+    * ⇒ |term| ≲ 1e12, 64 dims ⇒ |sum| ≲ 6.4e13, far inside both i64 and
+    * double-exact (2^53) range.
+    *
+    * Form matters, measured at sf0.1: the `aggregate()` lambda fold is
+    * the FASTEST declarative shape here (~3 s on the bucketed join) —
+    * an unrolled 64-term expression tree blows past codegen method
+    * limits and runs interpreted (~10 s), and a DECIMAL accumulator
+    * leaves the long-backed fast path (~9 s). v04's all-pairs kernel
+    * skips expressions entirely (mapPartitions, same arithmetic).
     */
+  private val ScaleD = 1000000000000.0
   private val Scale = "1000000000000.0"
 
   private val NormSql =
@@ -178,17 +183,42 @@ object Embeddings {
     QueryDef("v04_cosine_neardup",
       (s: SparkSession, dir: String) => {
         import s.implicits._
-        // exact embedding-cosine near-dup pairs. Inherently quadratic —
-        // the one-row-side-small broadcast nested-loop is fine for a
-        // correctness baseline, and v02's bucketing is the scale path
-        // (same outputs minus cross-bucket pairs, documented recall < 1).
-        val base = based(s, dir).withColumn("nrm", expr(NormSql))
-        val a = base.select($"vec_id".as("doc_a"), $"v".as("qv"), $"nrm".as("qn"))
-        val b = base.select($"vec_id".as("doc_b"), $"v".as("cv"), $"nrm".as("cn"))
-        a.join(b, $"doc_a" < $"doc_b")
-          .withColumn("cosine", expr(DotSql) / ($"qn" * $"cn"))
-          .filter($"cosine" >= 0.45)
-          .select($"doc_a", $"doc_b", $"cosine")
+        // exact embedding-cosine near-dup pairs — inherently an n² dense
+        // matrix product, which relational operators execute as a
+        // nested-loop join with per-pair expression eval (interpreted in
+        // BroadcastNestedLoopJoin — measured 80-180 s at sf0.1). This is
+        // the genuine `mapPartitions`-as-last-resort case (SURVEY §2.1
+        // custom-op preference (d)): broadcast the corpus as primitive
+        // arrays and run a tight scalar kernel per partition, with the
+        // SAME fixed-point arithmetic as the declarative ops, so the
+        // values still hash-match the oracle. v02's bucketing remains
+        // the 100 TB path (one side must fit in executor memory here).
+        val t = 0.45
+        val S = ScaleD // local binding: the closure must not drag the object in
+        def sqNorm(v: Array[Double]): Double = {
+          var acc = 0L; var i = 0
+          while (i < v.length) { acc += math.floor(v(i) * v(i) * S + 0.5).toLong; i += 1 }
+          math.sqrt(acc.toDouble / S)
+        }
+        val base = based(s, dir).as[(Long, Array[Double])]
+        val corpus = base.collect().sortBy(_._1)
+        val norms = corpus.map { case (_, v) => sqNorm(v) }
+        val bc = s.sparkContext.broadcast((corpus, norms))
+        base.mapPartitions { iter =>
+          val (all, nrm) = bc.value
+          iter.flatMap { case (ida, va) =>
+            var accA = 0L; var i = 0
+            while (i < va.length) { accA += math.floor(va(i) * va(i) * S + 0.5).toLong; i += 1 }
+            val na = math.sqrt(accA.toDouble / S)
+            all.indices.iterator.filter(all(_)._1 > ida).flatMap { k =>
+              val (idb, vb) = all(k)
+              var acc = 0L; var j = 0
+              while (j < va.length) { acc += math.floor(va(j) * vb(j) * S + 0.5).toLong; j += 1 }
+              val cos = (acc.toDouble / S) / (na * nrm(k))
+              if (cos >= t) Iterator.single((ida, idb, cos)) else Iterator.empty
+            }
+          }
+        }.toDF("doc_a", "doc_b", "cosine")
           .orderBy($"doc_a", $"doc_b")
       },
       Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
