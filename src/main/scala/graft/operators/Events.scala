@@ -192,6 +192,25 @@ object Events {
         FROM e ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.tsm >= p.tsm
         ORDER BY e.event_id""")),
 
+    QueryDef("e09_click_attribution",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // batch dual of EventStreams.clickAttribution (stream-stream
+        // interval join): purchases × same-user clicks within the prior
+        // hour; integer-microsecond time math in both engines
+        graft.streaming.EventStreams.clickAttribution(eventsTbl(s, dir))
+          .orderBy($"purchase_id", $"click_id")
+      },
+      Some("""WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS tsm, event_id AS click_id
+                FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, epoch_ns(ts) // 1000 AS tsm, event_id AS purchase_id
+              FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id, p.purchase_id, c.click_id,
+               p.tsm - c.tsm AS gap_micros
+        FROM p JOIN c ON p.user_id = c.user_id
+          AND c.tsm BETWEEN p.tsm - 3600000000 AND p.tsm
+        ORDER BY purchase_id, click_id""")),
+
     QueryDef("e05_sliding_window",
       (s: SparkSession, dir: String) => {
         import s.implicits._

@@ -65,4 +65,25 @@ object EventStreams {
     events
       .withWatermark("ts", Lateness)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: every purchase paired with the same
+    * user's clicks in the preceding hour. Both sides carry watermarks and
+    * the time-range predicate bounds join state on BOTH sides (Spark can
+    * evict clicks older than purchase-watermark − 1h and purchases older
+    * than click-watermark). Batch dual: e09_click_attribution — times
+    * compare as integer microseconds in both. */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", Lateness)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", Lateness)
+    purchases.join(clicks,
+      expr("""user_id = p_user AND
+              unix_micros(click_ts) BETWEEN unix_micros(purchase_ts) - 3600000000 AND unix_micros(purchase_ts)"""))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (expr("unix_micros(purchase_ts) - unix_micros(click_ts)")).as("gap_micros"))
+  }
 }

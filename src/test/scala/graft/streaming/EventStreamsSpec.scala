@@ -70,6 +70,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("stream-stream interval join equals batch e09 click attribution") {
+    val src = spark.readStream
+      .schema(spark.read.parquet(replayDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(replayDir)
+    val q = EventStreams.clickAttribution(src).writeStream
+      .format("memory").queryName("attrib").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("attrib")
+    val want = graft.Catalog.byName("e09_click_attribution").run(spark, sf)
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
   test("within-watermark dedup: duplicated replay collapses to distinct event_ids") {
     // duplicate the whole stream: each event appears twice across files
     val dupDir = Files.createTempDirectory("replaydup").toString
