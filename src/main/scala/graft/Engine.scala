@@ -19,7 +19,8 @@ final case class EngineConfig(
     controlPath: Path,
     runLogPath: Path,
     csvOutDir: String,
-    identity: String = "graft-engine")
+    identity: String = "graft-engine",
+    maxConcurrentJobs: Int = 1)
 
 final class Engine private[graft] (val spark: SparkSession, val runner: JobRunner) {
   /** One scheduler cycle; returns the number of jobs executed. */
@@ -36,6 +37,7 @@ object Engine {
     val runLog = new CsvRunLog(config.runLogPath)
     val registry = SinkRegistry.default(config.csvOutDir)
     new Engine(spark, new JobRunner(spark, control, registry,
-      config.sourceRoot, runLog, config.identity))
+      config.sourceRoot, runLog, config.identity,
+      maxConcurrent = config.maxConcurrentJobs))
   }
 }

@@ -27,7 +27,9 @@ final class JobRunner(
     runLog: RunLog,
     identity: String = "graft-engine",
     clock: Clock = Clock.systemUTC(),
-    log: String => Unit = s => System.err.println(s"[graft] $s")) {
+    log: String => Unit = s => System.err.println(s"[graft] $s"),
+    maxConcurrent: Int = 1) {
+  require(maxConcurrent >= 1)
 
   /** Resolve document/sheet to a CSV path; throws the E1-translatable
     * errors. Candidates mirror `available_sheets` (`manager.py:64-66`). */
@@ -86,8 +88,12 @@ final class JobRunner(
   }
 
   /** One poll cycle: P1 scan → P5 repair (applies U4 to broken rows) →
-    * P2 filter → run due jobs SEQUENTIALLY (the Running state is the
-    * double-run guard, `manager.py:179`). Returns jobs run. */
+    * P2 filter → run due jobs. The reference runs strictly sequentially
+    * and lists parallelism as a TODO (`manager.py:22`, `TODO.md:9`);
+    * `maxConcurrent > 1` closes that gap — DIFFERENT jobs are
+    * independent (per-row state writes are synchronized, Spark actions
+    * are thread-safe, and the Running state still guards double-runs
+    * across cycles, `manager.py:179`). Returns jobs run. */
   def pollOnce(): Int = {
     val now = clock.instant()
     val (valid, invalid) = Scheduler.partitionValid(control.jobs())
@@ -96,7 +102,17 @@ final class JobRunner(
       StateMachine.markInvalidSchedule(control, job, err)
     }
     val due = valid.filter { case (job, interval) => Scheduler.shouldRun(job, interval, now) }
-    due.foreach { case (job, _) => runJob(job) }
+    if (maxConcurrent == 1 || due.size <= 1) due.foreach { case (job, _) => runJob(job) }
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxConcurrent, due.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(due.map { case (job, _) => Future(runJob(job)) }), Duration.Inf)
+      finally pool.shutdown()
+    }
     due.size
   }
 

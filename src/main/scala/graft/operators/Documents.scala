@@ -280,6 +280,37 @@ object Documents {
         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens
         FROM documents ORDER BY doc_id""")),
 
+    QueryDef("t07_tfidf",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // TF-IDF: tf and df are integers; ln() is NOT bit-identical
+        // across engines (JVM Math.log vs libm differ by ulps — measured
+        // a 2-ulp gap at sf0.01), so the score is emitted quantized to a
+        // 1e-9 integer grid, which both engines compute identically.
+        // Output restricted to a doc slice to keep the result set
+        // reviewable; the plan (explode → two aggregations → join on
+        // term) is the full-corpus shape.
+        val toks = toked(s, dir).select($"doc_id", explode($"toks").as("term"))
+        val n = tbl(s, dir, "documents").count().toDouble
+        val tf = toks.filter($"doc_id" < 50)
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val df = toks.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        tf.join(df, "term")
+          .withColumn("tfidf_e9",
+            floor(($"tf" * log(lit(n) / $"df")) * 1e9 + 0.5).cast("long"))
+          .select($"doc_id", $"term", $"tf", $"df", $"tfidf_e9")
+          .orderBy($"doc_id", $"term")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE doc_id < 50 GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1)
+        SELECT doc_id, term, tf, df,
+          CAST(FLOOR((tf * ln(n.n / df)) * 1000000000.0 + 0.5) AS BIGINT) AS tfidf_e9
+        FROM tf JOIN df USING (term), n
+        ORDER BY doc_id, term""")),
+
     QueryDef("t06_rolling_hash",
       (s: SparkSession, dir: String) => {
         import s.implicits._

@@ -61,6 +61,27 @@ object Events {
         FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
         GROUP BY 1 ORDER BY k_bucket""")),
 
+    // t-digest-style approximate percentiles — like e07, the sketch is
+    // engine-specific (no SQL oracle; rows-only + EventsApproxSpec
+    // tolerance gate). At 100 TB the sketch merges map-side instead of
+    // shuffling every value to a sorted percentile.
+    QueryDef("e10_approx_value_percentiles",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        eventsTbl(s, dir)
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            percentile_approx($"value", array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+              .as("value_pcts"))
+          .select($"event_type", $"n",
+            $"value_pcts".getItem(0).as("p50"),
+            $"value_pcts".getItem(1).as("p95"),
+            $"value_pcts".getItem(2).as("p99"))
+          .orderBy($"event_type")
+      },
+      None),
+
     // HyperLogLog++ approximate distinct — the scale path for e03's
     // count-distinct at 100 TB (no per-key shuffle of raw user_ids; HLL
     // sketches merge map-side). No SQL oracle: DuckDB's approx sketch

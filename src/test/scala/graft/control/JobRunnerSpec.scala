@@ -128,6 +128,22 @@ class JobRunnerSpec extends SparkSpec {
     assert(spark.table("g_sheets.sales_full").count() == 3)
   }
 
+  test("parallel poll cycle runs independent jobs concurrently (reference TODO closed)") {
+    val (root, runLog) = freshEnv()
+    val ctlPath = Files.createTempFile("ctl", ".csv")
+    val ct = CsvControlTable.init(ctlPath, (1 to 4).map(i =>
+      cells(dest = s"par_t$i", refreshNow = "yes")))
+    val runner = new JobRunner(spark, ct, SinkRegistry.default(
+      Files.createTempDirectory("csvout").toString), root, runLog,
+      clock = clock, log = _ => (), maxConcurrent = 4)
+    assert(runner.pollOnce() == 4)
+    (1 to 4).foreach { i =>
+      assert(spark.table(s"g_sheets.par_t$i").count() == 3)
+    }
+    assert(ct.readAll().forall(_.state == "Success"))
+    assert(runLog.asInstanceOf[CsvRunLog].entries().length == 4)
+  }
+
   test("export-only job (no target system) keeps a quoted CSV artifact") {
     val (root, runLog) = freshEnv()
     val csvOut = Files.createTempDirectory("csvout").toString
