@@ -53,6 +53,34 @@ object Documents {
     inter / (size(a) + size(b) - inter).cast("long")
   }
 
+  /** Exact near-dup pairs (Jaccard ≥ 0.5 on distinct 3-shingles) via an
+    * inverted-index self-join: pair cost is Σ_shingle df², never n².
+    * The compact shingle table is CACHED and materialized once — shingle
+    * construction is a higher-order expression chain (transform/concat/
+    * distinct) that evaluates outside whole-stage codegen, so recomputing
+    * it for each join side and the size table would dominate (~4×
+    * measured). At zipfian-corpus scale, hot shingles would need
+    * df-capping or AllPairs prefix filtering — d03's MinHash banding is
+    * this catalog's scale path for that regime. Shared by d02 (pair list)
+    * and d05 (cluster edges).
+    */
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingled(s, dir).cache()
+    sh.count() // populate once, before the three downstream readers
+    val sizes = sh.select($"doc_id", size($"shingles").as("n"))
+    val ex = sh.select($"doc_id", explode($"shingles").as("shingle"))
+    ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter").cast("long"))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
   /** Shared DuckDB oracle for d02/d03: brute-force all-pairs exact Jaccard
     * is fine AS AN ORACLE at sf0.01 (500 docs); the Spark plans avoid it.
     * Shingling is index-aligned with the Spark side: DuckDB lists are
@@ -90,33 +118,64 @@ object Documents {
         FROM documents GROUP BY 1 ORDER BY fingerprint""")),
 
     QueryDef("d02_neardup_jaccard",
+      (s: SparkSession, dir: String) =>
+        neardupPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
+      Some(NeardupOracle)),
+
+    QueryDef("d05_neardup_clusters",
       (s: SparkSession, dir: String) => {
         import s.implicits._
-        // Inverted-index self-join: pair cost is Σ_shingle df², never n².
-        // The compact shingle table is CACHED and materialized once —
-        // shingle construction is a higher-order expression chain
-        // (transform/concat/distinct) that evaluates outside whole-stage
-        // codegen, so recomputing it for each join side and the size
-        // table would dominate the query (~4× measured). At zipfian-
-        // corpus scale, hot shingles would need df-capping or AllPairs
-        // prefix filtering — d03's MinHash banding is this catalog's
-        // scale path for that regime.
-        val sh = shingled(s, dir).cache()
-        sh.count() // populate once, before the three downstream readers
-        val sizes = sh.select($"doc_id", size($"shingles").as("n"))
-        val ex = sh.select($"doc_id", explode($"shingles").as("shingle"))
-        ex.as("a").join(ex.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-          .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-          .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter").cast("long"))
-          .filter($"jaccard" >= 0.5)
-          .select($"doc_a", $"doc_b", $"jaccard")
-          .orderBy($"doc_a", $"doc_b")
+        // connected components of the near-dup graph → one cluster_id
+        // (the component's min doc_id) per involved doc: the "keep one
+        // per duplicate group" step of a dedup pipeline. Min-label
+        // propagation with a DRIVER-BOUNDED loop — each iteration is one
+        // distributed join+agg, and the iteration count is O(component
+        // diameter) (near-dup components are tiny cliques; 20 caps it).
+        // This is the standard Pregel-style shape for CC on Spark.
+        val pairs = neardupPairs(s, dir).select($"doc_a", $"doc_b").cache()
+        val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
+          .toDF("src", "dst").cache()
+        var labels = edges.select($"src".as("id")).distinct()
+          .withColumn("label", $"id").cache()
+        var changed = true
+        var iter = 0
+        while (changed && iter < 20) {
+          val prop = edges.join(labels, $"dst" === $"id")
+            .groupBy($"src").agg(min($"label").as("nl"))
+          val next = labels.join(prop, $"id" === $"src", "left")
+            .select($"id", least($"label", coalesce($"nl", $"label")).as("label"))
+            .cache()
+          changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter($"label" =!= $"old").count() > 0
+          labels = next
+          iter += 1
+        }
+        labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+          .orderBy($"doc_id")
       },
-      Some(NeardupOracle)),
+      // oracle: recursive CTE reachability, min reachable id per vertex
+      Some("""WITH RECURSIVE sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(toks)-1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           WHERE len(toks) >= 3),
+         pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+                    / CAST(len(a.shingles) + len(b.shingles)
+                           - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS jaccard
+             FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         walk(id, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id)
+         SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+         FROM walk GROUP BY id ORDER BY doc_id""")),
 
     QueryDef("d03_neardup_minhash",
       (s: SparkSession, dir: String) => {

@@ -232,6 +232,61 @@ object Events {
           AND c.tsm BETWEEN p.tsm - 3600000000 AND p.tsm
         ORDER BY purchase_id, click_id""")),
 
+    QueryDef("e11_funnel",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // ordered funnel signup → click → purchase: each stage's time is
+        // the user's first qualifying event STRICTLY AFTER the previous
+        // stage. Three cheap per-user aggregations, joined back — no
+        // window over the full event stream. Integer-microsecond times.
+        val ev = eventsTbl(s, dir)
+          .select($"user_id", $"event_type", unix_micros($"ts").as("t"))
+        val s1 = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"t").as("t_signup"))
+        val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+          .filter($"t" > $"t_signup")
+          .groupBy($"user_id", $"t_signup").agg(min($"t").as("t_click"))
+        val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+          .filter($"t" > $"t_click")
+          .groupBy($"user_id", $"t_signup", $"t_click").agg(min($"t").as("t_purchase"))
+        val n1 = s1.agg(count(lit(1)).as("n_signup"))
+        val n2 = s2.agg(count(lit(1)).as("n_click_after"))
+        val n3 = s3.agg(count(lit(1)).as("n_purchase_after"))
+        n1.crossJoin(n2).crossJoin(n3)
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events),
+        s1 AS (SELECT user_id, MIN(t) AS t_signup FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT e.user_id, MIN(e.t) AS t_click FROM ev e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.t > s1.t_signup GROUP BY 1),
+        s3 AS (SELECT e.user_id, MIN(e.t) AS t_purchase FROM ev e JOIN s2 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.t > s2.t_click GROUP BY 1)
+        SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+               (SELECT COUNT(*) FROM s2) AS n_click_after,
+               (SELECT COUNT(*) FROM s3) AS n_purchase_after""")),
+
+    QueryDef("e12_cohort_retention",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // cohort = first-seen day; retention = distinct users active at
+        // each day offset from their cohort day. Day arithmetic on UTC
+        // dates in both engines.
+        val ev = eventsTbl(s, dir)
+          .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+        val cohorts = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+        ev.join(cohorts, "user_id")
+          .groupBy(date_format($"cohort_day", "yyyy-MM-dd").as("cohort_day"),
+            datediff($"day", $"cohort_day").cast("long").as("day_offset"))
+          .agg(countDistinct($"user_id").as("n_active"))
+          .orderBy($"cohort_day", $"day_offset")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1)
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+               CAST(day - cohort_day AS BIGINT) AS day_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM ev JOIN cohorts USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset""")),
+
     QueryDef("e05_sliding_window",
       (s: SparkSession, dir: String) => {
         import s.implicits._
