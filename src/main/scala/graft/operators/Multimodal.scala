@@ -65,6 +65,21 @@ object Multimodal {
       })
   }
 
+  /** Feature extraction: a 16-bucket byte histogram normalized to a unit
+    * density vector — the stand-in for a real image/audio embedding model
+    * (which would run here, batched per partition). Output plugs straight
+    * into the `graft.operators.Embeddings` similarity machinery. */
+  def featureExtract(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      val hist = new Array[Double](16)
+      r.payload.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+      val n = math.max(1.0, r.payload.length.toDouble)
+      (r.doc_id, r.meta.kind, hist.map(_ / n))
+    }.toDF("doc_id", "kind", "features")
+  }
+
   /** STUB resize: a real implementation would re-encode pixels; the fake
     * deterministically truncates/pads the payload to w*h bytes and stamps
     * the new dims. The signature and partition behavior are the real

@@ -28,6 +28,19 @@ class MultimodalSpec extends SparkSpec {
     assert(decode(mixed).count() == 3)
   }
 
+  test("feature extraction yields a normalized 16-bucket density vector") {
+    val feats = featureExtract(decode(fromDocuments(docs))).collect()
+    assert(feats.length == 3)
+    feats.foreach { r =>
+      val v = r.getSeq[Double](2)
+      assert(v.length == 16)
+      assert(math.abs(v.sum - 1.0) < 1e-9, s"not a density: ${v.sum}")
+    }
+    // deterministic: 'a'*100 is all in one bucket
+    val a100 = feats.find(_.getLong(0) == 1L).get.getSeq[Double](2)
+    assert(a100('a' / 16) == 1.0)
+  }
+
   test("resize stamps dims and normalizes payload size (stubbed re-encode)") {
     val resized = resize(decode(fromDocuments(docs)), 8, 4).collect()
     assert(resized.forall(r => r.meta.width == 8 && r.meta.height == 4))
