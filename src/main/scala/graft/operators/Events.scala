@@ -170,30 +170,20 @@ object Events {
     QueryDef("e08_asof_last_purchase",
       (s: SparkSession, dir: String) => {
         import s.implicits._
-        // AS-OF JOIN, Spark-first: for every event, the user's most recent
-        // prior-or-same 'purchase' event. Spark has no asof operator, so
-        // this is the scalable composition (SURVEY §2.1 custom-op
-        // preference (a)): tag both sides, UNION, and carry the last seen
-        // right-row forward with an ignore-nulls window — ONE shuffle on
-        // the key, no per-row range probe, no broadcast of either side.
-        // Right rows sort before left rows at equal time (tag 0 < 1), so
-        // the join is inclusive; the right side is pre-deduped to one row
-        // per (user, time) to keep the result well-defined.
-        // Times compare as integer microseconds in both engines.
+        // AS-OF JOIN, Spark-first: for every event, the user's most
+        // recent prior-or-same 'purchase' event, via the reusable
+        // AsofJoin operator (tag-union-window composition — see its
+        // scaladoc for the scale argument). The right side is pre-deduped
+        // to one row per (user, time); times compare as integer
+        // microseconds in both engines.
         val ev = eventsTbl(s, dir)
+        val left = ev.select($"event_id", $"user_id", unix_micros($"ts").as("t"))
         val purch = ev.filter($"event_type" === "purchase")
           .groupBy($"user_id", unix_micros($"ts").as("t"))
-          .agg(max($"event_id").as("purchase_id"))
-        val left = ev.select($"user_id", unix_micros($"ts").as("t"),
-          lit(1).as("tag"), $"event_id", lit(null).cast("long").as("purchase_id"))
-        val right = purch.select($"user_id", $"t", lit(0).as("tag"),
-          lit(null).cast("long").as("event_id"), $"purchase_id")
-        val w = Window.partitionBy($"user_id").orderBy($"t", $"tag")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        left.unionByName(right)
-          .withColumn("last_purchase_id", last($"purchase_id", ignoreNulls = true).over(w))
-          .withColumn("pt", last(when($"tag" === 0, $"t"), ignoreNulls = true).over(w))
-          .filter($"tag" === 1)
+          .agg(max($"event_id").as("last_purchase_id"))
+          .withColumn("pt", $"t")
+        AsofJoin(left, purch, key = "user_id", leftTime = "t", rightTime = "t",
+            payloadCols = Seq("last_purchase_id", "pt"))
           .select(
             $"event_id", $"user_id",
             date_format(date_trunc("second", timestamp_micros($"t")), "yyyy-MM-dd HH:mm:ss").as("ts_s"),

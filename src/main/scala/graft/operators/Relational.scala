@@ -438,6 +438,24 @@ object Relational {
         FROM orders WHERE o_custkey < 100
         ORDER BY o_orderkey""")),
 
+    QueryDef("q24_name_edit_distance",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // string-similarity battery: Levenshtein distance between nation
+        // names (exact integer DP in both engines) + shared-prefix length
+        val n = tbl(s, dir, "nation").select($"n_name")
+        n.as("a").join(n.as("b"), col("a.n_name") < col("b.n_name"))
+          .select(col("a.n_name").as("name_a"), col("b.n_name").as("name_b"),
+            levenshtein(col("a.n_name"), col("b.n_name")).cast("long").as("edit_dist"))
+          .filter($"edit_dist" <= 4)
+          .orderBy($"name_a", $"name_b")
+      },
+      Some("""SELECT a.n_name AS name_a, b.n_name AS name_b,
+        CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist
+        FROM nation a JOIN nation b ON a.n_name < b.n_name
+        WHERE levenshtein(a.n_name, b.n_name) <= 4
+        ORDER BY name_a, name_b""")),
+
     QueryDef("q20_pivot_priority",
       (s: SparkSession, dir: String) => {
         import s.implicits._
