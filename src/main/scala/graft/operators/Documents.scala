@@ -38,13 +38,10 @@ object Documents {
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", split(col("text"), " "))
 
-  /** doc_id + distinct 3-word shingles (docs with <3 tokens dropped). */
+  /** doc_id + distinct 3-word shingles (docs with <3 tokens dropped) —
+    * shared engine in [[graft.pipeline.NearDup]]. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    toked(s, dir)
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(1, size(toks)-2), " +
-          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("shingles"))
+    graft.pipeline.NearDup.shingled(tbl(s, dir, "documents"))
 
   /** Exact Jaccard on two distinct-shingle arrays; single long/long IEEE
     * division so DuckDB computes the identical double. */
@@ -53,33 +50,12 @@ object Documents {
     inter / (size(a) + size(b) - inter).cast("long")
   }
 
-  /** Exact near-dup pairs (Jaccard ≥ 0.5 on distinct 3-shingles) via an
-    * inverted-index self-join: pair cost is Σ_shingle df², never n².
-    * The compact shingle table is CACHED and materialized once — shingle
-    * construction is a higher-order expression chain (transform/concat/
-    * distinct) that evaluates outside whole-stage codegen, so recomputing
-    * it for each join side and the size table would dominate (~4×
-    * measured). At zipfian-corpus scale, hot shingles would need
-    * df-capping or AllPairs prefix filtering — d03's MinHash banding is
-    * this catalog's scale path for that regime. Shared by d02 (pair list)
-    * and d05 (cluster edges).
-    */
-  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh = shingled(s, dir).cache()
-    sh.count() // populate once, before the three downstream readers
-    val sizes = sh.select($"doc_id", size($"shingles").as("n"))
-    val ex = sh.select($"doc_id", explode($"shingles").as("shingle"))
-    ex.as("a").join(ex.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter").cast("long"))
-      .filter($"jaccard" >= 0.5)
-      .select($"doc_a", $"doc_b", $"jaccard")
-  }
+  /** Exact near-dup pairs (Jaccard ≥ 0.5 on distinct 3-shingles) via
+    * [[graft.pipeline.NearDup.pairs]]'s inverted-index self-join — see
+    * its scaladoc for the scale argument. d03's MinHash banding is this
+    * catalog's scale path for zipfian corpora. */
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.NearDup.pairs(tbl(s, dir, "documents"))
 
   /** Shared DuckDB oracle for d02/d03: brute-force all-pairs exact Jaccard
     * is fine AS AN ORACLE at sf0.01 (500 docs); the Spark plans avoid it.
@@ -124,34 +100,12 @@ object Documents {
 
     QueryDef("d05_neardup_clusters",
       (s: SparkSession, dir: String) => {
-        import s.implicits._
         // connected components of the near-dup graph → one cluster_id
         // (the component's min doc_id) per involved doc: the "keep one
-        // per duplicate group" step of a dedup pipeline. Min-label
-        // propagation with a DRIVER-BOUNDED loop — each iteration is one
-        // distributed join+agg, and the iteration count is O(component
-        // diameter) (near-dup components are tiny cliques; 20 caps it).
-        // This is the standard Pregel-style shape for CC on Spark.
-        val pairs = neardupPairs(s, dir).select($"doc_a", $"doc_b").cache()
-        val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
-          .toDF("src", "dst").cache()
-        var labels = edges.select($"src".as("id")).distinct()
-          .withColumn("label", $"id").cache()
-        var changed = true
-        var iter = 0
-        while (changed && iter < 20) {
-          val prop = edges.join(labels, $"dst" === $"id")
-            .groupBy($"src").agg(min($"label").as("nl"))
-          val next = labels.join(prop, $"id" === $"src", "left")
-            .select($"id", least($"label", coalesce($"nl", $"label")).as("label"))
-            .cache()
-          changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter($"label" =!= $"old").count() > 0
-          labels = next
-          iter += 1
-        }
-        labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
-          .orderBy($"doc_id")
+        // per duplicate group" step of a dedup pipeline. Pregel-style
+        // min-label propagation in [[graft.pipeline.NearDup.clusters]].
+        graft.pipeline.NearDup.clusters(tbl(s, dir, "documents"))
+          .orderBy(col("doc_id"))
       },
       // oracle: recursive CTE reachability, min reachable id per vertex
       Some("""WITH RECURSIVE sh AS (

@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation building blocks, composed from the catalog's
+  * operators: deterministic split assignment, quality filtering, exact
+  * and near-duplicate removal. Everything is hash- or rule-based — NO
+  * RNG — so a re-run over the same corpus assigns identically (the
+  * property that makes incremental dataset builds reproducible).
+  */
+object Splits {
+
+  /** Deterministic train/validation/test assignment: bucket each row by
+    * xxhash64 of its id into 10k slots and cut by cumulative weights.
+    * Stable under repartitioning, appends and re-runs (pure function of
+    * the id), unlike `randomSplit`. */
+  def assign(df: DataFrame, idCol: String, weights: Seq[(String, Double)]): DataFrame = {
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val slots = 10000
+    val bucket = pmod(xxhash64(col(idCol)), lit(slots.toLong))
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail.map(w => (w * slots).round)
+    val expr0 = weights.map(_._1).zip(cuts).reverse
+      .foldLeft(lit(weights.last._1): Column) { case (acc, (name, cut)) =>
+        when(bucket < cut, name).otherwise(acc)
+      }
+    df.withColumn("split", expr0)
+  }
+}
+
+object Curation {
+
+  /** One-call corpus curation:
+    * 1. quality gate: token count in [minTokens, ∞) and unique-token
+    *    ratio ≥ minUniqRatio (t02's signals);
+    * 2. exact dedup: keep the min-doc_id row per md5(text) (d01);
+    * 3. near-dup removal: drop every doc whose near-dup cluster
+    *    (connected components over MinHash-verified Jaccard ≥ 0.5 pairs,
+    *    d03/d05) contains a smaller doc_id;
+    * 4. deterministic split assignment (Splits.assign).
+    *
+    * Returns the curated frame plus a `split` column. All predicates are
+    * deterministic; the whole pipeline is one lineage (no RNG, no
+    * collect except the bounded CC iteration in the cluster step).
+    */
+  def curate(docs: DataFrame, minTokens: Int = 5, minUniqRatio: Double = 0.1,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)): DataFrame = {
+    val toked = docs.withColumn("_toks", split(col("text"), " "))
+    val quality = toked
+      .filter(size(col("_toks")) >= minTokens)
+      .filter(size(array_distinct(col("_toks"))) / size(col("_toks")) >= minUniqRatio)
+      .drop("_toks")
+
+    // exact dedup: canonical = min doc_id per fingerprint
+    val canon = quality.groupBy(md5(col("text")).as("_fp"))
+      .agg(min(col("doc_id")).as("_keep"))
+    val exactDeduped = quality
+      .join(canon, md5(col("text")) === col("_fp") && col("doc_id") === col("_keep"))
+      .drop("_fp", "_keep")
+
+    // near-dup removal: keep only cluster minima
+    val clusters = NearDup.clusters(exactDeduped)
+    val dropIds = clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val deduped = exactDeduped.join(dropIds, Seq("doc_id"), "left_anti")
+
+    Splits.assign(deduped, "doc_id", weights)
+  }
+}
+
+/** Near-dup machinery over any (doc_id, text) frame — the engine behind
+  * catalog queries d02/d05, generalized off the test corpus. See
+  * `operators.Documents` scaladoc for the scale argument (inverted-index
+  * join, cached compact shingle table, repartition-before-HOFs).
+  */
+object NearDup {
+
+  /** doc_id + distinct 3-word shingles. */
+  def shingled(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(toks)-2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("shingles"))
+
+  /** Exact (doc_a, doc_b, jaccard) pairs with Jaccard ≥ threshold via the
+    * inverted-index self-join. */
+  def pairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = shingled(docs).cache()
+    sh.count() // populate once, before the three downstream readers
+    val sizes = sh.select($"doc_id", size($"shingles").as("n"))
+    val ex = sh.select($"doc_id", explode($"shingles").as("shingle"))
+    ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter").cast("long"))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  /** Connected components of the near-dup graph: (doc_id, cluster_id =
+    * component min). Pregel-style min-label propagation; iteration count
+    * is O(component diameter), driver-bounded. */
+  def clusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ps = pairs(docs, threshold).select($"doc_a", $"doc_b").cache()
+    val edges = ps.union(ps.select($"doc_b", $"doc_a")).toDF("src", "dst").cache()
+    var labels = edges.select($"src".as("id")).distinct().withColumn("label", $"id").cache()
+    var changed = true
+    var iter = 0
+    while (changed && iter < 20) {
+      val prop = edges.join(labels, $"dst" === $"id")
+        .groupBy($"src").agg(min($"label").as("nl"))
+      val next = labels.join(prop, $"id" === $"src", "left")
+        .select($"id", least($"label", coalesce($"nl", $"label")).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter($"label" =!= $"old").count() > 0
+      labels = next
+      iter += 1
+    }
+    labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("split assignment is deterministic, complete, disjoint, and ~weighted") {
+    val w = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val a = Splits.assign(docs, "doc_id", w)
+    val b = Splits.assign(docs.repartition(7), "doc_id", w)
+    // stable under repartitioning & re-runs
+    val am = a.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bm = b.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(am == bm)
+    assert(am.size == docs.count())
+    val frac = am.values.groupBy(identity).view.mapValues(_.size.toDouble / am.size).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05)
+    assert(math.abs(frac.getOrElse("valid", 0.0) - 0.1) < 0.05)
+  }
+
+  test("curate removes exact and near duplicates and assigns splits") {
+    // plant an exact duplicate and a high-overlap near-duplicate
+    val base = docs.limit(100)
+    val origText = base.filter($"doc_id" === 0L).select("text").collect()(0).getString(0)
+    val planted = Seq(
+      (9001L, origText, "xx", "srcX", origText.length.toLong),
+      (9002L, origText + " extra token tail", "xx", "srcX", origText.length + 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = base.unionByName(planted)
+
+    val curated = Curation.curate(corpus).cache()
+    val kept = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(!kept.contains(9001L), "exact duplicate dropped (canonical doc 0 kept)")
+    assert(!kept.contains(9002L), "near duplicate dropped")
+    assert(kept.contains(0L), "canonical kept")
+    // no surviving exact dups
+    assert(curated.select(md5($"text")).distinct().count() == curated.count())
+    // every row got a split
+    assert(curated.filter($"split".isNull).count() == 0)
+    // and no near-dup pair survives among the kept docs
+    assert(NearDup.pairs(curated).count() == 0)
+  }
+}
