@@ -65,7 +65,9 @@ final class JobRunner(
             // no Target System ⇒ export-only: keep the CSV artifact, like
             // the reference skipping the load but keeping the file
             // (`manager.py:193-196` inverse)
-            registry.resolve("csv").toOption.get
+            registry.resolve("csv").getOrElse(
+              throw new IllegalStateException(
+                "export-only job needs a 'csv' sink in the registry"))
               .load(LoadRequest(df, s"${job.document}.${job.sheet}", job.isIncremental))
           else registry.resolve(job.targetSystem) match {
             case Right(sink) => Timed(s"load ${job.document} -> ${job.destination}", log)(

@@ -22,6 +22,10 @@ object AsofJoin {
   def apply(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame = {
     require(payloadCols.nonEmpty, "asof join needs at least one payload column")
+    require(!(left.columns ++ payloadCols).exists(c => c == "_t" || c == "_tag"),
+      "column names _t/_tag are reserved by the asof composition")
+    require(payloadCols.intersect(left.columns).isEmpty,
+      s"payload columns clash with left columns: ${payloadCols.intersect(left.columns).mkString(",")}")
     val carryL = left.columns.toSeq.filterNot(c => c == key || c == leftTime)
     val l = left.select(
       col(key) +: col(leftTime).as("_t") +: lit(1).as("_tag") +:
