@@ -61,14 +61,19 @@ final class JobRunner(
       try {
         val df = exportPlan(job)
         val result =
-          if (job.targetSystem.trim.isEmpty)
-            // no Target System ⇒ export-only: keep the CSV artifact, like
+          if (job.targetSystem.trim.isEmpty) {
+            // no Target System ⇒ export-only: keep the CSV artifact under
+            // the reference's document.sheet.range.timestamp name, like
             // the reference skipping the load but keeping the file
-            // (`manager.py:193-196` inverse)
-            registry.resolve("csv").getOrElse(
+            // (`manager.py:193-196` inverse; `export.py:14-15`)
+            val sink = registry.resolve("csv").getOrElse(
               throw new IllegalStateException(
                 "export-only job needs a 'csv' sink in the registry"))
-              .load(LoadRequest(df, s"${job.document}.${job.sheet}", job.isIncremental))
+            val dest = graft.sinks.CsvSink.fileName(
+              job.document, job.sheet, job.range, clock)
+            Timed(s"export ${job.document} -> $dest", log)(
+              sink.load(LoadRequest(df, dest, job.isIncremental)))
+          }
           else registry.resolve(job.targetSystem) match {
             case Right(sink) => Timed(s"load ${job.document} -> ${job.destination}", log)(
               sink.load(LoadRequest(df, job.destination, job.isIncremental)))

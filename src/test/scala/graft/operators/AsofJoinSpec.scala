@@ -24,6 +24,25 @@ class AsofJoinSpec extends SparkSpec {
       "l5" -> None))         // key 3 has no right rows
   }
 
+  test("a matched right row's genuinely-null payload field is carried, not skipped") {
+    val left = Seq((1L, 3L, "l")).toDF("k", "t", "lv")
+    val right = Seq((1L, 1L, Some("old"), Some(7L)), (1L, 2L, None, Some(9L)))
+      .toDF("k", "t", "rv", "rn")
+    val row = AsofJoin(left, right, "k", "t", "t", Seq("rv", "rn")).collect()(0)
+    // most recent right row (t=2) has rv=null — must NOT fall back to t=1's
+    // value, and rn must come from the same (t=2) row
+    assert(row.isNullAt(row.fieldIndex("rv")))
+    assert(row.getAs[Long]("rn") == 9L)
+  }
+
+  test("reserved, duplicate and clashing column names are rejected up front") {
+    val l = Seq((1L, 1L)).toDF("k", "t")
+    val r = Seq((1L, 1L, "x")).toDF("k", "t", "rv")
+    intercept[IllegalArgumentException](AsofJoin(l, r, "k", "t", "t", Seq("rv", "rv")))
+    val lReserved = Seq((1L, 1L, 0L)).toDF("k", "t", "_T") // case-insensitive hit
+    intercept[IllegalArgumentException](AsofJoin(lReserved, r, "k", "t", "t", Seq("rv")))
+  }
+
   test("left columns survive and row count is preserved") {
     val left = Seq((1L, 1L, 9.5, "x")).toDF("k", "t", "payload", "note")
     val right = Seq((1L, 1L, 42L)).toDF("k", "t", "rid")
