@@ -51,6 +51,27 @@ class SheetSourceSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("whole-column range A:C selects columns for all rows") {
+    val path = writeCsv(Seq("a,b,c,d", "1,2,3,4", "5,6,7,8"))
+    val df = SheetSource.read(spark, path, cellRange = Some("A:C"))
+    assert(df.columns.length == 3)
+    assert(df.count() == 3) // header row included: A:C starts at row 1
+  }
+
+  test("range bounds clamp to the sheet: end row/col past the data") {
+    val path = writeCsv(Seq("a,b", "1,x", "2,y"))
+    val df = SheetSource.read(spark, path, cellRange = Some("A2:Z999"))
+    assert(df.columns.length == 2) // col slice clamps to sheet width
+    assert(df.count() == 2)        // row filter simply matches nothing past EOF
+  }
+
+  test("range starting past the sheet width is rejected with a clear error") {
+    val path = writeCsv(Seq("a,b", "1,x"))
+    val e = intercept[IllegalArgumentException](
+      SheetSource.read(spark, path, cellRange = Some("Z1:AA")))
+    assert(e.getMessage.contains("sheet has 2"))
+  }
+
   test("header promotion sanitizes names; inference types columns like autodetect (K4)") {
     val path = writeCsv(Seq(
       "id,price,active,born,seen at,note,blank",
