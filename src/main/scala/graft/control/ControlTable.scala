@@ -24,7 +24,13 @@ trait ControlTable {
   final def jobs(): Seq[JobSpec] = readAll().filter(_.document.trim.nonEmpty)
 
   /** Overwrite one cell; col is the 1-based sheet column (1..11). */
-  def updateCell(row: Long, col: Int, value: String): Unit
+  final def updateCell(row: Long, col: Int, value: String): Unit =
+    updateCells(row, Map(col -> value))
+
+  /** Overwrite several cells of one row ATOMICALLY (single swap): a state
+    * transition touching Refresh Now + Last Success + State + Last Result
+    * must not leave a half-written row if the process dies mid-update. */
+  def updateCells(row: Long, values: Map[Int, String]): Unit
 }
 
 /** CSV-file-backed control table emulating the "Flush Control" sheet
@@ -40,12 +46,14 @@ final class CsvControlTable(path: Path) extends ControlTable {
     }
   }
 
-  def updateCell(row: Long, col: Int, value: String): Unit = synchronized {
-    require(col >= 1 && col <= 11, s"column out of range: $col")
+  def updateCells(row: Long, values: Map[Int, String]): Unit = synchronized {
+    require(values.keys.forall(c => c >= 1 && c <= 11),
+      s"column out of range: ${values.keys.mkString(",")}")
     val lines = readLines().map(_.padTo(11, ""))
     val idx = row.toInt - 1
     require(idx >= 1 && idx < lines.length, s"row out of range: $row")
-    val updated = lines.updated(idx, lines(idx).updated(col - 1, value))
+    val newRow = values.foldLeft(lines(idx)) { case (r, (c, v)) => r.updated(c - 1, v) }
+    val updated = lines.updated(idx, newRow)
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
     Files.write(tmp, updated.map(CsvCodec.writeLine).asJava, StandardCharsets.UTF_8)
     Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
@@ -68,10 +76,14 @@ object CsvControlTable {
 
 /** Minimal strict CSV codec: every cell quoted on write, quotes doubled;
   * parse handles quoted and bare cells. Enough for the control/log files
-  * this engine owns end-to-end. */
+  * this engine owns end-to-end. Line breaks inside cells are flattened to
+  * spaces on write — the reader is line-oriented, and a multi-line Spark
+  * error message written verbatim to Last Result would otherwise shear
+  * the row into garbage rows on the next read. */
 object CsvCodec {
   def writeLine(cells: Seq[String]): String =
-    cells.map(c => "\"" + c.replace("\"", "\"\"") + "\"").mkString(",")
+    cells.map(c => "\"" +
+      c.replace("\r", " ").replace("\n", " ").replace("\"", "\"\"") + "\"").mkString(",")
 
   def parseLine(line: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]

@@ -36,8 +36,11 @@ final class JobRunner(
   private[control] def resolveSheet(document: String, sheet: String): Path = {
     val docDir = sourceRoot.resolve(document)
     if (!Files.isDirectory(docDir)) throw DocumentNotFound(document)
-    val sheets = Files.list(docDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".csv")).toSeq.sortBy(_.getFileName.toString)
+    val listing = Files.list(docDir)
+    val sheets =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".csv")).toSeq.sortBy(_.getFileName.toString)
+      finally listing.close() // unclosed streams leak an fd per poll in the daemon
     if (sheet.trim.isEmpty)
       sheets.headOption.getOrElse(throw WorksheetNotFound(document, "<first>", Seq.empty))
     else
@@ -88,9 +91,14 @@ final class JobRunner(
           Left(msg)
       }
     val end = clock.instant()
-    runLog.append(RunLogEntry(start, end, job.document, job.sheet, job.range,
+    // log writes are best-effort, like the reference's fire-and-forget
+    // thread (`manager.py:154-164`): a full disk must not abort the
+    // remaining due jobs after this job's state is already committed
+    scala.util.Try(runLog.append(RunLogEntry(start, end, job.document, job.sheet,
+      job.range,
       if (outcome.isRight) StateMachine.Success else StateMachine.Failure,
-      outcome.merge))
+      outcome.merge)))
+      .failed.foreach(e => log(s"run-log append failed: ${e.getMessage}"))
     outcome.isRight
   }
 

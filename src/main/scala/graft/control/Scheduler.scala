@@ -15,9 +15,16 @@ object Scheduler {
   val Epoch1900: Instant = Instant.parse("1900-01-01T00:00:00Z")
 
   /** P3: `utcnow - last_success > interval` (STRICT >,
-    * `refresh_interval.py:30-34`); no interval ⇒ never overdue. */
+    * `refresh_interval.py:30-34`); no interval ⇒ never overdue. An
+    * interval so large that `anchor + iv` overflows Instant.MAX means the
+    * due point is unreachably far in the future ⇒ not overdue (the
+    * DateTimeException would otherwise crash the poll loop on a row that
+    * validate() accepted, unrecoverably). */
   def isOverdue(lastSuccess: Option[Instant], interval: Option[Duration], now: Instant): Boolean =
-    interval.exists(iv => now.isAfter(lastSuccess.getOrElse(Epoch1900).plus(iv)))
+    interval.exists { iv =>
+      try now.isAfter(lastSuccess.getOrElse(Epoch1900).plus(iv))
+      catch { case _: java.time.DateTimeException | _: ArithmeticException => false }
+    }
 
   /** P2: run iff not Running AND (Refresh Now OR overdue)
     * (`manager.py:178-180`). `interval` must come from a prior

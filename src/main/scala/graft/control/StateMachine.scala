@@ -24,12 +24,16 @@ object StateMachine {
     * (`manager.py:94,104`). */
   def iso(i: Instant): String = IsoFmt.format(i.atOffset(ZoneOffset.UTC))
 
+  // Each transition commits as ONE updateCells (single atomic swap in the
+  // CSV table) — four sequential cell writes would open a crash window
+  // where e.g. a fresh Last Success coexists with a stale Running state,
+  // permanently de-scheduling a completed job.
+
   /** U1 (`manager.py:83-94`): clear Refresh Now, State := Running.
     * Returns the start timestamp for the log line. */
   def markRunning(ct: ControlTable, job: JobSpec, clock: Clock = Clock.systemUTC()): Instant = {
     val now = clock.instant()
-    ct.updateCell(job.row, ColRefreshNow, "")
-    ct.updateCell(job.row, ColState, Running)
+    ct.updateCells(job.row, Map(ColRefreshNow -> "", ColState -> Running))
     now
   }
 
@@ -38,10 +42,9 @@ object StateMachine {
   def markSuccess(ct: ControlTable, job: JobSpec, result: String,
       clock: Clock = Clock.systemUTC()): Instant = {
     val now = clock.instant()
-    ct.updateCell(job.row, ColRefreshNow, "")
-    ct.updateCell(job.row, ColLastSuccess, iso(now))
-    ct.updateCell(job.row, ColState, Success)
-    ct.updateCell(job.row, ColLastResult, result)
+    ct.updateCells(job.row, Map(
+      ColRefreshNow -> "", ColLastSuccess -> iso(now),
+      ColState -> Success, ColLastResult -> result))
     now
   }
 
@@ -49,19 +52,15 @@ object StateMachine {
     * a failed job is DE-SCHEDULED until a human re-enters the interval
     * (deliberate: prevents hot-looping a broken job, `manager.py:121-122`)
     * — State := Failure, Last Result := error. */
-  def markFailure(ct: ControlTable, job: JobSpec, error: String): Unit = {
-    ct.updateCell(job.row, ColRefreshNow, "")
-    ct.updateCell(job.row, ColInterval, "")
-    ct.updateCell(job.row, ColState, Failure)
-    ct.updateCell(job.row, ColLastResult, error)
-  }
+  def markFailure(ct: ControlTable, job: JobSpec, error: String): Unit =
+    ct.updateCells(job.row, Map(
+      ColRefreshNow -> "", ColInterval -> "",
+      ColState -> Failure, ColLastResult -> error))
 
   /** U4 (`manager.py:133-144`): clear Refresh Interval only — Refresh Now
     * is NOT cleared, so a manual trigger still works — State := Failure,
     * Last Result := parse error. */
-  def markInvalidSchedule(ct: ControlTable, job: JobSpec, error: String): Unit = {
-    ct.updateCell(job.row, ColInterval, "")
-    ct.updateCell(job.row, ColState, Failure)
-    ct.updateCell(job.row, ColLastResult, error)
-  }
+  def markInvalidSchedule(ct: ControlTable, job: JobSpec, error: String): Unit =
+    ct.updateCells(job.row, Map(
+      ColInterval -> "", ColState -> Failure, ColLastResult -> error))
 }

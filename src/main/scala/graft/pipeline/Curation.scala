@@ -105,8 +105,14 @@ object NearDup {
   }
 
   /** Connected components of the near-dup graph: (doc_id, cluster_id =
-    * component min). Pregel-style min-label propagation; iteration count
-    * is O(component diameter), driver-bounded. */
+    * component min). Pregel-style min-label propagation TO CONVERGENCE —
+    * labels strictly decrease, so the loop terminates in O(component
+    * diameter) rounds; the hard cap only guards against implementation
+    * bugs and FAILS LOUDLY rather than silently returning unconverged
+    * labels (which would leak near-duplicates through Curation and
+    * contaminate train/test splits). Intermediate per-round caches are
+    * unpersisted as soon as superseded.
+    */
   def clusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -115,7 +121,10 @@ object NearDup {
     var labels = edges.select($"src".as("id")).distinct().withColumn("label", $"id").cache()
     var changed = true
     var iter = 0
-    while (changed && iter < 20) {
+    val maxIters = 200
+    while (changed) {
+      require(iter < maxIters,
+        s"label propagation did not converge in $maxIters rounds — component diameter bug?")
       val prop = edges.join(labels, $"dst" === $"id")
         .groupBy($"src").agg(min($"label").as("nl"))
       val next = labels.join(prop, $"id" === $"src", "left")
@@ -123,9 +132,15 @@ object NearDup {
         .cache()
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter($"label" =!= $"old").count() > 0
+      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
-    labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+    val out = labels.select($"id".as("doc_id"), $"label".as("cluster_id")).cache()
+    out.count()
+    ps.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    labels.unpersist(blocking = false)
+    out
   }
 }

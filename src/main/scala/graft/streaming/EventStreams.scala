@@ -80,9 +80,16 @@ object EventStreams {
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
         col("event_id").as("purchase_id"))
       .withWatermark("purchase_ts", Lateness)
+    // the range predicate stays DIRECTLY on the timestamp columns:
+    // Spark's StreamingJoinHelper can only derive state-eviction
+    // watermarks from plain attribute/interval arithmetic — wrapping the
+    // condition in unix_micros() silently disables eviction and join
+    // state grows without bound. (Timestamps are already whole micros, so
+    // the comparison is identical either way; the micros projection below
+    // is fine — only the JOIN CONDITION is constrained.)
     purchases.join(clicks,
       expr("""user_id = p_user AND
-              unix_micros(click_ts) BETWEEN unix_micros(purchase_ts) - 3600000000 AND unix_micros(purchase_ts)"""))
+              click_ts >= purchase_ts - INTERVAL 1 HOUR AND click_ts <= purchase_ts"""))
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         (expr("unix_micros(purchase_ts) - unix_micros(click_ts)")).as("gap_micros"))
   }

@@ -63,8 +63,11 @@ object StatefulSessions {
     if (open.isEmpty) state.remove()
     else {
       state.update(open.flatten)
-      // wake up when the watermark passes the tail session's close point
-      state.setTimeoutTimestamp(open.last.last._1 / 1000L + gapMicros / 1000L + 1L)
+      // wake up when the watermark passes the EARLIEST open session's
+      // close point (a later session's close point would delay emitting
+      // earlier finished sessions for a quiet user); each wake-up re-arms
+      // for the next session still open
+      state.setTimeoutTimestamp(open.head.last._1 / 1000L + gapMicros / 1000L + 1L)
     }
 
     closed.iterator.map { s =>

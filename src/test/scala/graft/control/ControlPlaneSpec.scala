@@ -94,6 +94,20 @@ class ControlPlaneSpec extends AnyFunSuite {
     assert(CsvCodec.parseLine(CsvCodec.writeLine(cells)) == cells)
   }
 
+  test("multi-line cell content cannot shear the line-oriented table") {
+    // a multi-line Spark error written to Last Result must stay ONE row
+    val written = CsvCodec.writeLine(Seq("doc", "error:\nline2\r\nline3"))
+    assert(!written.contains("\n") && !written.contains("\r"))
+    assert(CsvCodec.parseLine(written) == Seq("doc", "error: line2  line3"))
+  }
+
+  test("absurdly large interval is never due instead of crashing the poll loop") {
+    val iv = HumanIntervalDays(999999999999L)
+    assert(!Scheduler.isOverdue(None, Some(iv), now))
+    assert(!Scheduler.shouldRun(job(interval = "999999999999 days"), Some(iv), now))
+  }
+  private def HumanIntervalDays(n: Long) = java.time.Duration.ofDays(n)
+
   test("cell truthiness hardening (documented divergence from Python truthiness)") {
     assert(JobSpec.truthy("yes") && JobSpec.truthy("TRUE") && JobSpec.truthy("1"))
     assert(!JobSpec.truthy("") && !JobSpec.truthy("0")
