@@ -78,8 +78,12 @@ final class JobRunner(
               sink.load(LoadRequest(df, dest, job.isIncremental)))
           }
           else registry.resolve(job.targetSystem) match {
-            case Right(sink) => Timed(s"load ${job.document} -> ${job.destination}", log)(
-              sink.load(LoadRequest(df, job.destination, job.isIncremental)))
+            case Right(sink) =>
+              // destination is normalized like the reference does
+              // (`lower` + strip spaces, manager.py:53)
+              val dest = SinkRegistry.normalize(job.destination)
+              Timed(s"load ${job.document} -> $dest", log)(
+                sink.load(LoadRequest(df, dest, job.isIncremental)))
             case Left(notImplemented) => throw new IllegalArgumentException(notImplemented)
           }
         StateMachine.markSuccess(control, job, result, clock)

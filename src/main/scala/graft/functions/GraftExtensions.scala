@@ -14,5 +14,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("parse_human_interval"),
       ParseHumanInterval.info,
-      (exprs: Seq[Expression]) => ParseHumanInterval(exprs.head)))
+      ParseHumanInterval.builder))
 }

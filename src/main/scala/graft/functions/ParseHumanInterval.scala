@@ -71,9 +71,16 @@ object ParseHumanInterval {
   val info = new ExpressionInfo(classOf[ParseHumanInterval].getName,
     "parse_human_interval")
 
+  /** Shared builder with an arity check — `exprs.head` alone would
+    * silently drop extra arguments. */
+  val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1,
+      s"parse_human_interval expects exactly 1 argument, got ${exprs.length}")
+    ParseHumanInterval(exprs.head)
+  }
+
   /** Runtime registration against an existing session (no restart). */
   def install(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("parse_human_interval"), info,
-      (exprs: Seq[Expression]) => ParseHumanInterval(exprs.head))
+      FunctionIdentifier("parse_human_interval"), info, builder)
 }

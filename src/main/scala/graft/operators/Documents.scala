@@ -136,6 +136,10 @@ object Documents {
         import s.implicits._
         val H = 64          // minhash functions
         val bands = 32      // 32 bands x 2 rows
+        // the shingle cache is plan-matched and therefore SHARED with
+        // d02/d05 in the same session — deliberately not unpersisted
+        // (releasing it here would evict their reuse; it is one compact
+        // 5k-row array table)
         val sh = shingled(s, dir).cache()
         sh.count()
         // two-level hashing: hash the variable-length shingle ONCE, then

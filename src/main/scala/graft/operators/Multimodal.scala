@@ -56,10 +56,14 @@ object Multimodal {
     frames.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, blob) =>
-        if (blob.length < 8 || !blob.take(4).sameElements(Magic)) Iterator.empty
+        // a bad kind byte is malformed input too — drop it rather than
+        // crash the stage (Scala % keeps sign, so 0x80.. bytes would
+        // index Kinds(-2) otherwise)
+        if (blob.length < 8 || !blob.take(4).sameElements(Magic)
+            || blob(4) < 0 || blob(4) > 2) Iterator.empty
         else {
-          val kind = Kinds(blob(4).toInt % 3)
-          val meta = MediaMeta(kind, blob(5) & 0xFF, blob(6) & 0xFF, blob.length - 8L)
+          val meta = MediaMeta(Kinds(blob(4).toInt),
+            blob(5) & 0xFF, blob(6) & 0xFF, blob.length - 8L)
           Iterator.single(MediaRecord(id, meta, blob.drop(8)))
         }
       })
@@ -97,6 +101,8 @@ object Multimodal {
   /** Frame sampling for video-kind payloads: treat the payload as fixed-
     * size frames and keep every `everyN`-th. */
   def frameSample(media: Dataset[MediaRecord], frameBytes: Int, everyN: Int): Dataset[MediaRecord] = {
+    require(frameBytes > 0 && everyN > 0,
+      s"frameBytes and everyN must be positive (got $frameBytes, $everyN)")
     val spark = media.sparkSession
     import spark.implicits._
     media.map { r =>

@@ -32,12 +32,14 @@ object Salting {
     * (key, salt) first — hot keys spread across `buckets` reducers — then
     * the final (cheap, one row per (key, salt)) re-aggregation by key.
     * `uniqueCol` supplies deterministic row identity for the salt. */
-  def saltedCounts(df: DataFrame, key: String, uniqueCol: String, buckets: Int): DataFrame =
+  def saltedCounts(df: DataFrame, key: String, uniqueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
     df.withColumn("_salt", pmod(xxhash64(col(uniqueCol)), lit(buckets.toLong)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
       .agg(sum("_partial").as("n"))
+  }
 
   /** Skew-safe inner equi-join: every `big` row gets a deterministic salt
     * from `uniqueCol`; `small` is replicated once per salt bucket, so a
@@ -46,6 +48,7 @@ object Salting {
     * partitioning changes. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       uniqueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
     val salted = big.withColumn("_salt", pmod(xxhash64(col(uniqueCol)), lit(buckets.toLong)))
     val replicated = small.withColumn("_salt",
       explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))

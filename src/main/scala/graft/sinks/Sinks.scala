@@ -30,6 +30,12 @@ trait Sink {
   */
 final class WarehouseSink(database: String = WarehouseSink.DefaultDatabase) extends Sink {
   def load(req: LoadRequest): String = {
+    // destination comes from a free-text control cell — reject anything
+    // that isn't a plain identifier instead of interpolating it into
+    // quoted SQL (a backtick or dot would break out of the quoting and
+    // redirect the load)
+    WarehouseSink.requireIdent(database, "database")
+    WarehouseSink.requireIdent(req.destination, "destination table")
     val spark = req.df.sparkSession
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
     val mode = if (req.incremental) SaveMode.Append else SaveMode.Overwrite
@@ -41,6 +47,12 @@ final class WarehouseSink(database: String = WarehouseSink.DefaultDatabase) exte
 object WarehouseSink {
   /** `bigquery.py:9` — the reference's single hard-coded dataset. */
   val DefaultDatabase = "g_sheets"
+
+  private val Ident = "^[A-Za-z0-9_]+$".r
+  private[sinks] def requireIdent(s: String, what: String): Unit =
+    if (!Ident.matches(s))
+      throw new IllegalArgumentException(
+        s"invalid $what '$s': only letters, digits and _ are allowed")
 }
 
 /** K1: CSV sink with all-cells-quoted output. The reference writes

@@ -62,19 +62,18 @@ object SheetSource {
   }
 
   /** Promote the first row of the (sliced) sheet to column names —
-    * sanitized like warehouse loaders do (non-alphanumerics → `_`). */
+    * sanitized and deduplicated by the shared [[HeaderNames]] rule (same
+    * names as the DSv2 connector for the same sheet). */
   def promoteHeader(sheet: DataFrame): DataFrame = {
     val ordered = sheet.orderBy(col(RowCol))
     val first = ordered.limit(1).collect()
     require(first.nonEmpty, "cannot promote header of an empty sheet")
-    val names = first(0).toSeq.zipWithIndex.collect {
-      case (v, i) if sheet.columns(i) != RowCol =>
-        val raw = Option(v).map(_.toString.trim).getOrElse("")
-        val clean = raw.replaceAll("[^A-Za-z0-9_]", "_")
-        if (clean.isEmpty || clean.head.isDigit) s"col$i" else clean
-    }
-    val headerRow = first(0).getAs[Long](sheet.columns.indexOf(RowCol))
     val dataCols = sheet.columns.filter(_ != RowCol)
+    val headerVals = dataCols.map { c =>
+      Option(first(0).get(sheet.columns.indexOf(c))).map(_.toString).getOrElse("")
+    }
+    val names = HeaderNames.sanitize(headerVals.toSeq)
+    val headerRow = first(0).getAs[Long](sheet.columns.indexOf(RowCol))
     ordered.filter(col(RowCol) > headerRow)
       .select(col(RowCol) +: dataCols.zip(names).map { case (c, n) => col(c).as(n) }: _*)
   }

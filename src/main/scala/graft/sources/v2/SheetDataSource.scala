@@ -51,8 +51,12 @@ class SheetDataSource extends TableProvider with DataSourceRegister {
 }
 
 object SheetDataSource {
-  private val TsFmt =
-    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss[.SSS][.SS][.S]")
+  // fraction accepts 0..9 digits — the inference regex admits micro/nano
+  // precision, so the converter must parse everything inference accepts
+  private val TsFmt = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
+    .toFormatter
   private val DateRe = "^\\d{4}-\\d{2}-\\d{2}$".r
   private val TsRe = "^\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?$".r
 
@@ -66,13 +70,26 @@ object SheetDataSource {
       endRow: Option[Long],
       schema: StructType) extends Serializable
 
+  /** resolve() is memoized on (options, file mtime+size): Spark calls
+    * inferSchema and getTable separately per load, which would otherwise
+    * read + type-infer the whole file twice on the driver. A file edit
+    * changes the key, so stale tables aren't served. */
+  private val resolveCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Boolean, Boolean, Long, Long), SheetTable]()
+
   def resolve(options: CaseInsensitiveStringMap): SheetTable = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("sheet source requires a path"))
     val header = options.getBoolean("header", false)
     val infer = options.getBoolean("inferSchema", false)
     val rangeOpt = Option(options.get("range")).map(_.trim).filter(_.nonEmpty)
+    val f = new java.io.File(path)
+    val key = (path, rangeOpt.getOrElse(""), header, infer, f.lastModified(), f.length())
+    resolveCache.computeIfAbsent(key, _ => resolveUncached(path, rangeOpt, header, infer))
+  }
 
+  private def resolveUncached(path: String, rangeOpt: Option[String],
+      header: Boolean, infer: Boolean): SheetTable = {
     val rows = readRows(path)
     require(rows.nonEmpty, s"empty sheet: $path")
     val width = rows.map(_.length).max
@@ -96,11 +113,7 @@ object SheetDataSource {
     val (names, dataRows, dataStartRow) =
       if (header) {
         require(sliced.nonEmpty, "header requested on an empty range")
-        val ns = sliced.head.zipWithIndex.map { case (raw, i) =>
-          val clean = raw.trim.replaceAll("[^A-Za-z0-9_]", "_")
-          if (clean.isEmpty || clean.head.isDigit) s"col$i" else clean
-        }
-        (ns, sliced.tail, startRow + 1)
+        (graft.sources.HeaderNames.sanitize(sliced.head), sliced.tail, startRow + 1)
       } else
         (cols.map(c => A1Notation.colLetters(c + 1)), sliced, startRow)
 

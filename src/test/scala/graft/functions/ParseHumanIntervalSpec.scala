@@ -31,6 +31,11 @@ class ParseHumanIntervalSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("wrong arity is rejected at analysis, not silently truncated") {
+    val e = intercept[Exception](spark.sql("SELECT parse_human_interval('1 day', '2 days')").collect())
+    assert(e.getMessage.contains("exactly 1 argument"))
+  }
+
   test("usable as a relational predicate (P5's SQL face)") {
     val n = Seq("1 hour", "5 seconds", "3 days").toDF("interval")
       .filter("parse_human_interval(interval) IS NOT NULL")

@@ -26,6 +26,15 @@ class SinksSpec extends SparkSpec {
     assert(spark.table("g_sheets_test.t1").count() == 2)
   }
 
+  test("warehouse sink rejects non-identifier destinations (injection guard)") {
+    val sink = new WarehouseSink("g_sheets_test")
+    val df = Seq((1, "a")).toDF("id", "v")
+    intercept[IllegalArgumentException](
+      sink.load(LoadRequest(df, "a`.`b", incremental = false)))
+    intercept[IllegalArgumentException](
+      sink.load(LoadRequest(df, "t1; DROP TABLE x", incremental = false)))
+  }
+
   test("csv sink quotes every field (K1, QUOTE_NONNUMERIC on all-string cells)") {
     val dir = Files.createTempDirectory("csvsink").toString
     val sink = new CsvSink(dir)

@@ -61,6 +61,23 @@ class SheetDataSourceSpec extends SparkSpec {
     assert(r.getBoolean(2))
   }
 
+  test("micro/nano-precision timestamps survive inference AND conversion") {
+    val path = writeCsv(Seq("ts", "2024-01-01 10:00:00.123456", "2024-01-01 11:00:00.123456789"))
+    val df = spark.read.format("sheet")
+      .option("header", "true").option("inferSchema", "true").load(path)
+    assert(df.schema("ts").dataType.typeName == "timestamp")
+    val ts = df.orderBy("ts").collect().map(_.getTimestamp(0))
+    assert(ts(0).getNanos == 123456000) // micros preserved
+  }
+
+  test("colliding sanitized headers get deduplicated names, not shared data") {
+    val path = writeCsv(Seq("a b,a_b", "1,2"))
+    val df = spark.read.format("sheet").option("header", "true").load(path)
+    assert(df.columns.toSeq == Seq("a_b", "a_b_2"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == "1" && r.getString(1) == "2")
+  }
+
   test(">26-column sheet addresses correctly under true base-26 (AB = 28)") {
     val width = 30
     val head = (1 to width).map(i => s"v$i").mkString(",")
