@@ -146,4 +146,20 @@ final class JobRunner(
       if (maxCycles.forall(cycle < _)) Thread.sleep(pollMillis)
     }
   }
+
+  /** L1, streaming form (SURVEY §3.4): the poll body rides a rate-source
+    * Structured Streaming query with `Trigger.ProcessingTime` — Spark
+    * owns the cadence, restarts and monitoring (progress/listener
+    * surface) instead of a hand-rolled sleep loop. Stop via the returned
+    * query handle. */
+  def runStreaming(pollInterval: String = "1 second")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        Timed(s"poll cycle $batchId", log)(pollOnce())
+        ()
+      }
+      .start()
 }

@@ -144,6 +144,24 @@ class JobRunnerSpec extends SparkSpec {
     assert(runLog.asInstanceOf[CsvRunLog].entries().length == 4)
   }
 
+  test("streaming daemon form drives poll cycles via Trigger.ProcessingTime") {
+    val (root, runLog) = freshEnv()
+    val ctlPath = Files.createTempFile("ctl", ".csv")
+    val ct = CsvControlTable.init(ctlPath, Seq(
+      cells(dest = "stream_t1", refreshNow = "yes")))
+    val runner = new JobRunner(spark, ct, SinkRegistry.default(
+      Files.createTempDirectory("csvout").toString), root, runLog,
+      clock = clock, log = _ => ())
+    val q = runner.runStreaming("200 milliseconds")
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        ct.jobs().head.state != StateMachine.Success) Thread.sleep(100)
+      assert(ct.jobs().head.state == StateMachine.Success)
+      assert(spark.table("g_sheets.stream_t1").count() == 3)
+    } finally q.stop()
+  }
+
   test("export-only job (no target system) keeps a quoted CSV artifact") {
     val (root, runLog) = freshEnv()
     val csvOut = Files.createTempDirectory("csvout").toString
