@@ -102,6 +102,11 @@ object NearDup {
       .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter").cast("long"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
+      // the pair set is tiny (bounded by true near-dups) and expensive to
+      // produce — cache it so plan-matched callers (d02's listing, d05's
+      // clustering, Curation) compute the inverted-index join once per
+      // session instead of once per caller
+      .cache()
   }
 
   /** Connected components of the near-dup graph: (doc_id, cluster_id =
@@ -116,7 +121,7 @@ object NearDup {
   def clusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ps = pairs(docs, threshold).select($"doc_a", $"doc_b").cache()
+    val ps = pairs(docs, threshold).select($"doc_a", $"doc_b") // pairs() is cached
     val edges = ps.union(ps.select($"doc_b", $"doc_a")).toDF("src", "dst").cache()
     var labels = edges.select($"src".as("id")).distinct().withColumn("label", $"id").cache()
     var changed = true
@@ -138,7 +143,6 @@ object NearDup {
     }
     val out = labels.select($"id".as("doc_id"), $"label".as("cluster_id")).cache()
     out.count()
-    ps.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     labels.unpersist(blocking = false)
     out
