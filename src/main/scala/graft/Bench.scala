@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric","value","unit","queries","sf"}.
@@ -13,15 +12,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     // untimed warmup: pay JVM/codegen/filesystem first-touch cost once
     // here instead of inside whichever query happens to run first
     spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -37,15 +28,15 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => util.Json.quote(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs =
       if (failures.isEmpty) ""
       else failures.reverse.map { case (k, m) =>
-        "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
+        util.Json.quote(k) + ":" + util.Json.quote(m.take(300))
       }.mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":${util.Json.quote(sfDir)}}""")
     spark.stop()
     if (failures.nonEmpty) {
       failures.reverse.foreach { case (k, m) => System.err.println(s"[bench] $k FAILED: $m") }

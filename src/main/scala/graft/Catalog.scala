@@ -22,13 +22,16 @@ object Catalog {
     * via [[graft.functions.ParseHumanInterval.install]]). The events view
     * is pre-converted to microsecond timestamps like `eventsTbl`. */
   def registerViews(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    // probe through Spark's read path, not java.io.File — the dir may be
+    // any Hadoop-readable location (s3a://, hdfs://), where a local File
+    // existence check is always false
+    def tryRegister(name: String)(make: => org.apache.spark.sql.DataFrame): Unit =
+      try make.createOrReplaceTempView(name)
+      catch { case _: org.apache.spark.sql.AnalysisException => /* table absent */ }
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
-      val p = s"$dir/$t.parquet"
-      if (new java.io.File(p).exists())
-        spark.read.parquet(p).createOrReplaceTempView(t)
+      tryRegister(t)(spark.read.parquet(s"$dir/$t.parquet"))
     }
-    if (new java.io.File(s"$dir/events.parquet").exists())
-      QueryHelpers.eventsTbl(spark, dir).createOrReplaceTempView("events")
+    tryRegister("events")(QueryHelpers.eventsTbl(spark, dir))
   }
 }

@@ -47,7 +47,11 @@ object QueryHelpers {
   def eventsTbl(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
+    // FLOOR division: `div` truncates toward zero, which for a pre-1970
+    // nanosecond value not on a whole microsecond would round the "wrong"
+    // way relative to DuckDB's epoch_ns floor semantics
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(
+        expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
   }
 }

@@ -20,6 +20,8 @@ object A1Notation {
   /** Parsed rectangular range. `endRow=None` means open-ended (to sheet end). */
   final case class CellRange(startCol: Int, startRow: Int, endCol: Int, endRow: Option[Int]) {
     require(startCol >= 1 && startRow >= 1 && endCol >= startCol, s"invalid range: $this")
+    // an inverted row range ("A5:F2") would silently slice zero rows
+    require(endRow.forall(_ >= startRow), s"end row before start row: $this")
     /** Number of columns in the rectangle (reference: `numcolumns_from_range`). */
     def numColumns: Int = endCol - startCol + 1
     /** Complete an open-ended range given the sheet's last row (`export.py:47-48`). */

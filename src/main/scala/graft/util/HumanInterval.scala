@@ -24,13 +24,25 @@ import scala.util.{Failure, Success, Try}
   *     silently parses as 2 days there).
   *   - banned units are matched as whole normalized tokens here; the
   *     reference raises on substring hits (e.g. rejects "weekly").
+  *   - non-integer quantities are REJECTED here ("1.5 hours", "-2 days");
+  *     the reference's alnum normalization silently turns "1.5" into 15.
+  *   - common abbreviations resolve ("min"/"hr"/"h"/"d") or reject
+  *     ("sec"/"wk"/"mo"); the reference silently drops them, shortening
+  *     the interval.
   */
 object HumanInterval {
 
   final case class InvalidInterval(message: String) extends IllegalArgumentException(message)
 
-  private val Allowed = Set("day", "hour", "minute")
-  private val Rejected = Set("second", "microsecond", "week", "month", "year", "millisecond")
+  /** canonical units plus common abbreviations (abbreviations are a
+    * hardening: the reference silently IGNORES tokens like "min"/"sec",
+    * shortening the interval — here they resolve or reject). */
+  private val Allowed = Map(
+    "day" -> "day", "d" -> "day",
+    "hour" -> "hour", "hr" -> "hour", "h" -> "hour",
+    "minute" -> "minute", "min" -> "minute")
+  private val Rejected = Set("second", "sec", "microsecond", "week", "wk",
+    "month", "mo", "year", "yr", "millisecond", "ms")
 
   private def normalize(token: String): String = {
     val alnum = token.filter(_.isLetterOrDigit).toLowerCase
@@ -39,22 +51,30 @@ object HumanInterval {
 
   /** Parse or throw [[InvalidInterval]]. */
   def parse(text: String): Duration = {
-    val tokens = text.trim.split("\\s+").filter(_.nonEmpty).map(normalize).toIndexedSeq
-    val unitIdx = tokens.zipWithIndex.filter { case (t, _) => Allowed(t) || Rejected(t) }
+    val raw = text.trim.split("\\s+").filter(_.nonEmpty).toIndexedSeq
+    val tokens = raw.map(normalize)
+    val unitIdx = tokens.zipWithIndex.filter { case (t, _) =>
+      Allowed.contains(t) || Rejected(t)
+    }
     if (unitIdx.exists { case (t, _) => Rejected(t) })
       throw InvalidInterval(
         s"unsupported unit in '$text': only days, hours and minutes are allowed")
-    if (!unitIdx.exists { case (t, _) => Allowed(t) })
+    if (!unitIdx.exists { case (t, _) => Allowed.contains(t) })
       throw InvalidInterval(s"no day/hour/minute unit found in '$text'")
     var d = Duration.ZERO
     unitIdx.foreach { case (unit, i) =>
       if (i == 0) throw InvalidInterval(s"missing quantity before '$unit' in '$text'")
-      val qty = Try(tokens(i - 1).toLong) match {
+      // the quantity is validated on the RAW token: normalization strips
+      // '.'/'-' so "1.5" would otherwise silently read as 15 (the
+      // reference has this bug; documented divergence in the scaladoc)
+      if (!raw(i - 1).forall(_.isDigit))
+        throw InvalidInterval(s"invalid quantity '${raw(i - 1)}' before '$unit' in '$text'")
+      val qty = Try(raw(i - 1).toLong) match {
         case Success(n) => n
         case Failure(_) =>
-          throw InvalidInterval(s"invalid quantity '${tokens(i - 1)}' before '$unit' in '$text'")
+          throw InvalidInterval(s"invalid quantity '${raw(i - 1)}' before '$unit' in '$text'")
       }
-      d = unit match {
+      d = Allowed(unit) match {
         case "day"    => d.plusDays(qty)
         case "hour"   => d.plusHours(qty)
         case "minute" => d.plusMinutes(qty)

@@ -42,6 +42,11 @@ class A1NotationSpec extends AnyFunSuite {
     assert(parseRange("A2:F99").completed(50).endRow.contains(99))
   }
 
+  test("inverted row ranges rejected (would silently slice zero rows)") {
+    intercept[IllegalArgumentException](A1Notation.parseRange("A5:F2"))
+    intercept[IllegalArgumentException](A1Notation.parseRange("A1:F0"))
+  }
+
   test("invalid input rejected") {
     intercept[IllegalArgumentException](parseRange("12:AB"))
     intercept[IllegalArgumentException](parseRange("A1"))

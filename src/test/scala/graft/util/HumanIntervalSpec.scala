@@ -45,4 +45,17 @@ class HumanIntervalSpec extends AnyFunSuite {
     assert(tryParse("1 hour").isRight)
     assert(tryParse("1 second").isLeft)
   }
+
+  test("non-integer quantities rejected (hardening: reference reads '1.5' as 15)") {
+    intercept[InvalidInterval](parse("1.5 hours"))
+    intercept[InvalidInterval](parse("-2 days"))
+  }
+
+  test("abbreviations resolve or reject instead of silently dropping") {
+    assert(parse("1 hour 30 min") == Duration.ofMinutes(90))
+    assert(parse("2 hrs") == Duration.ofHours(2))
+    assert(parse("1 d") == Duration.ofDays(1))
+    intercept[InvalidInterval](parse("90 sec"))
+    intercept[InvalidInterval](parse("2 wk"))
+  }
 }
