@@ -84,6 +84,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("late event inside the watermark lands in its original window") {
+    // file1: on-time events at 10:00 and 12:59; file2: a LATE 10:30 event
+    // (2.5h out of order but within the 2h lateness bound relative to the
+    // watermark, which trails max-seen by 2h); file3: far-future sentinel
+    val dir = Files.createTempDirectory("late").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-06-01 10:00:00"), 1L, "click", 1.0),
+        (2L, ts("2024-06-01 12:59:00"), 1L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((3L, ts("2024-06-01 10:30:00"), 1L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((4L, ts("2024-06-20 00:00:00"), -1L, "sentinel", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val src = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventStreams.hourlyTumbling(src).writeStream
+      .format("memory").queryName("late").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val counts = spark.table("late").filter($"event_type" =!= "sentinel")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // the late 10:30 event must be aggregated into the 10:00 window
+    assert(counts == Map("2024-06-01 10:00:00" -> 2L, "2024-06-01 12:00:00" -> 1L), counts)
+  }
+
   test("within-watermark dedup: duplicated replay collapses to distinct event_ids") {
     // duplicate the whole stream: each event appears twice across files
     val dupDir = Files.createTempDirectory("replaydup").toString
