@@ -34,7 +34,7 @@ object Events {
       },
       Some("""SELECT event_type, COUNT(*) AS n,
         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        (CAST(SUM(CAST(FLOOR((value)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
     QueryDef("e06_props_map_buckets",
@@ -57,7 +57,7 @@ object Events {
       // -zero; k>=0 so integer floor-divide matches. DuckDB // floors.
       Some("""SELECT CAST(k // 10 AS BIGINT) AS k_bucket, COUNT(*) AS n,
         CAST(SUM(k) AS BIGINT) AS sum_k,
-        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        (CAST(SUM(CAST(FLOOR((value)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_value
         FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
         GROUP BY 1 ORDER BY k_bucket""")),
 
@@ -110,7 +110,7 @@ object Events {
           .orderBy($"hour", $"event_type")
       },
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
-        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        COUNT(*) AS n, (CAST(SUM(CAST(FLOOR((value)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
     QueryDef("e03_user_daily_active",
@@ -163,7 +163,7 @@ object Events {
         SELECT user_id, session_id,
           strftime(date_trunc('second', MIN(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
           COUNT(*) AS n_events,
-          CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+          (CAST(SUM(CAST(FLOOR((value)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_value
         FROM sessions GROUP BY user_id, session_id
         ORDER BY user_id, session_id""")),
 
@@ -294,7 +294,7 @@ object Events {
           SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type, value FROM events
         )
         SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
-          COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+          COUNT(*) AS n, (CAST(SUM(CAST(FLOOR((value)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_value
         FROM expanded GROUP BY 1, 2 ORDER BY win_start, event_type"""))
   )
 }

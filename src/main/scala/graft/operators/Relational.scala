@@ -18,7 +18,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
-  private val SumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)"
+  private val SumQty = "(CAST(SUM(CAST(FLOOR((l_quantity)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6)"
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -41,13 +41,13 @@ object Relational {
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-        CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-        CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        (CAST(SUM(CAST(FLOOR((l_quantity)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_qty,
+        (CAST(SUM(CAST(FLOOR((l_extendedprice)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_base_price,
+        (CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_disc_price,
+        (CAST(SUM(CAST(FLOOR(((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax))*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_charge,
+        (CAST(SUM(CAST(FLOOR((l_quantity)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) / COUNT(l_quantity) AS avg_qty,
+        (CAST(SUM(CAST(FLOOR((l_extendedprice)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) / COUNT(l_extendedprice) AS avg_price,
+        (CAST(SUM(CAST(FLOOR((l_discount)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) / COUNT(l_discount) AS avg_disc,
         COUNT(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -82,7 +82,7 @@ object Relational {
           .limit(10)
       },
       Some("""SELECT l_orderkey, o_orderdate,
-        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        (CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS revenue
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -130,7 +130,7 @@ object Relational {
           .orderBy($"revenue".desc, $"n_name")
       },
       Some("""SELECT n_name,
-        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        (CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -149,7 +149,7 @@ object Relational {
             $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24.0)
           .agg(sumExact($"l_extendedprice" * $"l_discount").as("revenue"))
       },
-      Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      Some("""SELECT (CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -168,7 +168,7 @@ object Relational {
       },
       Some("""SELECT c_custkey, c_name, total_spent, n_orders
         FROM (SELECT o_custkey,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_spent,
+                (CAST(SUM(CAST(FLOOR((o_totalprice)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS total_spent,
                 COUNT(*) AS n_orders
               FROM orders GROUP BY o_custkey) o
         JOIN customer ON o_custkey = c_custkey
@@ -187,7 +187,7 @@ object Relational {
           .orderBy($"p_type")
       },
       Some("""SELECT p_type,
-        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        (CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS revenue,
         COUNT(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_type ORDER BY p_type""")),
@@ -310,7 +310,7 @@ object Relational {
       },
       Some("""SELECT COUNT(*) AS n_above FROM orders
         WHERE o_totalprice > (
-          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(o_totalprice)
+          SELECT (CAST(SUM(CAST(FLOOR((o_totalprice)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) / COUNT(o_totalprice)
           FROM orders)""")),
 
     QueryDef("q16_big_customers_having",
@@ -341,7 +341,7 @@ object Relational {
           .orderBy($"r_name", $"o_orderpriority")
       },
       Some("""SELECT r_name, o_orderpriority,
-        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        (CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS revenue,
         COUNT(*) AS n_items
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -368,7 +368,7 @@ object Relational {
           .orderBy($"o_orderpriority", $"decile")
       },
       Some("""SELECT o_orderpriority, decile, COUNT(*) AS n,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        (CAST(SUM(CAST(FLOOR((o_totalprice)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_price,
         MAX(o_totalprice) AS max_price
         FROM (SELECT o_orderpriority, o_totalprice,
                 ntile(10) OVER (PARTITION BY o_orderpriority
@@ -413,7 +413,7 @@ object Relational {
           .orderBy($"c_mktsegment")
       },
       Some("""SELECT c_mktsegment, COUNT(*) AS n_inactive,
-        CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_acctbal
+        (CAST(SUM(CAST(FLOOR((c_acctbal)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_acctbal
         FROM customer WHERE NOT EXISTS (
           SELECT 1 FROM orders WHERE o_custkey = c_custkey
             AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
