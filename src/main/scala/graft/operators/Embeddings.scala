@@ -100,22 +100,67 @@ object Embeddings {
         import s.implicits._
         // LSH bucket: sign pattern of dims 0..3 (fixed axis-aligned
         // hyperplanes). Neighbors are searched WITHIN the bucket only.
-        val bucketCol =
-          (when($"v".getItem(0) >= 0.0, 8).otherwise(0)
-            + when($"v".getItem(1) >= 0.0, 4).otherwise(0)
-            + when($"v".getItem(2) >= 0.0, 2).otherwise(0)
-            + when($"v".getItem(3) >= 0.0, 1).otherwise(0)).cast("long")
-        val base = based(s, dir)
-          .withColumn("nrm", expr(NormSql))
-          .withColumn("bucket", bucketCol)
-        val a = base.select($"bucket", $"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
-        val b = base.select($"bucket", $"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
-        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-        a.join(b, Seq("bucket")).filter($"query_id" =!= $"neighbor_id")
-          .withColumn("cosine", expr(DotSql) / ($"qn" * $"cn"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter($"rnk" <= 3)
-          .select($"query_id", $"rnk", $"neighbor_id", $"bucket", $"cosine")
+        //
+        // Execution: ONE shuffle keyed on the bucket, then a primitive-
+        // array kernel per bucket group (norms + dot products + a bounded
+        // top-3 insertion per query). The earlier declarative form — a
+        // bucket-keyed self-join with an `aggregate()` lambda fold per
+        // candidate pair — paid an interpreted 64-term HOF outside
+        // whole-stage codegen on every candidate plus a row_number window
+        // over the n²/16 candidate rows; the kernel does the identical
+        // fixed-point arithmetic (bit-for-bit — the oracle is unchanged)
+        // at memory bandwidth. Per-task memory is one bucket; at 100 TB
+        // raise the plane count (buckets shrink exponentially) and/or
+        // apply v04's block decomposition inside oversized buckets.
+        val S = ScaleD
+        val ds = based(s, dir).as[(Long, Array[Double])]
+        def bucketOf(v: Array[Double]): Long =
+          ((if (v(0) >= 0.0) 8 else 0) + (if (v(1) >= 0.0) 4 else 0)
+            + (if (v(2) >= 0.0) 2 else 0) + (if (v(3) >= 0.0) 1 else 0)).toLong
+        ds.groupByKey { case (_, v) => bucketOf(v) }
+          .flatMapGroups { (bkt, iter) =>
+            val items = iter.toArray
+            val n = items.length
+            val norms = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              val v = items(i)._2
+              var acc = 0L; var d = 0
+              while (d < v.length) { acc += math.floor(v(d) * v(d) * S + 0.5).toLong; d += 1 }
+              norms(i) = math.sqrt(acc.toDouble / S)
+              i += 1
+            }
+            val K = 3
+            items.indices.iterator.flatMap { qi =>
+              val (qid, qv) = items(qi)
+              // bounded top-K by (cosine desc, neighbor_id asc) — exactly
+              // the row_number ordering of the declarative form
+              val topC = new Array[Double](K); val topI = new Array[Long](K)
+              var filled = 0
+              var ci = 0
+              while (ci < n) {
+                if (ci != qi) {
+                  val (cid, cv) = items(ci)
+                  var acc = 0L; var d = 0
+                  while (d < qv.length) { acc += math.floor(qv(d) * cv(d) * S + 0.5).toLong; d += 1 }
+                  val cos = (acc.toDouble / S) / (norms(qi) * norms(ci))
+                  var p = 0
+                  while (p < filled && !(cos > topC(p) || (cos == topC(p) && cid < topI(p)))) p += 1
+                  if (p < K) {
+                    var q = math.min(filled, K - 1)
+                    while (q > p) { topC(q) = topC(q - 1); topI(q) = topI(q - 1); q -= 1 }
+                    topC(p) = cos; topI(p) = cid
+                    if (filled < K) filled += 1
+                  }
+                }
+                ci += 1
+              }
+              (0 until filled).iterator.map { r =>
+                (qid, (r + 1).toLong, topI(r), bkt, topC(r))
+              }
+            }
+          }
+          .toDF("query_id", "rnk", "neighbor_id", "bucket", "cosine")
           .orderBy($"query_id", $"rnk")
       },
       Some("""WITH base AS (
@@ -187,37 +232,66 @@ object Embeddings {
         // matrix product, which relational operators execute as a
         // nested-loop join with per-pair expression eval (interpreted in
         // BroadcastNestedLoopJoin — measured 80-180 s at sf0.1). This is
-        // the genuine `mapPartitions`-as-last-resort case (SURVEY §2.1
-        // custom-op preference (d)): broadcast the corpus as primitive
-        // arrays and run a tight scalar kernel per partition, with the
-        // SAME fixed-point arithmetic as the declarative ops, so the
-        // values still hash-match the oracle. v02's bucketing remains
-        // the 100 TB path (one side must fit in executor memory here).
+        // the genuine custom-kernel case (SURVEY §2.1 preference (d)):
+        // a BLOCK SELF-JOIN — rows get a block id (vec_id mod B), every
+        // row is replicated to the B unordered block pairs it belongs to,
+        // and each of the B(B+1)/2 pair groups runs a tight primitive-
+        // array kernel over its two blocks. Nothing is ever collected to
+        // the driver; per-task memory is two blocks (~2n/B vectors), so B
+        // scales with the corpus (B ≈ n·rowBytes / executorBudget) at the
+        // price of a B× shuffle replication — the standard dense
+        // all-pairs decomposition. The kernel keeps the SAME fixed-point
+        // arithmetic as the declarative ops (products are commutative,
+        // so block order cannot change a value) and the oracle still
+        // hash-matches. v02's LSH bucketing remains the cheaper 100 TB
+        // path when approximate recall is acceptable.
         val t = 0.45
         val S = ScaleD // local binding: the closure must not drag the object in
-        def sqNorm(v: Array[Double]): Double = {
+        val B = 8
+        val base = based(s, dir).as[(Long, Array[Double])]
+        val tagged = base.flatMap { case (id, v) =>
           var acc = 0L; var i = 0
           while (i < v.length) { acc += math.floor(v(i) * v(i) * S + 0.5).toLong; i += 1 }
-          math.sqrt(acc.toDouble / S)
+          val nrm = math.sqrt(acc.toDouble / S)
+          val b = (id % B).toInt
+          (0 until B).iterator.map { c =>
+            (math.min(b, c) * B + math.max(b, c), b, id, v, nrm)
+          }
         }
-        val base = based(s, dir).as[(Long, Array[Double])]
-        val corpus = base.collect().sortBy(_._1)
-        val norms = corpus.map { case (_, v) => sqNorm(v) }
-        val bc = s.sparkContext.broadcast((corpus, norms))
-        base.mapPartitions { iter =>
-          val (all, nrm) = bc.value
-          iter.flatMap { case (ida, va) =>
-            var accA = 0L; var i = 0
-            while (i < va.length) { accA += math.floor(va(i) * va(i) * S + 0.5).toLong; i += 1 }
-            val na = math.sqrt(accA.toDouble / S)
-            all.indices.iterator.filter(all(_)._1 > ida).flatMap { k =>
-              val (idb, vb) = all(k)
-              var acc = 0L; var j = 0
-              while (j < va.length) { acc += math.floor(va(j) * vb(j) * S + 0.5).toLong; j += 1 }
-              val cos = (acc.toDouble / S) / (na * nrm(k))
-              if (cos >= t) Iterator.single((ida, idb, cos)) else Iterator.empty
+        tagged.groupByKey(_._1).flatMapGroups { (key, iter) =>
+          val lo = key / B
+          val hi = key % B
+          val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+          val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+          iter.foreach { case (_, b, id, v, n) =>
+            if (b == lo) left += ((id, v, n)) else right += ((id, v, n))
+          }
+          def cos(va: Array[Double], vb: Array[Double], na: Double, nb: Double): Double = {
+            var acc = 0L; var j = 0
+            while (j < va.length) { acc += math.floor(va(j) * vb(j) * S + 0.5).toLong; j += 1 }
+            (acc.toDouble / S) / (na * nb)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          def emit(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Unit = {
+            val c = cos(a._2, b._2, a._3, b._3)
+            if (c >= t) out += ((math.min(a._1, b._1), math.max(a._1, b._1), c))
+          }
+          if (lo == hi) { // diagonal group: all pairs within one block
+            var i = 0
+            while (i < left.length) {
+              var j = i + 1
+              while (j < left.length) { emit(left(i), left(j)); j += 1 }
+              i += 1
+            }
+          } else { // off-diagonal: full cross of the two blocks
+            var i = 0
+            while (i < left.length) {
+              var j = 0
+              while (j < right.length) { emit(left(i), right(j)); j += 1 }
+              i += 1
             }
           }
+          out.iterator
         }.toDF("doc_a", "doc_b", "cosine")
           .orderBy($"doc_a", $"doc_b")
       },
