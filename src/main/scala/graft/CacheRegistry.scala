@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Explicit ownership for deliberately session-retained caches.
+  *
+  * The near-dup machinery keeps two small frames cached across catalog
+  * queries (the compact shingle table and the verified pair set) because
+  * Spark's CacheManager plan-matches them: d02, d03, d05 and the Curation
+  * pipeline all rebuild the identical plan and hit the same cache entry.
+  * Before this registry those `.cache()` calls had no owner — an
+  * unbounded-session leak policy. Every retained cache now registers here,
+  * and [[Engine.close]] (or a direct [[unpersistAll]]) releases them.
+  *
+  * `retain` is idempotent per (name, plan): re-registering a semantically
+  * identical frame returns the already-tracked handle, so repeated catalog
+  * calls in one session do not grow the registry.
+  */
+object CacheRegistry {
+  private val retained = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+
+  def retain(name: String, df: DataFrame): DataFrame = synchronized {
+    retained.find { case (n, d) =>
+      n == name && d.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)
+    } match {
+      case Some((_, existing)) => existing
+      case None =>
+        df.cache()
+        retained += ((name, df))
+        df
+    }
+  }
+
+  /** Names currently tracked (test/introspection hook). */
+  def entries: Seq[String] = synchronized(retained.map(_._1).toSeq)
+
+  def unpersistAll(blocking: Boolean = false): Unit = synchronized {
+    retained.foreach(_._2.unpersist(blocking))
+    retained.clear()
+  }
+}

@@ -22,13 +22,18 @@ final case class EngineConfig(
     identity: String = "graft-engine",
     maxConcurrentJobs: Int = 1)
 
-final class Engine private[graft] (val spark: SparkSession, val runner: JobRunner) {
+final class Engine private[graft] (val spark: SparkSession, val runner: JobRunner)
+    extends AutoCloseable {
   /** One scheduler cycle; returns the number of jobs executed. */
   def pollOnce(): Int = runner.pollOnce()
 
   /** The daemon loop (L1); bound `maxCycles` for batch/test use. */
   def run(pollMillis: Long = 1000L, maxCycles: Option[Int] = None): Unit =
     runner.run(pollMillis, maxCycles)
+
+  /** Release the engine-retained caches (shingle/pair tables — see
+    * [[CacheRegistry]]). The SparkSession is the caller's and stays up. */
+  def close(): Unit = CacheRegistry.unpersistAll()
 }
 
 object Engine {

@@ -137,10 +137,10 @@ object Documents {
         val H = 64          // minhash functions
         val bands = 32      // 32 bands x 2 rows
         // the shingle cache is plan-matched and therefore SHARED with
-        // d02/d05 in the same session — deliberately not unpersisted
-        // (releasing it here would evict their reuse; it is one compact
-        // 5k-row array table)
-        val sh = shingled(s, dir).cache()
+        // d02/d05 in the same session — retained via the CacheRegistry
+        // (one compact 5k-row array table; Engine.close / unpersistAll
+        // releases it)
+        val sh = graft.CacheRegistry.retain("neardup.shingles", shingled(s, dir))
         sh.count()
         // two-level hashing: hash the variable-length shingle ONCE, then
         // derive the 64 minhash functions by hashing the fixed-width base

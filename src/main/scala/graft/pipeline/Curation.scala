@@ -85,15 +85,33 @@ object NearDup {
           "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("shingles"))
 
   /** Exact (doc_a, doc_b, jaccard) pairs with Jaccard ≥ threshold via the
-    * inverted-index self-join. */
-  def pairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    * inverted-index self-join.
+    *
+    * Stop-shingle guard: the join's cost is Σ_shingle df(shingle)², which
+    * is unbounded on a stop-phrase at corpus scale (one shingle shared by
+    * a million docs alone yields 10¹² candidate pairs). Shingles with
+    * document frequency above `maxShingleDf` are dropped from the shingle
+    * UNIVERSE — both intersection and union counts, the standard stop-word
+    * treatment, so identical docs still score jaccard 1.0. The hot set is
+    * tiny by construction (≤ corpus/maxShingleDf distinct values carry
+    * df > maxShingleDf… in practice a handful) and broadcasts. The default
+    * cap is far above any test fixture's max df (≤ n_docs = 5000 at
+    * sf0.1), so test-scale output is unchanged; a doc whose every shingle
+    * is hot simply produces no pairs. */
+  def pairs(docs: DataFrame, threshold: Double = 0.5,
+      maxShingleDf: Long = 100000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = shingled(docs).cache()
+    val sh = graft.CacheRegistry.retain("neardup.shingles", shingled(docs))
     sh.count() // populate once, before the three downstream readers
-    val sizes = sh.select($"doc_id", size($"shingles").as("n"))
-    val ex = sh.select($"doc_id", explode($"shingles").as("shingle"))
-    ex.as("a").join(ex.as("b"),
+    val ex0 = sh.select($"doc_id", explode($"shingles").as("shingle"))
+    val hot = ex0.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxShingleDf).select($"shingle")
+    val ex = ex0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // per-doc sizes over the CAPPED universe (arrays are distinct, so the
+    // count equals the array size whenever no shingle is hot)
+    val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val out = ex.as("a").join(ex.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -102,11 +120,11 @@ object NearDup {
       .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter").cast("long"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
-      // the pair set is tiny (bounded by true near-dups) and expensive to
-      // produce — cache it so plan-matched callers (d02's listing, d05's
-      // clustering, Curation) compute the inverted-index join once per
-      // session instead of once per caller
-      .cache()
+    // the pair set is tiny (bounded by true near-dups) and expensive to
+    // produce — retain it so plan-matched callers (d02's listing, d05's
+    // clustering, Curation) compute the inverted-index join once per
+    // session instead of once per caller
+    graft.CacheRegistry.retain("neardup.pairs", out)
   }
 
   /** Connected components of the near-dup graph: (doc_id, cluster_id =
@@ -115,13 +133,24 @@ object NearDup {
     * diameter) rounds; the hard cap only guards against implementation
     * bugs and FAILS LOUDLY rather than silently returning unconverged
     * labels (which would leak near-duplicates through Curation and
-    * contaminate train/test splits). Intermediate per-round caches are
-    * unpersisted as soon as superseded.
+    * contaminate train/test splits).
+    *
+    * Per-round cost is ONE job: the convergence signal rides a
+    * LongAccumulator filled while the round's labels materialize into
+    * cache, instead of a separate compare-join + count job. (A task retry
+    * can over-count the accumulator; that can only turn "converged" into
+    * "one more no-op round", never the reverse — the loop still exits on
+    * the next genuinely-unchanged round.) Every 10 rounds the cached
+    * frame is `localCheckpoint`ed to truncate the logical plan, which
+    * otherwise grows linearly with rounds and makes late-round analysis
+    * quadratic on deep-diameter graphs; superseded checkpoint RDDs go
+    * unreachable a round later and the ContextCleaner reclaims them.
+    * Intermediate per-round caches are unpersisted as soon as superseded.
     */
   def clusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ps = pairs(docs, threshold).select($"doc_a", $"doc_b") // pairs() is cached
+    val ps = pairs(docs, threshold).select($"doc_a", $"doc_b") // pairs() is retained
     val edges = ps.union(ps.select($"doc_b", $"doc_a")).toDF("src", "dst").cache()
     var labels = edges.select($"src".as("id")).distinct().withColumn("label", $"id").cache()
     var changed = true
@@ -132,13 +161,22 @@ object NearDup {
         s"label propagation did not converge in $maxIters rounds — component diameter bug?")
       val prop = edges.join(labels, $"dst" === $"id")
         .groupBy($"src").agg(min($"label").as("nl"))
+      val acc = spark.sparkContext.longAccumulator(s"neardup-cc-changes-$iter")
       val next = labels.join(prop, $"id" === $"src", "left")
-        .select($"id", least($"label", coalesce($"nl", $"label")).as("label"))
+        .select($"id", least($"label", coalesce($"nl", $"label")).as("label"),
+          $"label".as("old"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, l, o) => if (l != o) acc.add(1L); (id, l) }
+        }
+        .toDF("id", "label")
         .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter($"label" =!= $"old").count() > 0
+      next.count() // one job: materializes the cache AND fills the accumulator
+      changed = acc.value > 0
       labels.unpersist(blocking = false)
-      labels = next
+      labels =
+        if (iter % 10 == 9) { val chk = next.localCheckpoint(); next.unpersist(blocking = false); chk }
+        else next
       iter += 1
     }
     val out = labels.select($"id".as("doc_id"), $"label".as("cluster_id")).cache()

@@ -46,4 +46,40 @@ class CurationSpec extends SparkSpec {
     // and no near-dup pair survives among the kept docs
     assert(NearDup.pairs(curated).count() == 0)
   }
+
+  test("stop-shingle guard drops hot shingles from the jaccard universe") {
+    // two docs that share ONLY a planted hot phrase (df = 4 > cap of 3),
+    // plus two docs that are near-dups through non-hot shingles
+    val hot = "the quick brown fox"
+    val corpus = Seq(
+      (1L, s"$hot alpha beta gamma delta"),
+      (2L, s"$hot epsilon zeta eta theta"),
+      (3L, s"$hot iota kappa lambda mu one two three"),
+      (4L, s"$hot iota kappa lambda mu one two four"))
+      .toDF("doc_id", "text")
+
+    // uncapped: docs 1&2 ARE near-dups through the hot phrase alone
+    val uncapped = NearDup.pairs(corpus, threshold = 0.2, maxShingleDf = Long.MaxValue)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)))
+
+    // capped at df>3: the hot-phrase shingles ("the quick", "quick brown
+    // fox alpha"… the 3-shingles inside the prefix have df 4) vanish, so
+    // 1&2 no longer pair, while 3&4 still pair through their distinct tail
+    val capped = NearDup.pairs(corpus, threshold = 0.2, maxShingleDf = 3L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!capped.contains((1L, 2L)), "pair held together only by a stop-shingle is dropped")
+    assert(capped.contains((3L, 4L)), "genuine near-dups survive the cap")
+  }
+
+  test("CacheRegistry retains once per plan and unpersistAll releases") {
+    graft.CacheRegistry.unpersistAll()
+    val before = graft.CacheRegistry.entries.size
+    NearDup.pairs(docs.limit(50)).count()
+    NearDup.pairs(docs.limit(50)).count() // plan-identical: must not re-register
+    val added = graft.CacheRegistry.entries.size - before
+    assert(added == 2, s"expected shingles+pairs registered once, got $added new entries")
+    graft.CacheRegistry.unpersistAll()
+    assert(graft.CacheRegistry.entries.isEmpty)
+  }
 }
