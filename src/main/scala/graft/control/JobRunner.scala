@@ -32,9 +32,15 @@ final class JobRunner(
   require(maxConcurrent >= 1)
 
   /** Resolve document/sheet to a CSV path; throws the E1-translatable
-    * errors. Candidates mirror `available_sheets` (`manager.py:64-66`). */
+    * errors. Candidates mirror `available_sheets` (`manager.py:64-66`).
+    * The document name is an untrusted control-table cell: the resolved
+    * directory must stay UNDER sourceRoot (a '../' or absolute value
+    * reads as document-not-found — same surface as a missing document,
+    * so the error translation leaks nothing about the filesystem). */
   private[control] def resolveSheet(document: String, sheet: String): Path = {
-    val docDir = sourceRoot.resolve(document)
+    val root = sourceRoot.toAbsolutePath.normalize
+    val docDir = root.resolve(document).normalize
+    if (!docDir.startsWith(root) || docDir == root) throw DocumentNotFound(document)
     if (!Files.isDirectory(docDir)) throw DocumentNotFound(document)
     val listing = Files.list(docDir)
     val sheets =

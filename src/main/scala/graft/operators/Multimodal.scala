@@ -32,9 +32,18 @@ object Multimodal {
     * bytes 0-3 magic, 4 kind ordinal, 5 width, 6 height, 7 reserved,
     * then the payload bytes. Dims derive from (doc_id, n_chars) so tests
     * and oracles can predict them without parsing binary.
+    *
+    * The payload is one byte per CHARACTER (7-bit projection — a
+    * deterministic fake codec; real codecs belong behind [[decode]]), so
+    * decoded `nBytes == n_chars` is STRUCTURAL: the m01 oracle's
+    * `SUM(n_chars)` identity holds for any fixture text. The earlier
+    * UTF-8 encoding made that identity hold only while the fixture
+    * stayed pure ASCII.
     */
   def encodeBlob(docId: Long, text: String): Array[Byte] = {
-    val body = text.getBytes("UTF-8")
+    val body = new Array[Byte](text.length)
+    var i = 0
+    while (i < text.length) { body(i) = (text.charAt(i) & 0x7F).toByte; i += 1 }
     val kind = (docId % 3).toInt
     val width = (docId % 64 + 1).toInt
     val height = (body.length % 64 + 1)

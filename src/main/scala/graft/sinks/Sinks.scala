@@ -62,13 +62,21 @@ object WarehouseSink {
   */
 final class CsvSink(baseDir: String, header: Boolean = false) extends Sink {
   def load(req: LoadRequest): String = {
-    val path = s"$baseDir/${req.destination}"
+    // destination comes from a free-text control cell — resolve and pin
+    // it under baseDir so a '../' (or absolute) value cannot redirect the
+    // write outside the configured output root (same untrusted-cell
+    // discipline as WarehouseSink.requireIdent)
+    val base = java.nio.file.Paths.get(baseDir).toAbsolutePath.normalize
+    val path = base.resolve(req.destination).normalize
+    if (!path.startsWith(base) || path == base)
+      throw new IllegalArgumentException(
+        s"invalid destination '${req.destination}': escapes the CSV output directory")
     val mode = if (req.incremental) SaveMode.Append else SaveMode.Overwrite
     req.df.write.mode(mode)
       .option("quoteAll", "true")
       .option("header", header.toString)
-      .csv(path)
-    path
+      .csv(path.toString)
+    path.toString
   }
 }
 

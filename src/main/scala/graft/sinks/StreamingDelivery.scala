@@ -1,0 +1,69 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming → warehouse delivery: the streaming analog of the
+  * reference's whole job — get rows INTO the warehouse
+  * (`/root/reference/flusher/load/bigquery.py:42-47` is the batch
+  * append; this is its `writeStream` dual).
+  *
+  * Structured Streaming guarantees exactly-once END-TO-END only when the
+  * sink is idempotent per micro-batch: after a crash between "write" and
+  * "commit offsets", the SAME batch is replayed with the SAME `batchId`,
+  * and a blind `foreachBatch` append would duplicate its rows. Delivery
+  * therefore stamps every row with `_batch_id` and skips any batch whose
+  * id already exists in the table — the table itself is the commit
+  * ledger, so the guard needs no side store and also makes a full
+  * from-scratch replay of the same source a no-op (batch ids restart at
+  * 0 and match the delivered ones). The existence probe is a
+  * `limit(1)`-bounded filter on `_batch_id`; at warehouse scale,
+  * partition the delivered table by `_batch_id` so the probe prunes to
+  * a directory listing — semantics unchanged.
+  */
+object StreamingDelivery {
+
+  /** Column stamped onto every delivered row; doubles as the commit ledger. */
+  val BatchIdCol = "_batch_id"
+
+  /** The `foreachBatch` function: batchId-idempotent append into
+    * `database`.`table` (auto-created, like the reference's dataset
+    * bootstrap — `bigquery.py:13-16`). */
+  def warehouseBatch(table: String,
+      database: String = WarehouseSink.DefaultDatabase): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      WarehouseSink.requireIdent(database, "database")
+      WarehouseSink.requireIdent(table, "destination table")
+      val spark = batch.sparkSession
+      // Execute the micro-batch plan EXACTLY ONCE, up front: a stateful
+      // upstream (dedup, windowed agg) must commit its state stores under
+      // the streaming harness every batch — a skipped batch that never
+      // touches `batch`, or a `.write` that re-plans it batch-side, both
+      // trip Spark's state-commit validation. The snapshot is micro-batch
+      // sized (bounded by the trigger), spills if needed, and the append
+      // below reads it instead of re-executing the plan.
+      val snap = batch.localCheckpoint()
+      try {
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+        val qualified = s"`$database`.`$table`"
+        val delivered = spark.catalog.tableExists(s"$database.$table") &&
+          spark.table(qualified).filter(col(BatchIdCol) === batchId).limit(1).count() > 0
+        if (!delivered)
+          snap.withColumn(BatchIdCol, lit(batchId))
+            .write.mode(SaveMode.Append).format("parquet").saveAsTable(qualified)
+      } finally snap.unpersist(blocking = false)
+  }
+
+  /** Wire a (transformed) streaming frame into the warehouse. Callers
+    * compose: `startToWarehouse(EventStreams.dedupEvents(src), ...)`. */
+  def startToWarehouse(df: DataFrame, table: String, checkpointDir: String,
+      database: String = WarehouseSink.DefaultDatabase,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(warehouseBatch(table, database))
+      .start()
+}

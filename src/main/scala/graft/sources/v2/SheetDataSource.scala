@@ -3,10 +3,10 @@ package graft.sources.v2
 import graft.control.CsvCodec
 import graft.util.A1Notation
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -51,6 +51,15 @@ class SheetDataSource extends TableProvider with DataSourceRegister {
 }
 
 object SheetDataSource {
+  /** Name of the row-number metadata column (1-based sheet row). */
+  final val RowCol = "_sheet_row"
+
+  private[v2] object SheetRowColumn extends MetadataColumn {
+    override def name: String = RowCol
+    override def dataType: DataType = LongType
+    override def comment: String = "1-based sheet row number"
+  }
+
   // fraction accepts 0..9 digits — the inference regex admits micro/nano
   // precision, so the converter must parse everything inference accepts
   private val TsFmt = new java.time.format.DateTimeFormatterBuilder()
@@ -158,12 +167,16 @@ object SheetDataSource {
     else StringType
   }
 
-  /** Convert one trimmed cell to Spark's internal representation. */
+  /** Convert one trimmed cell to Spark's internal representation.
+    * Degenerate-cell rule, shared with `SheetSource.inferSchema`'s string
+    * branch: trim-then-null-if-empty — a whitespace-only cell is null in
+    * BOTH readers (they advertise identical semantics for the same
+    * physical sheet); a non-empty string keeps its original spacing. */
   private[v2] def convert(v: String, t: DataType): Any = {
     val s = v.trim
-    if (s.isEmpty && t != StringType) null
+    if (s.isEmpty) null
     else t match {
-      case StringType    => if (v.isEmpty) null else UTF8String.fromString(v)
+      case StringType    => UTF8String.fromString(v)
       case LongType      => s.toLong
       case DoubleType    => s.toDouble
       case BooleanType   => s.equalsIgnoreCase("true")
@@ -176,20 +189,58 @@ object SheetDataSource {
   }
 }
 
-final class SheetTable(spec: SheetDataSource.SheetSpec) extends Table with SupportsRead {
+final class SheetTable(spec: SheetDataSource.SheetSpec) extends Table
+  with SupportsRead with SupportsMetadataColumns {
   override def name(): String = s"sheet:${spec.path}"
   override def schema(): StructType = spec.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SheetScanBuilder(spec)
+  // 1-based sheet row number, surfaced only when referenced (Spark's
+  // metadata-column contract) — the filterable axis for row pushdown
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(SheetDataSource.SheetRowColumn)
 }
 
+/** Pushdown on BOTH sheet axes, completing parity with the reference's
+  * server-side A1 range fetch (`export.py:50` moves only the requested
+  * cells): columns are pruned at the cell level, and row-number
+  * predicates on `_sheet_row` narrow the scan's row window so filtered
+  * rows are never parsed, converted, or emitted. Accepted filters are
+  * consumed entirely (not re-evaluated post-scan); anything not a simple
+  * `_sheet_row` bound is left to Spark. */
 final class SheetScanBuilder(spec: SheetDataSource.SheetSpec)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = spec.schema
+  private var startRow: Long = spec.dataStartRow
+  private var endRow: Option[Long] = spec.endRow
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = SheetScan(spec, required)
+
+  private def lower(v: Long): Unit = startRow = math.max(startRow, v)
+  private def upper(v: Long): Unit = endRow = Some(endRow.fold(v)(math.min(_, v)))
+
+  private def accept(f: Filter): Boolean = f match {
+    case GreaterThan(SheetDataSource.RowCol, v: Number) => lower(v.longValue + 1); true
+    case GreaterThanOrEqual(SheetDataSource.RowCol, v: Number) => lower(v.longValue); true
+    case LessThan(SheetDataSource.RowCol, v: Number) => upper(v.longValue - 1); true
+    case LessThanOrEqual(SheetDataSource.RowCol, v: Number) => upper(v.longValue); true
+    case EqualTo(SheetDataSource.RowCol, v: Number) => lower(v.longValue); upper(v.longValue); true
+    case IsNotNull(SheetDataSource.RowCol) => true // row numbers are never null
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(accept)
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    SheetScan(spec.copy(dataStartRow = startRow, endRow = endRow), required)
 }
 
 final case class SheetScan(spec: SheetDataSource.SheetSpec, required: StructType)
@@ -197,7 +248,8 @@ final case class SheetScan(spec: SheetDataSource.SheetSpec, required: StructType
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"SheetScan ${spec.path} cols=${required.fieldNames.mkString(",")}"
+    s"SheetScan ${spec.path} cols=${required.fieldNames.mkString(",")} " +
+      s"rows=${spec.dataStartRow}..${spec.endRow.map(_.toString).getOrElse("end")}"
   // one ordered partition — sheet row order is part of the contract
   override def planInputPartitions(): Array[InputPartition] = Array(SheetPartition(spec))
   override def createReaderFactory(): PartitionReaderFactory =
@@ -212,28 +264,35 @@ final case class SheetReaderFactory(spec: SheetDataSource.SheetSpec, required: S
     new SheetReader(spec, required)
 }
 
-/** Streams the sheet rows, converting ONLY the pruned-to columns. */
+/** Streams the sheet rows, converting ONLY the pruned-to columns;
+  * `_sheet_row` fields are served from the row counter, not the cells. */
 final class SheetReader(spec: SheetDataSource.SheetSpec, required: StructType)
   extends PartitionReader[InternalRow] {
 
-  private val fieldIdx: Array[Int] =
-    required.fieldNames.map(n => spec.schema.fieldIndex(n))
+  // -1 marks the _sheet_row metadata field (absent from the data schema)
+  private val fieldIdx: Array[Int] = required.fieldNames.map {
+    case SheetDataSource.RowCol => -1
+    case n => spec.schema.fieldIndex(n)
+  }
   private val rows = SheetDataSource.readRows(spec.path).iterator.zipWithIndex
     .filter { case (_, i) =>
       val rn = i + 1L
       rn >= spec.dataStartRow && spec.endRow.forall(rn <= _)
     }
-    .map(_._1)
   private var current: InternalRow = _
 
   override def next(): Boolean =
     if (!rows.hasNext) false
     else {
-      val cells = rows.next()
+      val (cells, i) = rows.next()
+      val rn = i + 1L
       val values = fieldIdx.map { fi =>
-        val c = spec.colOffsets(fi)
-        val raw = if (c < cells.length) cells(c) else ""
-        SheetDataSource.convert(raw, spec.schema.fields(fi).dataType)
+        if (fi < 0) rn
+        else {
+          val c = spec.colOffsets(fi)
+          val raw = if (c < cells.length) cells(c) else ""
+          SheetDataSource.convert(raw, spec.schema.fields(fi).dataType)
+        }
       }
       current = InternalRow.fromSeq(values.toIndexedSeq)
       true

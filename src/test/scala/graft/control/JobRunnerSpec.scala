@@ -176,4 +176,22 @@ class JobRunnerSpec extends SparkSpec {
     val outDir = new java.io.File(j.lastResult)
     assert(outDir.exists() && outDir.listFiles().exists(_.getName.endsWith(".csv")))
   }
+
+  test("document cells that escape the source root resolve as document-not-found") {
+    val (root, runLog) = freshEnv()
+    // plant a real sheet directory OUTSIDE the root that traversal would reach
+    val outside = Files.createDirectory(root.getParent.resolve(
+      s"outside-${System.nanoTime()}"))
+    Files.write(outside.resolve("Sheet1.csv"), "id\n1\n".getBytes)
+    val runner = new JobRunner(spark, CsvControlTable.init(
+      Files.createTempFile("ctl", ".csv"), Seq.empty),
+      SinkRegistry.default(Files.createTempDirectory("csvout").toString),
+      root, runLog, clock = clock, log = _ => ())
+    intercept[DocumentNotFound](
+      runner.resolveSheet(s"../${outside.getFileName}", "Sheet1"))
+    intercept[DocumentNotFound](runner.resolveSheet(outside.toString, "Sheet1"))
+    intercept[DocumentNotFound](runner.resolveSheet("", "Sheet1"))
+    // the legitimate document still resolves
+    assert(runner.resolveSheet("SalesDoc", "Sheet1").getFileName.toString == "Sheet1.csv")
+  }
 }

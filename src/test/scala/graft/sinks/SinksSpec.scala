@@ -45,6 +45,21 @@ class SinksSpec extends SparkSpec {
     assert(lines == Seq("\"1\",\"a b\"", "\"2\",\"c,d\""))
   }
 
+  test("csv sink rejects destinations that escape the output root") {
+    val dir = Files.createTempDirectory("csvesc").toString
+    val sink = new CsvSink(dir)
+    val df = Seq(("1", "a")).toDF("n", "s")
+    intercept[IllegalArgumentException](
+      sink.load(LoadRequest(df, "../escaped", incremental = false)))
+    intercept[IllegalArgumentException](
+      sink.load(LoadRequest(df, "a/../../escaped", incremental = false)))
+    intercept[IllegalArgumentException](
+      sink.load(LoadRequest(df, "/tmp/absolute", incremental = false)))
+    // a benign nested destination still works
+    val ok = sink.load(LoadRequest(df, "sub/out", incremental = false))
+    assert(ok.startsWith(dir))
+  }
+
   test("export filename convention (export.py:14-15)") {
     val clock = Clock.fixed(Instant.parse("2026-08-12T06:30:00Z"), ZoneOffset.UTC)
     assert(CsvSink.fileName("Doc", "Sheet1", "A2:F", clock) == "Doc.Sheet1.A2:F.20260812_063000.csv")

@@ -86,4 +86,29 @@ class SheetDataSourceSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("AB", "AC", "AD"))
     assert(df.collect().map(_.toSeq.mkString("|")).toSeq == Seq("v28|v29|v30", "w28|w29|w30"))
   }
+
+  test("_sheet_row filters push into the scan's row window (no post-scan filter)") {
+    import org.apache.spark.sql.functions.col
+    val path = writeCsv(Seq("id") ++ (1 to 99).map(_.toString))
+    val df = spark.read.format("sheet")
+      .option("header", "true").option("inferSchema", "true").load(path)
+      .filter(col("_sheet_row") >= 10 && col("_sheet_row") <= 20)
+      .select("id")
+    val plan = df.queryExecution.executedPlan.toString
+    // both bounds landed in the scan...
+    assert(plan.contains("rows=10..20"), s"row bounds not pushed:\n$plan")
+    // ...and were consumed there: no Filter node remains above the scan
+    assert(!plan.contains("_sheet_row"), s"post-scan row filter survived:\n$plan")
+    // sheet row 10 is data value 9 (row 1 is the header)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (9L to 19L))
+  }
+
+  test("_sheet_row is readable as a metadata column and composes with ranges") {
+    val path = writeCsv(Seq("a,b,c", "x1,y1,z1", "x2,y2,z2", "x3,y3,z3"))
+    val df = spark.read.format("sheet")
+      .option("range", "B2:C").load(path)
+      .select("_sheet_row", "B")
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((2L, "y1"), (3L, "y2"), (4L, "y3")))
+  }
 }
