@@ -20,4 +20,19 @@ class CatalogSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
+
+  test("dedup and similarity operators run through spark.sql alone") {
+    graft.functions.GraftQuery.install(spark)
+    val sf = "/root/testdata/sf0.001"
+    val dedup = spark.sql(
+      s"SELECT * FROM graft_query('d01_exact_dedup', '$sf') WHERE n_copies >= 1")
+    assert(dedup.columns.toSeq == Seq("fingerprint", "canonical_doc", "n_copies"))
+    assert(dedup.count() > 0)
+    val sim = spark.sql(
+      s"SELECT query_id, neighbor_id FROM graft_query('v01_similarity_topk', '$sf') WHERE rnk = 1")
+    assert(sim.count() > 0)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_query('no_such_query', '/tmp')").collect())
+    assert(e.getMessage.contains("unknown graft query"))
+  }
 }
