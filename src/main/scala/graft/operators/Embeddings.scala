@@ -57,9 +57,11 @@ object Embeddings {
     s"sqrt(CAST(aggregate(v, CAST(0 AS BIGINT), " +
       s"(acc, x) -> acc + CAST(FLOOR((x*x) * $Scale + 0.5) AS BIGINT)) AS DOUBLE) / $Scale)"
 
-  private val DotSql =
-    s"CAST(aggregate(zip_with(qv, cv, (x, y) -> x*y), CAST(0 AS BIGINT), " +
+  private def dotSql(a: String, b: String): String =
+    s"CAST(aggregate(zip_with($a, $b, (x, y) -> x*y), CAST(0 AS BIGINT), " +
       s"(acc, p) -> acc + CAST(FLOOR(p * $Scale + 0.5) AS BIGINT)) AS DOUBLE) / $Scale"
+
+  private val DotSql = dotSql("qv", "cv")
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -307,6 +309,91 @@ object Embeddings {
         FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id
         WHERE dot / (a.nrm * b.nrm) >= 0.45
         ORDER BY doc_a, doc_b""")),
+
+    QueryDef("v06_ann_ivf",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // IVF (inverted-file) ANN: vectors are assigned to CELLS — here
+        // the exact per-label centroids (deterministic, so the DuckDB
+        // oracle can replicate the index bit-for-bit; a production build
+        // would k-means them) — and a query searches only its own cell.
+        // The IVF scale shape: the coarse quantizer (10 centroids)
+        // BROADCASTS, assignment is one linear pass (n × #cells fixed-
+        // point cosines), and quadratic work happens only within cells —
+        // the complement of v02's data-independent hyperplanes (IVF
+        // adapts cells to the data's clusters; LSH needs no training).
+        // At 100 TB: more centroids (√n is the textbook pick) keep cells
+        // bounded; multi-probe (nearest P cells) buys recall linearly.
+        val base = based(s, dir)
+          .withColumn("nrm", expr(NormSql))
+          .join(tbl(s, dir, "embeddings")
+            .select($"vec_id", $"label".cast("long").as("label")), "vec_id")
+        val comps = base
+          .select($"label", posexplode($"v").as(Seq("pos", "x")))
+          .groupBy($"label", $"pos")
+          .agg((sum($"x".cast(DecimalType38)).cast("double") / count(lit(1))).as("m"))
+        val cents = comps.groupBy($"label")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
+        val cnorm = comps.groupBy($"label")
+          .agg(sqrt(sum(floor(($"m" * $"m") * lit(ScaleD) + lit(0.5))).cast("double") / lit(ScaleD))
+            .as("cn"))
+        val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell")
+        val cells = base.select($"vec_id", $"v", $"nrm")
+          .crossJoin(broadcast(cents.join(cnorm, "label")
+            .select($"label".as("cell"), $"cv", $"cn")))
+          .withColumn("ccos", expr(dotSql("v", "cv")) / ($"nrm" * $"cn"))
+          .withColumn("arn", row_number().over(wAssign))
+          .filter($"arn" === 1)
+          .select($"vec_id", $"cell")
+        val withCell = base.join(cells, "vec_id")
+        val queries = withCell.filter($"vec_id" < 10)
+          .select($"cell", $"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val corpus = withCell
+          .select($"cell", $"vec_id".as("neighbor_id"), $"v".as("nv"), $"nrm".as("nn"))
+        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        queries.join(corpus, Seq("cell")).filter($"query_id" =!= $"neighbor_id")
+          .withColumn("cosine", expr(dotSql("qv", "nv")) / ($"qn" * $"nn"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 3)
+          .select($"query_id", $"rnk", $"neighbor_id", $"cell", $"cosine")
+          .orderBy($"query_id", $"rnk")
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     CAST(label AS BIGINT) AS label FROM embeddings),
+        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        comps AS (SELECT label, i AS pos,
+                         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+                  FROM (SELECT label, unnest(v) AS x,
+                               generate_subscripts(v, 1) AS i FROM base)
+                  GROUP BY 1, 2),
+        cents AS (SELECT label AS cell, list(m ORDER BY pos) AS cv FROM comps GROUP BY label),
+        cnorm AS (SELECT label AS cell, sqrt(CAST(SUM(CAST(FLOOR((m*m) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
+                  FROM comps GROUP BY label),
+        adots AS (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+                  FROM (SELECT b.vec_id AS vid, c.cell, unnest(b.v) AS bx, unnest(c.cv) AS cx
+                        FROM base b, cents c)
+                  GROUP BY 1, 2),
+        assign AS (SELECT vid AS vec_id, cell,
+                          row_number() OVER (PARTITION BY vid
+                            ORDER BY dot / (n2.nrm * cnorm.cn) DESC, cell) AS arn
+                   FROM adots JOIN n2 ON vid = n2.vec_id JOIN cnorm USING (cell)),
+        cells AS (SELECT vec_id, cell FROM assign WHERE arn = 1),
+        dots AS (SELECT qid, cid, cl, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+                 FROM (SELECT q.vec_id AS qid, c.vec_id AS cid, qc.cell AS cl,
+                              unnest(q.v) AS qx, unnest(c.v) AS cx
+                       FROM base q JOIN cells qc ON q.vec_id = qc.vec_id,
+                            base c JOIN cells cc ON c.vec_id = cc.vec_id
+                       WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+                         AND qc.cell = cc.cell)
+                 GROUP BY 1, 2, 3),
+        scored AS (SELECT qid AS query_id, cid AS neighbor_id, cl AS cell,
+                          dot / (a.nrm * b.nrm) AS cosine,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS rnk
+                   FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
+        SELECT query_id, rnk, neighbor_id, cell, cosine FROM scored
+        WHERE rnk <= 3 ORDER BY query_id, rnk""")),
 
     QueryDef("v03_label_centroid_sim",
       (s: SparkSession, dir: String) => {
