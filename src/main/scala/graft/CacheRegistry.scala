@@ -14,12 +14,22 @@ import org.apache.spark.sql.DataFrame
   *
   * `retain` is idempotent per (name, plan): re-registering a semantically
   * identical frame returns the already-tracked handle, so repeated catalog
-  * calls in one session do not grow the registry.
+  * calls in one session do not grow the registry; handles whose session
+  * has stopped are evicted on the next retain. The registry is
+  * JVM-global — Spark's CacheManager (which does the plan matching) is
+  * per-session-state, and the retained frames are shared by catalog
+  * queries that run without any Engine — so `Engine.close` releasing all
+  * entries is deliberate: it is the "session teardown" hook, not a
+  * per-engine scope.
   */
 object CacheRegistry {
   private val retained = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
 
   def retain(name: String, df: DataFrame): DataFrame = synchronized {
+    // entries bound to a stopped session are dead handles: returning one
+    // would fail every later caller in this JVM (tests run sessions
+    // back-to-back), so evict them before matching
+    retained.filterInPlace { case (_, d) => !d.sparkSession.sparkContext.isStopped }
     retained.find { case (n, d) =>
       n == name && d.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)
     } match {
@@ -35,7 +45,10 @@ object CacheRegistry {
   def entries: Seq[String] = synchronized(retained.map(_._1).toSeq)
 
   def unpersistAll(blocking: Boolean = false): Unit = synchronized {
-    retained.foreach(_._2.unpersist(blocking))
+    // a retained frame may belong to an already-stopped session (tests,
+    // engine shutdown ordering) — dropping the registration is the goal,
+    // so a dead handle must not abort the sweep
+    retained.foreach(e => scala.util.Try(e._2.unpersist(blocking)))
     retained.clear()
   }
 }

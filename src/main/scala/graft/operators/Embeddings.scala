@@ -255,7 +255,7 @@ object Embeddings {
           var acc = 0L; var i = 0
           while (i < v.length) { acc += math.floor(v(i) * v(i) * S + 0.5).toLong; i += 1 }
           val nrm = math.sqrt(acc.toDouble / S)
-          val b = (id % B).toInt
+          val b = java.lang.Math.floorMod(id, B.toLong).toInt // ids may be negative in foreign corpora
           (0 until B).iterator.map { c =>
             (math.min(b, c) * B + math.max(b, c), b, id, v, nrm)
           }

@@ -32,9 +32,9 @@ object Events {
             sumExact($"value").as("sum_value"))
           .orderBy($"event_type")
       },
-      Some("""SELECT event_type, COUNT(*) AS n,
-        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        (CAST(SUM(CAST(FLOOR((value)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_value
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        ${sumExactSql("value")} AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
     QueryDef("e06_props_map_buckets",
@@ -55,10 +55,10 @@ object Events {
       },
       // Spark ($"k"/10).cast("long") is double-divide then truncate-toward
       // -zero; k>=0 so integer floor-divide matches. DuckDB // floors.
-      Some("""SELECT CAST(k // 10 AS BIGINT) AS k_bucket, COUNT(*) AS n,
+      Some(s"""SELECT CAST(k // 10 AS BIGINT) AS k_bucket, COUNT(*) AS n,
         CAST(SUM(k) AS BIGINT) AS sum_k,
-        (CAST(SUM(CAST(FLOOR((value)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_value
-        FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
+        ${sumExactSql("value")} AS sum_value
+        FROM (SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, value FROM events)
         GROUP BY 1 ORDER BY k_bucket""")),
 
     // t-digest-style approximate percentiles — like e07, the sketch is
@@ -109,8 +109,8 @@ object Events {
           .agg(count(lit(1)).as("n"), sumExact($"value").as("sum_value"))
           .orderBy($"hour", $"event_type")
       },
-      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
-        COUNT(*) AS n, (CAST(SUM(CAST(FLOOR((value)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_value
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        COUNT(*) AS n, ${sumExactSql("value")} AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
     QueryDef("e03_user_daily_active",
@@ -148,7 +148,7 @@ object Events {
             sumExact($"value").as("sum_value"))
           .orderBy($"user_id", $"session_id")
       },
-      Some("""WITH flagged AS (
+      Some(s"""WITH flagged AS (
           SELECT user_id, event_id, ts, value,
             CASE WHEN lag(ts) OVER w IS NULL
                  OR (epoch_ns(ts) // 1000) - (epoch_ns(lag(ts) OVER w) // 1000) > 1800000000 THEN 1 ELSE 0 END AS new_sess
@@ -163,7 +163,7 @@ object Events {
         SELECT user_id, session_id,
           strftime(date_trunc('second', MIN(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
           COUNT(*) AS n_events,
-          (CAST(SUM(CAST(FLOOR((value)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_value
+          ${sumExactSql("value")} AS sum_value
         FROM sessions GROUP BY user_id, session_id
         ORDER BY user_id, session_id""")),
 
@@ -288,13 +288,13 @@ object Events {
             $"event_type", $"n", $"sum_value")
           .orderBy($"win_start", $"event_type")
       },
-      Some("""WITH expanded AS (
+      Some(s"""WITH expanded AS (
           SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start, event_type, value FROM events
           UNION ALL
           SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type, value FROM events
         )
         SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
-          COUNT(*) AS n, (CAST(SUM(CAST(FLOOR((value)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_value
+          COUNT(*) AS n, ${sumExactSql("value")} AS sum_value
         FROM expanded GROUP BY 1, 2 ORDER BY win_start, event_type"""))
   )
 }

@@ -33,17 +33,25 @@ object Multimodal {
     * then the payload bytes. Dims derive from (doc_id, n_chars) so tests
     * and oracles can predict them without parsing binary.
     *
-    * The payload is one byte per CHARACTER (7-bit projection — a
+    * The payload is one byte per CODE POINT (7-bit projection — a
     * deterministic fake codec; real codecs belong behind [[decode]]), so
-    * decoded `nBytes == n_chars` is STRUCTURAL: the m01 oracle's
-    * `SUM(n_chars)` identity holds for any fixture text. The earlier
-    * UTF-8 encoding made that identity hold only while the fixture
-    * stayed pure ASCII.
+    * decoded `nBytes == n_chars` is STRUCTURAL: Spark's `length()` and
+    * DuckDB's `length()` both count code points, so the m01 oracle's
+    * `SUM(n_chars)` identity holds for any fixture text — including
+    * non-ASCII and astral characters (iterating UTF-16 `char`s instead
+    * would count a surrogate pair twice). The earlier UTF-8 encoding
+    * made the identity hold only while the fixture stayed pure ASCII.
     */
   def encodeBlob(docId: Long, text: String): Array[Byte] = {
-    val body = new Array[Byte](text.length)
+    val body = new Array[Byte](text.codePointCount(0, text.length))
     var i = 0
-    while (i < text.length) { body(i) = (text.charAt(i) & 0x7F).toByte; i += 1 }
+    var k = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      body(k) = (cp & 0x7F).toByte
+      k += 1
+      i += Character.charCount(cp)
+    }
     val kind = (docId % 3).toInt
     val width = (docId % 64 + 1).toInt
     val height = (body.length % 64 + 1)

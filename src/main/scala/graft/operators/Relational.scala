@@ -18,7 +18,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
-  private val SumQty = "(CAST(SUM(CAST(FLOOR((l_quantity)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6)"
+  private val SumQty = sumExactSql("l_quantity")
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -40,14 +40,14 @@ object Relational {
             count(lit(1)).as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
       },
-      Some("""SELECT l_returnflag, l_linestatus,
-        (CAST(SUM(CAST(FLOOR((l_quantity)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_qty,
-        (CAST(SUM(CAST(FLOOR((l_extendedprice)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_base_price,
-        (CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_disc_price,
-        (CAST(SUM(CAST(FLOOR(((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax))*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_charge,
-        (CAST(SUM(CAST(FLOOR((l_quantity)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) / COUNT(l_quantity) AS avg_qty,
-        (CAST(SUM(CAST(FLOOR((l_extendedprice)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) / COUNT(l_extendedprice) AS avg_price,
-        (CAST(SUM(CAST(FLOOR((l_discount)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) / COUNT(l_discount) AS avg_disc,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${sumExactSql("l_quantity")} AS sum_qty,
+        ${sumExactSql("l_extendedprice")} AS sum_base_price,
+        ${sumExactSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        ${sumExactSql("(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)")} AS sum_charge,
+        ${sumExactSql("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+        ${sumExactSql("l_extendedprice")} / COUNT(l_extendedprice) AS avg_price,
+        ${sumExactSql("l_discount")} / COUNT(l_discount) AS avg_disc,
         COUNT(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -81,8 +81,8 @@ object Relational {
           .orderBy($"revenue".desc, $"l_orderkey")
           .limit(10)
       },
-      Some("""SELECT l_orderkey, o_orderdate,
-        (CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS revenue
+      Some(s"""SELECT l_orderkey, o_orderdate,
+        ${sumExactSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -129,8 +129,8 @@ object Relational {
           .agg(sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
           .orderBy($"revenue".desc, $"n_name")
       },
-      Some("""SELECT n_name,
-        (CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS revenue
+      Some(s"""SELECT n_name,
+        ${sumExactSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -149,7 +149,7 @@ object Relational {
             $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24.0)
           .agg(sumExact($"l_extendedprice" * $"l_discount").as("revenue"))
       },
-      Some("""SELECT (CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS revenue
+      Some(s"""SELECT ${sumExactSql("l_extendedprice * l_discount")} AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -166,9 +166,9 @@ object Relational {
           .orderBy($"total_spent".desc, $"c_custkey")
           .limit(20)
       },
-      Some("""SELECT c_custkey, c_name, total_spent, n_orders
+      Some(s"""SELECT c_custkey, c_name, total_spent, n_orders
         FROM (SELECT o_custkey,
-                (CAST(SUM(CAST(FLOOR((o_totalprice)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS total_spent,
+                ${sumExactSql("o_totalprice")} AS total_spent,
                 COUNT(*) AS n_orders
               FROM orders GROUP BY o_custkey) o
         JOIN customer ON o_custkey = c_custkey
@@ -186,8 +186,8 @@ object Relational {
             count(lit(1)).as("n_items"))
           .orderBy($"p_type")
       },
-      Some("""SELECT p_type,
-        (CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS revenue,
+      Some(s"""SELECT p_type,
+        ${sumExactSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
         COUNT(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_type ORDER BY p_type""")),
@@ -308,9 +308,9 @@ object Relational {
           .filter($"o_totalprice" > $"avg_price")
           .agg(count(lit(1)).as("n_above"))
       },
-      Some("""SELECT COUNT(*) AS n_above FROM orders
+      Some(s"""SELECT COUNT(*) AS n_above FROM orders
         WHERE o_totalprice > (
-          SELECT (CAST(SUM(CAST(FLOOR((o_totalprice)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) / COUNT(o_totalprice)
+          SELECT ${sumExactSql("o_totalprice")} / COUNT(o_totalprice)
           FROM orders)""")),
 
     QueryDef("q16_big_customers_having",
@@ -340,8 +340,8 @@ object Relational {
             count(lit(1)).as("n_items"))
           .orderBy($"r_name", $"o_orderpriority")
       },
-      Some("""SELECT r_name, o_orderpriority,
-        (CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS revenue,
+      Some(s"""SELECT r_name, o_orderpriority,
+        ${sumExactSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
         COUNT(*) AS n_items
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -367,8 +367,8 @@ object Relational {
             max($"o_totalprice").as("max_price"))
           .orderBy($"o_orderpriority", $"decile")
       },
-      Some("""SELECT o_orderpriority, decile, COUNT(*) AS n,
-        (CAST(SUM(CAST(FLOOR((o_totalprice)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_price,
+      Some(s"""SELECT o_orderpriority, decile, COUNT(*) AS n,
+        ${sumExactSql("o_totalprice")} AS sum_price,
         MAX(o_totalprice) AS max_price
         FROM (SELECT o_orderpriority, o_totalprice,
                 ntile(10) OVER (PARTITION BY o_orderpriority
@@ -412,8 +412,8 @@ object Relational {
             sumExact($"c_acctbal").as("sum_acctbal"))
           .orderBy($"c_mktsegment")
       },
-      Some("""SELECT c_mktsegment, COUNT(*) AS n_inactive,
-        (CAST(SUM(CAST(FLOOR((c_acctbal)*1e6+0.5) AS BIGINT)) AS DOUBLE)/1e6) AS sum_acctbal
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_inactive,
+        ${sumExactSql("c_acctbal")} AS sum_acctbal
         FROM customer WHERE NOT EXISTS (
           SELECT 1 FROM orders WHERE o_custkey = c_custkey
             AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')

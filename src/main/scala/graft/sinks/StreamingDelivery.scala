@@ -15,12 +15,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * and a blind `foreachBatch` append would duplicate its rows. Delivery
   * therefore stamps every row with `_batch_id` and skips any batch whose
   * id already exists in the table — the table itself is the commit
-  * ledger, so the guard needs no side store and also makes a full
-  * from-scratch replay of the same source a no-op (batch ids restart at
-  * 0 and match the delivered ones). The existence probe is a
-  * `limit(1)`-bounded filter on `_batch_id`; at warehouse scale,
-  * partition the delivered table by `_batch_id` so the probe prunes to
-  * a directory listing — semantics unchanged.
+  * ledger, so the guard needs no side store. A full from-scratch replay
+  * of an UNCHANGED source is likewise a no-op (batch ids restart at 0
+  * and reproduce); if the source grew or re-batched since the ledger was
+  * written, same-id batches no longer carry the same rows, and the guard
+  * fails loudly on the row-count mismatch instead of silently dropping
+  * the difference. At warehouse scale, partition the delivered table by
+  * `_batch_id` so the ledger probe prunes to a directory listing —
+  * semantics unchanged.
   */
 object StreamingDelivery {
 
@@ -47,11 +49,28 @@ object StreamingDelivery {
       try {
         spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
         val qualified = s"`$database`.`$table`"
-        val delivered = spark.catalog.tableExists(s"$database.$table") &&
-          spark.table(qualified).filter(col(BatchIdCol) === batchId).limit(1).count() > 0
-        if (!delivered)
+        val deliveredRows =
+          if (!spark.catalog.tableExists(s"$database.$table")) -1L
+          else spark.table(qualified).filter(col(BatchIdCol) === batchId).count()
+        if (deliveredRows < 0L || deliveredRows == 0L)
           snap.withColumn(BatchIdCol, lit(batchId))
             .write.mode(SaveMode.Append).format("parquet").saveAsTable(qualified)
+        else {
+          // batchId matching is only sound while batch boundaries
+          // reproduce — true for crash-replay under ONE checkpoint
+          // lineage (the WAL pins each batch's offsets). After a
+          // checkpoint reset over a source that grew or re-batched,
+          // "same id" no longer means "same rows": skipping silently
+          // would LOSE the difference, so verify the one cheap
+          // invariant we hold (row count) and fail loudly on mismatch.
+          val incoming = snap.count()
+          if (incoming != deliveredRows)
+            throw new IllegalStateException(
+              s"$qualified already holds $deliveredRows rows for batch $batchId " +
+                s"but the replayed batch carries $incoming — the checkpoint and the " +
+                "delivery ledger disagree (checkpoint reset over a changed source?). " +
+                "Deliver to a fresh table or restore the original checkpoint.")
+        }
       } finally snap.unpersist(blocking = false)
   }
 

@@ -51,8 +51,9 @@ class SheetDataSource extends TableProvider with DataSourceRegister {
 }
 
 object SheetDataSource {
-  /** Name of the row-number metadata column (1-based sheet row). */
-  final val RowCol = "_sheet_row"
+  /** Name of the row-number metadata column (1-based sheet row) — shared
+    * with the v1 reader so the two readers expose ONE column name. */
+  val RowCol: String = graft.sources.SheetSource.RowCol
 
   private[v2] object SheetRowColumn extends MetadataColumn {
     override def name: String = RowCol
@@ -198,9 +199,13 @@ final class SheetTable(spec: SheetDataSource.SheetSpec) extends Table
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SheetScanBuilder(spec)
   // 1-based sheet row number, surfaced only when referenced (Spark's
-  // metadata-column contract) — the filterable axis for row pushdown
+  // metadata-column contract) — the filterable axis for row pushdown.
+  // A sheet that carries a REAL column of this name shadows the
+  // metadata column entirely (no row pushdown either): the data column
+  // must keep data semantics.
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(SheetDataSource.SheetRowColumn)
+    if (spec.schema.fieldNames.contains(SheetDataSource.RowCol)) Array.empty
+    else Array(SheetDataSource.SheetRowColumn)
 }
 
 /** Pushdown on BOTH sheet axes, completing parity with the reference's
@@ -222,7 +227,11 @@ final class SheetScanBuilder(spec: SheetDataSource.SheetSpec)
   private def lower(v: Long): Unit = startRow = math.max(startRow, v)
   private def upper(v: Long): Unit = endRow = Some(endRow.fold(v)(math.min(_, v)))
 
-  private def accept(f: Filter): Boolean = f match {
+  // a real data column named _sheet_row shadows the metadata column:
+  // its filters are ordinary data predicates, never scan-window bounds
+  private val rowColIsData = spec.schema.fieldNames.contains(SheetDataSource.RowCol)
+
+  private def accept(f: Filter): Boolean = if (rowColIsData) false else f match {
     case GreaterThan(SheetDataSource.RowCol, v: Number) => lower(v.longValue + 1); true
     case GreaterThanOrEqual(SheetDataSource.RowCol, v: Number) => lower(v.longValue); true
     case LessThan(SheetDataSource.RowCol, v: Number) => upper(v.longValue - 1); true
@@ -269,9 +278,10 @@ final case class SheetReaderFactory(spec: SheetDataSource.SheetSpec, required: S
 final class SheetReader(spec: SheetDataSource.SheetSpec, required: StructType)
   extends PartitionReader[InternalRow] {
 
-  // -1 marks the _sheet_row metadata field (absent from the data schema)
+  // -1 marks the _sheet_row metadata field; a DATA column of that name
+  // takes precedence (the metadata column is shadowed, see SheetTable)
   private val fieldIdx: Array[Int] = required.fieldNames.map {
-    case SheetDataSource.RowCol => -1
+    case SheetDataSource.RowCol if !spec.schema.fieldNames.contains(SheetDataSource.RowCol) => -1
     case n => spec.schema.fieldIndex(n)
   }
   private val rows = SheetDataSource.readRows(spec.path).iterator.zipWithIndex

@@ -12,6 +12,13 @@ class MultimodalSpec extends SparkSpec {
     (1L, "a" * 100),
     (2L, "xyz")).toDF("doc_id", "text")
 
+  test("payload length equals code-point count even for non-BMP text") {
+    val text = "héllo 🚀 wörld" // é, rocket emoji (astral), ö
+    val blob = Multimodal.encodeBlob(5L, text)
+    assert(blob.length - 8 == text.codePointCount(0, text.length))
+    assert(blob.length - 8 != text.length, "fixture must contain an astral char")
+  }
+
   test("encode → decode round-trips payload and typed metadata") {
     val media = decode(fromDocuments(docs)).collect().sortBy(_.doc_id)
     assert(media.map(_.meta.kind).toSeq == Seq("image", "audio", "video"))

@@ -55,6 +55,29 @@ class StreamingDeliverySpec extends SparkSpec {
     assert(ids == Seq(0L, 1L), s"unexpected batch ids: $ids")
   }
 
+  test("checkpoint reset over a grown source fails loudly instead of losing rows") {
+    val srcDir = mkSource
+    replay(srcDir, "events_grown")
+    // the source grows, the checkpoint is lost, and the fresh run batches
+    // everything into batch 0 — whose id the ledger already holds
+    Seq((5L, java.sql.Timestamp.valueOf("2024-01-01 10:04:00"), 9L, "click", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir) // no maxFilesPerTrigger: all files land in batch 0
+    val q = StreamingDelivery.startToWarehouse(
+      EventStreams.dedupEvents(src), "events_grown",
+      Files.createTempDirectory("sdcp").toString, database = db)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("delivery ledger disagree")),
+      s"expected ledger-mismatch error, got: ${messages(e)}")
+  }
+
   test("destination identifiers are validated before any SQL runs") {
     val srcDir = mkSource
     val src = spark.readStream

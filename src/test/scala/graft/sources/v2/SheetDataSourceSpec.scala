@@ -103,6 +103,17 @@ class SheetDataSourceSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == (9L to 19L))
   }
 
+  test("a real column named _sheet_row keeps data semantics (metadata shadowed)") {
+    import org.apache.spark.sql.functions.col
+    val path = writeCsv(Seq("_sheet_row,x", "a,1", "b,2"))
+    val df = spark.read.format("sheet").option("header", "true").load(path)
+    // reads as the DATA column (strings), not the row counter
+    assert(df.select("_sheet_row").collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    // filters on it select by VALUE (post-scan), not by physical row
+    val hit = df.filter(col("_sheet_row") === "b").collect()
+    assert(hit.map(_.getString(1)).toSeq == Seq("2"))
+  }
+
   test("_sheet_row is readable as a metadata column and composes with ranges") {
     val path = writeCsv(Seq("a,b,c", "x1,y1,z1", "x2,y2,z2", "x3,y3,z3"))
     val df = spark.read.format("sheet")
