@@ -63,6 +63,77 @@ object Embeddings {
 
   private val DotSql = dotSql("qv", "cv")
 
+  /** Exact embedding-cosine near-dup pairs (`doc_a < doc_b`, cosine ≥
+    * threshold) over any `(vec_id: Long, v: Array[Double])` frame —
+    * inherently an n² dense matrix product, which relational operators
+    * execute as a nested-loop join with per-pair expression eval
+    * (interpreted in BroadcastNestedLoopJoin — measured 80-180 s at
+    * sf0.1). This is the genuine custom-kernel case (SURVEY §2.1
+    * preference (d)): a BLOCK SELF-JOIN — rows get a block id
+    * (floorMod(vec_id, B)), every row is replicated to the B unordered
+    * block pairs it belongs to, and each of the B(B+1)/2 pair groups
+    * runs a tight primitive-array kernel over its two blocks. Nothing is
+    * ever collected to the driver; per-task memory is two blocks (~2n/B
+    * vectors), so B scales with the corpus (B ≈ n·rowBytes /
+    * executorBudget) at the price of a B× shuffle replication — the
+    * standard dense all-pairs decomposition. The kernel keeps the SAME
+    * fixed-point arithmetic as the declarative ops (products are
+    * commutative, so block order cannot change a value), so v04's DuckDB
+    * oracle hash-matches it.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double, blocks: Int = 8): DataFrame = {
+    val session = vectors.sparkSession
+    import session.implicits._
+    val t = threshold
+    val S = ScaleD // local binding: the closure must not drag the object in
+    val B = blocks
+    val base = vectors.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
+    val tagged = base.flatMap { case (id, v) =>
+      var acc = 0L; var i = 0
+      while (i < v.length) { acc += math.floor(v(i) * v(i) * S + 0.5).toLong; i += 1 }
+      val nrm = math.sqrt(acc.toDouble / S)
+      val b = java.lang.Math.floorMod(id, B.toLong).toInt // ids may be negative in foreign corpora
+      (0 until B).iterator.map { c =>
+        (math.min(b, c) * B + math.max(b, c), b, id, v, nrm)
+      }
+    }
+    tagged.groupByKey(_._1).flatMapGroups { (key, iter) =>
+      val lo = key / B
+      val hi = key % B
+      val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+      val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+      iter.foreach { case (_, b, id, v, n) =>
+        if (b == lo) left += ((id, v, n)) else right += ((id, v, n))
+      }
+      def cos(va: Array[Double], vb: Array[Double], na: Double, nb: Double): Double = {
+        var acc = 0L; var j = 0
+        while (j < va.length) { acc += math.floor(va(j) * vb(j) * S + 0.5).toLong; j += 1 }
+        (acc.toDouble / S) / (na * nb)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      def emit(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Unit = {
+        val c = cos(a._2, b._2, a._3, b._3)
+        if (c >= t) out += ((math.min(a._1, b._1), math.max(a._1, b._1), c))
+      }
+      if (lo == hi) { // diagonal group: all pairs within one block
+        var i = 0
+        while (i < left.length) {
+          var j = i + 1
+          while (j < left.length) { emit(left(i), left(j)); j += 1 }
+          i += 1
+        }
+      } else { // off-diagonal: full cross of the two blocks
+        var i = 0
+        while (i < left.length) {
+          var j = 0
+          while (j < right.length) { emit(left(i), right(j)); j += 1 }
+          i += 1
+        }
+      }
+      out.iterator
+    }.toDF("doc_a", "doc_b", "cosine")
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef("v01_similarity_topk",
@@ -228,75 +299,13 @@ object Embeddings {
         WHERE rnk <= 10 ORDER BY query_id, rnk""")),
 
     QueryDef("v04_cosine_neardup",
-      (s: SparkSession, dir: String) => {
-        import s.implicits._
-        // exact embedding-cosine near-dup pairs — inherently an n² dense
-        // matrix product, which relational operators execute as a
-        // nested-loop join with per-pair expression eval (interpreted in
-        // BroadcastNestedLoopJoin — measured 80-180 s at sf0.1). This is
-        // the genuine custom-kernel case (SURVEY §2.1 preference (d)):
-        // a BLOCK SELF-JOIN — rows get a block id (vec_id mod B), every
-        // row is replicated to the B unordered block pairs it belongs to,
-        // and each of the B(B+1)/2 pair groups runs a tight primitive-
-        // array kernel over its two blocks. Nothing is ever collected to
-        // the driver; per-task memory is two blocks (~2n/B vectors), so B
-        // scales with the corpus (B ≈ n·rowBytes / executorBudget) at the
-        // price of a B× shuffle replication — the standard dense
-        // all-pairs decomposition. The kernel keeps the SAME fixed-point
-        // arithmetic as the declarative ops (products are commutative,
-        // so block order cannot change a value) and the oracle still
-        // hash-matches. v02's LSH bucketing remains the cheaper 100 TB
-        // path when approximate recall is acceptable.
-        val t = 0.45
-        val S = ScaleD // local binding: the closure must not drag the object in
-        val B = 8
-        val base = based(s, dir).as[(Long, Array[Double])]
-        val tagged = base.flatMap { case (id, v) =>
-          var acc = 0L; var i = 0
-          while (i < v.length) { acc += math.floor(v(i) * v(i) * S + 0.5).toLong; i += 1 }
-          val nrm = math.sqrt(acc.toDouble / S)
-          val b = java.lang.Math.floorMod(id, B.toLong).toInt // ids may be negative in foreign corpora
-          (0 until B).iterator.map { c =>
-            (math.min(b, c) * B + math.max(b, c), b, id, v, nrm)
-          }
-        }
-        tagged.groupByKey(_._1).flatMapGroups { (key, iter) =>
-          val lo = key / B
-          val hi = key % B
-          val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
-          val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
-          iter.foreach { case (_, b, id, v, n) =>
-            if (b == lo) left += ((id, v, n)) else right += ((id, v, n))
-          }
-          def cos(va: Array[Double], vb: Array[Double], na: Double, nb: Double): Double = {
-            var acc = 0L; var j = 0
-            while (j < va.length) { acc += math.floor(va(j) * vb(j) * S + 0.5).toLong; j += 1 }
-            (acc.toDouble / S) / (na * nb)
-          }
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          def emit(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Unit = {
-            val c = cos(a._2, b._2, a._3, b._3)
-            if (c >= t) out += ((math.min(a._1, b._1), math.max(a._1, b._1), c))
-          }
-          if (lo == hi) { // diagonal group: all pairs within one block
-            var i = 0
-            while (i < left.length) {
-              var j = i + 1
-              while (j < left.length) { emit(left(i), left(j)); j += 1 }
-              i += 1
-            }
-          } else { // off-diagonal: full cross of the two blocks
-            var i = 0
-            while (i < left.length) {
-              var j = 0
-              while (j < right.length) { emit(left(i), right(j)); j += 1 }
-              i += 1
-            }
-          }
-          out.iterator
-        }.toDF("doc_a", "doc_b", "cosine")
-          .orderBy($"doc_a", $"doc_b")
-      },
+      (s: SparkSession, dir: String) =>
+        // exact all-pairs cosine near-dups via the reusable block
+        // self-join kernel (see [[cosineNearDupPairs]] for the scale
+        // argument); v02's LSH bucketing remains the cheaper 100 TB path
+        // when approximate recall is acceptable
+        cosineNearDupPairs(based(s, dir), threshold = 0.45)
+          .orderBy(col("doc_a"), col("doc_b")),
       Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
                FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),

@@ -5,6 +5,35 @@ import graft.{Catalog, SparkSpec}
 class EmbeddingsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("cosineNearDupPairs == brute force (negative ids, empty blocks, exact dup)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 8
+    val vecs = (0 until 37).map { i =>
+      // negative ids exercise floorMod block assignment
+      val id = if (i % 3 == 0) -(i.toLong * 5 + 1) else i.toLong * 7
+      (id, Array.fill(dim)(rnd.nextGaussian()))
+    }
+    // plant an exact duplicate (cosine 1.0) in a different block
+    val all = vecs :+ (999L, vecs.head._2.clone())
+    val t = 0.3
+    // blocks > residue spread leaves some blocks EMPTY — off-diagonal
+    // groups with one empty side must emit nothing (not within-pairs)
+    val got = Embeddings.cosineNearDupPairs(all.toDF("vec_id", "v"), t, blocks = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force with the identical fixed-point fold, same index order
+    def fp(x: Double) = math.floor(x * 1e12 + 0.5).toLong
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => fp(x * x)).sum.toDouble / 1e12)
+    val want = (for {
+      a <- all; b <- all if a._1 < b._1
+      dot = a._2.zip(b._2).map { case (x, y) => fp(x * y) }.sum.toDouble / 1e12
+      c = dot / (nrm(a._2) * nrm(b._2)) if c >= t
+    } yield (a._1, b._1, c)).toSet
+    assert(got == want, s"block join diverged from brute force (${got.size} vs ${want.size})")
+    assert(got.exists { case (a, b, c) => b == 999L && c > 0.999999 },
+      "planted exact duplicate must surface")
+  }
+
   test("v01 top-k: 10 ranked neighbors per query, cosine bounded and descending") {
     val rows = Catalog.byName("v01_similarity_topk").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
