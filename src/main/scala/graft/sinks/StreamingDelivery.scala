@@ -20,9 +20,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * and reproduce); if the source grew or re-batched since the ledger was
   * written, same-id batches no longer carry the same rows, and the guard
   * fails loudly on the row-count mismatch instead of silently dropping
-  * the difference. At warehouse scale, partition the delivered table by
-  * `_batch_id` so the ledger probe prunes to a directory listing —
-  * semantics unchanged.
+  * the difference. The delivered table is partitioned by `_batch_id`, so
+  * the ledger probe prunes to a directory listing rather than a table
+  * scan at any size.
   */
 object StreamingDelivery {
 
@@ -53,8 +53,12 @@ object StreamingDelivery {
           if (!spark.catalog.tableExists(s"$database.$table")) -1L
           else spark.table(qualified).filter(col(BatchIdCol) === batchId).count()
         if (deliveredRows < 0L || deliveredRows == 0L)
+          // partitioned by the ledger column: the probe above prunes to a
+          // directory listing instead of scanning the table, and a batch's
+          // rows land in exactly one partition directory
           snap.withColumn(BatchIdCol, lit(batchId))
-            .write.mode(SaveMode.Append).format("parquet").saveAsTable(qualified)
+            .write.mode(SaveMode.Append).format("parquet")
+            .partitionBy(BatchIdCol).saveAsTable(qualified)
         else {
           // batchId matching is only sound while batch boundaries
           // reproduce — true for crash-replay under ONE checkpoint
