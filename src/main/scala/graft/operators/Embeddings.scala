@@ -333,6 +333,14 @@ object Embeddings {
         // adapts cells to the data's clusters; LSH needs no training).
         // At 100 TB: more centroids (√n is the textbook pick) keep cells
         // bounded; multi-probe (nearest P cells) buys recall linearly.
+        //
+        // The coarse quantizer is a MODEL, not data: O(#centroids) values
+        // that the driver collects once and broadcasts (the KMeansModel
+        // shape) — assignment is then a single embarrassingly-parallel
+        // mapPartitions pass with a primitive argmax kernel. A
+        // crossJoin + interpreted HOF fold + per-vector row_number window
+        // would shuffle n×#cells rows to do the same arithmetic.
+        val S = ScaleD
         val base = based(s, dir)
           .withColumn("nrm", expr(NormSql))
           .join(tbl(s, dir, "embeddings")
@@ -346,14 +354,30 @@ object Embeddings {
         val cnorm = comps.groupBy($"label")
           .agg(sqrt(sum(floor(($"m" * $"m") * lit(ScaleD) + lit(0.5))).cast("double") / lit(ScaleD))
             .as("cn"))
-        val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell")
-        val cells = base.select($"vec_id", $"v", $"nrm")
-          .crossJoin(broadcast(cents.join(cnorm, "label")
-            .select($"label".as("cell"), $"cv", $"cn")))
-          .withColumn("ccos", expr(dotSql("v", "cv")) / ($"nrm" * $"cn"))
-          .withColumn("arn", row_number().over(wAssign))
-          .filter($"arn" === 1)
-          .select($"vec_id", $"cell")
+        // ascending label order ⇒ strict-greater replacement keeps the
+        // smallest cell on cosine ties — identical to the declarative
+        // row_number ordering (ccos DESC, cell ASC) the oracle uses
+        val model = cents.join(cnorm, "label")
+          .select($"label", $"cv", $"cn").as[(Long, Array[Double], Double)]
+          .collect().sortBy(_._1)
+        val bcModel = s.sparkContext.broadcast(model)
+        val cells = base.select($"vec_id", $"v", $"nrm").as[(Long, Array[Double], Double)]
+          .mapPartitions { it =>
+            val cs = bcModel.value
+            it.map { case (id, v, nrm) =>
+              var best = Long.MinValue; var bestC = Double.NegativeInfinity
+              var ci = 0
+              while (ci < cs.length) {
+                val (label, cv, cn) = cs(ci)
+                var acc = 0L; var j = 0
+                while (j < v.length) { acc += math.floor(v(j) * cv(j) * S + 0.5).toLong; j += 1 }
+                val c = (acc.toDouble / S) / (nrm * cn)
+                if (c > bestC) { bestC = c; best = label }
+                ci += 1
+              }
+              (id, best)
+            }
+          }.toDF("vec_id", "cell")
         val withCell = base.join(cells, "vec_id")
         val queries = withCell.filter($"vec_id" < 10)
           .select($"cell", $"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
