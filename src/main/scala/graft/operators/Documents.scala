@@ -306,16 +306,20 @@ object Documents {
         // 1e-9 integer grid, which both engines compute identically.
         // Output restricted to a doc slice to keep the result set
         // reviewable; the plan (explode → two aggregations → join on
-        // term) is the full-corpus shape.
+        // term) is the full-corpus shape. N rides a 1-row broadcast
+        // scalar join (q15's shape) instead of a separate driver-side
+        // count() job, keeping the whole query one lineage.
         val toks = toked(s, dir).select($"doc_id", explode($"toks").as("term"))
-        val n = tbl(s, dir, "documents").count().toDouble
+        val nRow = tbl(s, dir, "documents")
+          .agg(count(lit(1)).cast("double").as("n_docs"))
         val tf = toks.filter($"doc_id" < 50)
           .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
         val df = toks.select($"doc_id", $"term").distinct()
           .groupBy($"term").agg(count(lit(1)).as("df"))
         tf.join(df, "term")
+          .crossJoin(broadcast(nRow))
           .withColumn("tfidf_e9",
-            floor(($"tf" * log(lit(n) / $"df")) * 1e9 + 0.5).cast("long"))
+            floor(($"tf" * log($"n_docs" / $"df")) * 1e9 + 0.5).cast("long"))
           .select($"doc_id", $"term", $"tf", $"df", $"tfidf_e9")
           .orderBy($"doc_id", $"term")
       },

@@ -53,6 +53,30 @@ object Embeddings {
   private val ScaleD = 1000000000000.0
   private val Scale = "1000000000000.0"
 
+  /** The scalar fixed-point fold every kernel shares — THE oracle-
+    * exactness contract in one place (a scale or rounding tweak here is
+    * automatically consistent across v02/v04/v06 and must only be
+    * mirrored in the SQL forms below). Top-level object methods compile
+    * to static module calls, so closures using these capture nothing. */
+  private[operators] def fpDot(a: Array[Double], b: Array[Double]): Long = {
+    var acc = 0L
+    var j = 0
+    while (j < a.length) { acc += math.floor(a(j) * b(j) * ScaleD + 0.5).toLong; j += 1 }
+    acc
+  }
+  private[operators] def fpNorm(v: Array[Double]): Double =
+    math.sqrt(fpDot(v, v).toDouble / ScaleD)
+  private[operators] def fpCos(a: Array[Double], b: Array[Double], na: Double, nb: Double): Double =
+    (fpDot(a, b).toDouble / ScaleD) / (na * nb)
+
+  /** SQL-comparison ordering for doubles: NaN compares LARGER than any
+    * value and equal to itself (both Spark and DuckDB rank NaN first
+    * under DESC) — the kernels must rank candidates the same way or a
+    * zero-norm vector (cosine 0/0 = NaN) silently diverges from the
+    * declarative forms and the oracle. */
+  private[operators] def sqlGt(a: Double, b: Double): Boolean =
+    if (a.isNaN) !b.isNaN else !b.isNaN && a > b
+
   private val NormSql =
     s"sqrt(CAST(aggregate(v, CAST(0 AS BIGINT), " +
       s"(acc, x) -> acc + CAST(FLOOR((x*x) * $Scale + 0.5) AS BIGINT)) AS DOUBLE) / $Scale)"
@@ -82,16 +106,14 @@ object Embeddings {
     * oracle hash-matches it.
     */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double, blocks: Int = 8): DataFrame = {
+    require(blocks > 0, s"blocks must be positive, got $blocks")
     val session = vectors.sparkSession
     import session.implicits._
     val t = threshold
-    val S = ScaleD // local binding: the closure must not drag the object in
     val B = blocks
     val base = vectors.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
     val tagged = base.flatMap { case (id, v) =>
-      var acc = 0L; var i = 0
-      while (i < v.length) { acc += math.floor(v(i) * v(i) * S + 0.5).toLong; i += 1 }
-      val nrm = math.sqrt(acc.toDouble / S)
+      val nrm = fpNorm(v)
       val b = java.lang.Math.floorMod(id, B.toLong).toInt // ids may be negative in foreign corpora
       (0 until B).iterator.map { c =>
         (math.min(b, c) * B + math.max(b, c), b, id, v, nrm)
@@ -105,15 +127,13 @@ object Embeddings {
       iter.foreach { case (_, b, id, v, n) =>
         if (b == lo) left += ((id, v, n)) else right += ((id, v, n))
       }
-      def cos(va: Array[Double], vb: Array[Double], na: Double, nb: Double): Double = {
-        var acc = 0L; var j = 0
-        while (j < va.length) { acc += math.floor(va(j) * vb(j) * S + 0.5).toLong; j += 1 }
-        (acc.toDouble / S) / (na * nb)
-      }
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
       def emit(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Unit = {
-        val c = cos(a._2, b._2, a._3, b._3)
-        if (c >= t) out += ((math.min(a._1, b._1), math.max(a._1, b._1), c))
+        val c = fpCos(a._2, b._2, a._3, b._3)
+        // NaN (zero-norm vector) passes: SQL comparisons rank NaN above
+        // the threshold in both engines, so the declarative form and the
+        // DuckDB oracle both keep the pair
+        if (c >= t || c.isNaN) out += ((math.min(a._1, b._1), math.max(a._1, b._1), c))
       }
       if (lo == hi) { // diagonal group: all pairs within one block
         var i = 0
@@ -185,7 +205,6 @@ object Embeddings {
         // at memory bandwidth. Per-task memory is one bucket; at 100 TB
         // raise the plane count (buckets shrink exponentially) and/or
         // apply v04's block decomposition inside oversized buckets.
-        val S = ScaleD
         val ds = based(s, dir).as[(Long, Array[Double])]
         def bucketOf(v: Array[Double]): Long =
           ((if (v(0) >= 0.0) 8 else 0) + (if (v(1) >= 0.0) 4 else 0)
@@ -196,29 +215,23 @@ object Embeddings {
             val n = items.length
             val norms = new Array[Double](n)
             var i = 0
-            while (i < n) {
-              val v = items(i)._2
-              var acc = 0L; var d = 0
-              while (d < v.length) { acc += math.floor(v(d) * v(d) * S + 0.5).toLong; d += 1 }
-              norms(i) = math.sqrt(acc.toDouble / S)
-              i += 1
-            }
+            while (i < n) { norms(i) = fpNorm(items(i)._2); i += 1 }
             val K = 3
             items.indices.iterator.flatMap { qi =>
               val (qid, qv) = items(qi)
-              // bounded top-K by (cosine desc, neighbor_id asc) — exactly
-              // the row_number ordering of the declarative form
+              // bounded top-K by (cosine desc, neighbor_id asc) under SQL
+              // ordering (NaN ranks first) — exactly the row_number
+              // ordering of the declarative form
               val topC = new Array[Double](K); val topI = new Array[Long](K)
               var filled = 0
               var ci = 0
               while (ci < n) {
                 if (ci != qi) {
                   val (cid, cv) = items(ci)
-                  var acc = 0L; var d = 0
-                  while (d < qv.length) { acc += math.floor(qv(d) * cv(d) * S + 0.5).toLong; d += 1 }
-                  val cos = (acc.toDouble / S) / (norms(qi) * norms(ci))
+                  val cos = fpCos(qv, cv, norms(qi), norms(ci))
                   var p = 0
-                  while (p < filled && !(cos > topC(p) || (cos == topC(p) && cid < topI(p)))) p += 1
+                  while (p < filled && !(sqlGt(cos, topC(p)) ||
+                    ((cos == topC(p) || (cos.isNaN && topC(p).isNaN)) && cid < topI(p)))) p += 1
                   if (p < K) {
                     var q = math.min(filled, K - 1)
                     while (q > p) { topC(q) = topC(q - 1); topI(q) = topI(q - 1); q -= 1 }
@@ -354,9 +367,11 @@ object Embeddings {
         val cnorm = comps.groupBy($"label")
           .agg(sqrt(sum(floor(($"m" * $"m") * lit(ScaleD) + lit(0.5))).cast("double") / lit(ScaleD))
             .as("cn"))
-        // ascending label order ⇒ strict-greater replacement keeps the
-        // smallest cell on cosine ties — identical to the declarative
-        // row_number ordering (ccos DESC, cell ASC) the oracle uses
+        // ascending label order ⇒ strict-greater replacement (under SQL
+        // ordering, where NaN ranks first) keeps the smallest cell on
+        // cosine ties — identical to the declarative row_number ordering
+        // (ccos DESC, cell ASC) the oracle uses, including for zero-norm
+        // vectors whose every cell cosine is 0/0 = NaN
         val model = cents.join(cnorm, "label")
           .select($"label", $"cv", $"cn").as[(Long, Array[Double], Double)]
           .collect().sortBy(_._1)
@@ -365,14 +380,12 @@ object Embeddings {
           .mapPartitions { it =>
             val cs = bcModel.value
             it.map { case (id, v, nrm) =>
-              var best = Long.MinValue; var bestC = Double.NegativeInfinity
+              var best = Long.MinValue; var bestC = Double.NegativeInfinity; var any = false
               var ci = 0
               while (ci < cs.length) {
                 val (label, cv, cn) = cs(ci)
-                var acc = 0L; var j = 0
-                while (j < v.length) { acc += math.floor(v(j) * cv(j) * S + 0.5).toLong; j += 1 }
-                val c = (acc.toDouble / S) / (nrm * cn)
-                if (c > bestC) { bestC = c; best = label }
+                val c = fpCos(v, cv, nrm, cn)
+                if (!any || sqlGt(c, bestC)) { bestC = c; best = label; any = true }
                 ci += 1
               }
               (id, best)

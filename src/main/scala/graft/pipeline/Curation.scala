@@ -74,6 +74,14 @@ object Curation {
   */
 object NearDup {
 
+  /** Hot-shingle probe results per retained shingle handle (the handle
+    * is reference-stable across plan-matched calls; CacheRegistry holds
+    * it strongly while relevant). Weak key: once the registry releases a
+    * handle (unpersistAll / session end) the memo entry is GC-reclaimed
+    * and a fresh handle re-probes. */
+  private val probeMemo =
+    new java.util.WeakHashMap[DataFrame, scala.collection.mutable.Map[Long, Boolean]]()
+
   /** doc_id + distinct 3-word shingles. */
   def shingled(docs: DataFrame): DataFrame =
     docs
@@ -111,13 +119,25 @@ object NearDup {
     // rewrite costs an extra anti-join shuffle plus a per-doc re-count,
     // so it only engages when a hot shingle EXISTS — the common clean
     // corpus keeps the plain plan (sizes as an array-length projection,
-    // no second shuffle). A/B at sf0.1: 1.7 s vs 3.2 s warm.
-    val hasHot = hot.limit(1).count() > 0
+    // no second shuffle). A/B at sf0.1: 1.7 s vs 3.2 s warm. The probe
+    // result is memoized against the retained shingle handle (reference-
+    // stable across plan-matched calls), so d02/d05/curate in one
+    // session pay it once, preserving the pair-cache reuse economics.
+    val hasHot = probeMemo.synchronized {
+      var caps = probeMemo.get(sh)
+      if (caps == null) {
+        caps = scala.collection.mutable.Map.empty[Long, Boolean]
+        probeMemo.put(sh, caps)
+      }
+      caps.getOrElseUpdate(maxShingleDf, hot.limit(1).count() > 0)
+    }
     val (ex, sizes) =
       if (!hasHot)
         (ex0, sh.select($"doc_id", size($"shingles").cast("long").as("n")))
       else {
-        val h = hot.cache() // tiny by construction: each entry carries df > cap
+        // tiny by construction (each entry carries df > cap) — retained
+        // under registry ownership like every other session-lived cache
+        val h = graft.CacheRegistry.retain("neardup.hotshingles", hot)
         val exCapped = ex0.join(broadcast(h), Seq("shingle"), "left_anti")
         // per-doc sizes over the CAPPED universe (arrays are distinct, so
         // the count equals the array size minus its hot members)

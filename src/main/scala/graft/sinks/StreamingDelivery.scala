@@ -52,13 +52,22 @@ object StreamingDelivery {
         val deliveredRows =
           if (!spark.catalog.tableExists(s"$database.$table")) -1L
           else spark.table(qualified).filter(col(BatchIdCol) === batchId).count()
-        if (deliveredRows < 0L || deliveredRows == 0L)
+        if (deliveredRows < 0L || deliveredRows == 0L) {
           // partitioned by the ledger column: the probe above prunes to a
           // directory listing instead of scanning the table, and a batch's
-          // rows land in exactly one partition directory
-          snap.withColumn(BatchIdCol, lit(batchId))
+          // rows land in exactly one partition directory. An EXISTING
+          // table keeps whatever layout it has — appending with a
+          // partition spec that differs from the table's is an
+          // AnalysisException, which would wedge delivery into tables
+          // created before partitioning (or by other writers).
+          val usePartitioning =
+            if (deliveredRows < 0L) true
+            else spark.catalog.listColumns(s"$database.$table")
+              .collect().exists(c => c.isPartition && c.name == BatchIdCol)
+          val w = snap.withColumn(BatchIdCol, lit(batchId))
             .write.mode(SaveMode.Append).format("parquet")
-            .partitionBy(BatchIdCol).saveAsTable(qualified)
+          (if (usePartitioning) w.partitionBy(BatchIdCol) else w).saveAsTable(qualified)
+        }
         else {
           // batchId matching is only sound while batch boundaries
           // reproduce — true for crash-replay under ONE checkpoint

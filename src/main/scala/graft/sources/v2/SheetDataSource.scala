@@ -78,7 +78,13 @@ object SheetDataSource {
       colOffsets: Seq[Int],
       dataStartRow: Long,
       endRow: Option[Long],
-      schema: StructType) extends Serializable
+      schema: StructType) extends Serializable {
+    /** A real data column named `_sheet_row` shadows the metadata column
+      * everywhere — table surface, filter pushdown, reader — so the
+      * shadow decision lives HERE, once (schema names are stored exactly
+      * as promoted, so exact match is the right test). */
+    def rowColIsData: Boolean = schema.fieldNames.contains(RowCol)
+  }
 
   /** resolve() is memoized on (options, file mtime+size): Spark calls
     * inferSchema and getTable separately per load, which would otherwise
@@ -204,7 +210,7 @@ final class SheetTable(spec: SheetDataSource.SheetSpec) extends Table
   // metadata column entirely (no row pushdown either): the data column
   // must keep data semantics.
   override def metadataColumns(): Array[MetadataColumn] =
-    if (spec.schema.fieldNames.contains(SheetDataSource.RowCol)) Array.empty
+    if (spec.rowColIsData) Array.empty
     else Array(SheetDataSource.SheetRowColumn)
 }
 
@@ -227,11 +233,7 @@ final class SheetScanBuilder(spec: SheetDataSource.SheetSpec)
   private def lower(v: Long): Unit = startRow = math.max(startRow, v)
   private def upper(v: Long): Unit = endRow = Some(endRow.fold(v)(math.min(_, v)))
 
-  // a real data column named _sheet_row shadows the metadata column:
-  // its filters are ordinary data predicates, never scan-window bounds
-  private val rowColIsData = spec.schema.fieldNames.contains(SheetDataSource.RowCol)
-
-  private def accept(f: Filter): Boolean = if (rowColIsData) false else f match {
+  private def accept(f: Filter): Boolean = if (spec.rowColIsData) false else f match {
     case GreaterThan(SheetDataSource.RowCol, v: Number) => lower(v.longValue + 1); true
     case GreaterThanOrEqual(SheetDataSource.RowCol, v: Number) => lower(v.longValue); true
     case LessThan(SheetDataSource.RowCol, v: Number) => upper(v.longValue - 1); true
@@ -279,9 +281,9 @@ final class SheetReader(spec: SheetDataSource.SheetSpec, required: StructType)
   extends PartitionReader[InternalRow] {
 
   // -1 marks the _sheet_row metadata field; a DATA column of that name
-  // takes precedence (the metadata column is shadowed, see SheetTable)
+  // takes precedence (the metadata column is shadowed, see SheetSpec)
   private val fieldIdx: Array[Int] = required.fieldNames.map {
-    case SheetDataSource.RowCol if !spec.schema.fieldNames.contains(SheetDataSource.RowCol) => -1
+    case SheetDataSource.RowCol if !spec.rowColIsData => -1
     case n => spec.schema.fieldIndex(n)
   }
   private val rows = SheetDataSource.readRows(spec.path).iterator.zipWithIndex

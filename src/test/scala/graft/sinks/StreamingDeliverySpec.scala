@@ -55,6 +55,19 @@ class StreamingDeliverySpec extends SparkSpec {
     assert(ids == Seq(0L, 1L), s"unexpected batch ids: $ids")
   }
 
+  test("delivery appends into a pre-existing unpartitioned ledger table") {
+    val srcDir = mkSource
+    // a table created before partitioned delivery existed (or by another
+    // writer): appends must adopt ITS layout, not crash on a spec mismatch
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    Seq((99L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 1L, "click", 0.5, 999L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", StreamingDelivery.BatchIdCol)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"`$db`.`events_legacy`")
+    replay(srcDir, "events_legacy")
+    assert(spark.table(s"`$db`.`events_legacy`").count() == 5L,
+      "1 legacy row + 4 delivered rows")
+  }
+
   test("checkpoint reset over a grown source fails loudly instead of losing rows") {
     val srcDir = mkSource
     replay(srcDir, "events_grown")
