@@ -167,17 +167,21 @@ object NearDup {
     * labels (which would leak near-duplicates through Curation and
     * contaminate train/test splits).
     *
-    * Per-round cost is ONE job: the convergence signal rides a
-    * LongAccumulator filled while the round's labels materialize into
-    * cache, instead of a separate compare-join + count job. (A task retry
-    * can over-count the accumulator; that can only turn "converged" into
-    * "one more no-op round", never the reverse — the loop still exits on
-    * the next genuinely-unchanged round.) Every 10 rounds the cached
-    * frame is `localCheckpoint`ed to truncate the logical plan, which
-    * otherwise grows linearly with rounds and makes late-round analysis
-    * quadratic on deep-diameter graphs; superseded checkpoint RDDs go
-    * unreachable a round later and the ContextCleaner reclaims them.
-    * Intermediate per-round caches are unpersisted as soon as superseded.
+    * Per-round cost is ONE job: each round's labels materialize through
+    * an EAGER `localCheckpoint`, and the convergence signal rides a
+    * LongAccumulator filled during that materialization — no separate
+    * compare-join + count job. (A task retry can over-count the
+    * accumulator; that can only turn "converged" into "one more no-op
+    * round", never the reverse — the loop still exits on the next
+    * genuinely-unchanged round.) The checkpoint each round is
+    * load-bearing, not hygiene: the round's plan references `labels`
+    * twice (propagation join + carry-through), so an uncheckpointed
+    * lineage DOUBLES per round — at diameter ~15 the 2^15-node plan
+    * OOMs Spark's own plan-string rendering before any result is wrong
+    * (caught by the deep-chain spec). Checkpointing flattens each round
+    * to a LogicalRDD; superseded checkpoint RDDs go unreachable a round
+    * later and the ContextCleaner reclaims them (each holds only the
+    * near-dup id set — tiny).
     */
   def clusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
@@ -202,13 +206,10 @@ object NearDup {
           it.map { case (id, l, o) => if (l != o) acc.add(1L); (id, l) }
         }
         .toDF("id", "label")
-        .cache()
-      next.count() // one job: materializes the cache AND fills the accumulator
+        .localCheckpoint() // eager: ONE job materializes, fills the accumulator, flattens lineage
       changed = acc.value > 0
-      labels.unpersist(blocking = false)
-      labels =
-        if (iter % 10 == 9) { val chk = next.localCheckpoint(); next.unpersist(blocking = false); chk }
-        else next
+      labels.unpersist(blocking = false) // round-0 cache; no-op for checkpointed rounds
+      labels = next
       iter += 1
     }
     val out = labels.select($"id".as("doc_id"), $"label".as("cluster_id")).cache()

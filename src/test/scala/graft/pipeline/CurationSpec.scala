@@ -72,6 +72,25 @@ class CurationSpec extends SparkSpec {
     assert(capped.contains((3L, 4L)), "genuine near-dups survive the cap")
   }
 
+  test("CC clustering converges on a deep chain (exercises the checkpoint path)") {
+    // doc i = 10 consecutive words starting at 2i from a unique-word
+    // stream: adjacent docs share 6 of their 8 shingles (J = 6/10 = 0.6),
+    // docs two apart share 4 of 8 (J = 4/12 = 0.33 < 0.5) — a PATH graph.
+    // 16 docs → diameter 15 → min-label propagation needs ~15 rounds,
+    // crossing the every-10-rounds localCheckpoint lineage truncation.
+    val nDocs = 16
+    val words = (0 until 2 * nDocs + 10).map(i => s"w$i")
+    val chain = (0 until nDocs).map { i =>
+      (i.toLong + 100L, words.slice(2 * i, 2 * i + 10).mkString(" "))
+    }.toDF("doc_id", "text")
+    graft.CacheRegistry.unpersistAll() // isolate from other suites' memos
+    val out = NearDup.clusters(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size == nDocs, "every chained doc lands in the graph")
+    assert(out.values.toSet == Set(100L), "one component, labeled by its min doc_id")
+    graft.CacheRegistry.unpersistAll()
+  }
+
   test("CacheRegistry retains once per plan and unpersistAll releases") {
     graft.CacheRegistry.unpersistAll()
     val before = graft.CacheRegistry.entries.size
