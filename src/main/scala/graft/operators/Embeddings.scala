@@ -154,6 +154,80 @@ object Embeddings {
     }.toDF("doc_a", "doc_b", "cosine")
   }
 
+  /** Parameterized all-pairs ANN: approximate top-`k` cosine neighbors
+    * for EVERY vector. Sign-LSH over the first `planes` dimensions keys
+    * the search buckets (data-independent — no training pass); with
+    * `multiProbe` each query ALSO probes the `planes` buckets at Hamming
+    * distance 1 from its own code, which recovers most neighbors lost to
+    * a single near-zero coordinate flipping one bit — the standard
+    * recall knob when raising the plane count shrinks buckets faster
+    * than recall can stand. Corpus rows live in exactly ONE bucket and
+    * only query rows replicate (×(planes+1)), so a (query, candidate)
+    * pair is generated at most once and the final per-query rank needs
+    * no dedup. Execution is the v02 shape: bucket-keyed cogroup, a
+    * primitive top-k kernel per bucket, then one global
+    * row_number ≤ k (Spark's WindowGroupLimit keeps that partial).
+    * Returns (query_id, rnk, neighbor_id, cosine).
+    *
+    * This is the library entry point behind the fixed catalog queries:
+    * v02 pins (4 planes, no probe) under a DuckDB oracle, v06 is the
+    * IVF alternative; recall is spec-gated against brute force in
+    * EmbeddingsSpec rather than oracled (approximate by design).
+    */
+  def annTopK(vectors: DataFrame, k: Int, planes: Int = 4,
+      multiProbe: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(planes > 0 && planes <= 16, s"planes must be in 1..16, got $planes")
+    val session = vectors.sparkSession
+    import session.implicits._
+    val P = planes
+    def code(v: Array[Double]): Int = {
+      var c = 0; var p = 0
+      while (p < P) { if (v(p) >= 0.0) c |= (1 << p); p += 1 }
+      c
+    }
+    val base = vectors.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
+    val corpus = base.map { case (id, v) => (code(v), id, v, fpNorm(v)) }
+    val queries = base.flatMap { case (id, v) =>
+      val c = code(v); val n = fpNorm(v)
+      val probes = if (multiProbe) Iterator(c) ++ (0 until P).iterator.map(p => c ^ (1 << p))
+        else Iterator(c)
+      probes.map(pb => (pb, id, v, n))
+    }
+    val K = k
+    val scored = queries.groupByKey(_._1).cogroup(corpus.groupByKey(_._1)) { (_, qs, cs) =>
+      val cand = cs.toArray
+      qs.flatMap { case (_, qid, qv, qn) =>
+        val topC = new Array[Double](K); val topI = new Array[Long](K)
+        var filled = 0
+        var ci = 0
+        while (ci < cand.length) {
+          val (_, cid, cv, cn) = cand(ci)
+          if (cid != qid) {
+            val cos = fpCos(qv, cv, qn, cn)
+            var p = 0
+            while (p < filled && !(sqlGt(cos, topC(p)) ||
+              ((cos == topC(p) || (cos.isNaN && topC(p).isNaN)) && cid < topI(p)))) p += 1
+            if (p < K) {
+              var q = math.min(filled, K - 1)
+              while (q > p) { topC(q) = topC(q - 1); topI(q) = topI(q - 1); q -= 1 }
+              topC(p) = cos; topI(p) = cid
+              if (filled < K) filled += 1
+            }
+          }
+          ci += 1
+        }
+        (0 until filled).iterator.map(r => (qid, topI(r), topC(r)))
+      }
+    }.toDF("query_id", "neighbor_id", "cosine")
+    // merge the ≤ probesPerQuery per-bucket top-k lists into one rank
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= K)
+      .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef("v01_similarity_topk",

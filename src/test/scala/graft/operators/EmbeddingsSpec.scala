@@ -34,6 +34,41 @@ class EmbeddingsSpec extends SparkSpec {
       "planted exact duplicate must surface")
   }
 
+  test("annTopK: multi-probe lifts recall toward brute force") {
+    val spark0 = spark
+    import spark0.implicits._
+    val k = 10
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"),
+        $"embedding".cast("array<double>").as("v"))
+    // driver-side ground truth (500 vectors at sf0.001), same fixed-point
+    // arithmetic and (cosine desc, id asc) order as the operator
+    val all = vecs.as[(Long, Array[Double])].collect()
+    val norms = all.map { case (id, v) => id -> Embeddings.fpNorm(v) }.toMap
+    val truth: Map[Long, Set[Long]] = all.map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, Embeddings.fpCos(qv, cv, norms(qid), norms(cid))) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(k).map(_._1).toSet
+    }.toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val hits = all.map { case (id, _) =>
+        got.getOrElse(id, Set.empty[Long]).intersect(truth(id)).size
+      }.sum
+      hits.toDouble / (all.length * k)
+    }
+    val r1 = recall(Embeddings.annTopK(vecs, k, planes = 4))
+    val rM = recall(Embeddings.annTopK(vecs, k, planes = 4, multiProbe = true))
+    info(f"recall single-probe $r1%.3f, multi-probe $rM%.3f")
+    // deterministic on the fixture: measured 0.129 single vs 0.475 multi —
+    // pinned with margin (axis-aligned 4-plane LSH on 64-dim embeddings is
+    // WEAK by construction; the point is the probe's 3-4x lift)
+    assert(rM >= r1, "multi-probe recall must not be below single-probe")
+    assert(rM >= 2 * r1, "Hamming-1 probing should roughly triple recall here")
+    assert(rM >= 0.4 && r1 >= 0.1)
+  }
+
   test("v01 top-k: 10 ranked neighbors per query, cosine bounded and descending") {
     val rows = Catalog.byName("v01_similarity_topk").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
