@@ -27,5 +27,13 @@ class EngineSpec extends SparkSpec {
     assert(spark.table("g_sheets.engine_t1").count() == 2)
     // second cycle: job is no longer due (Refresh Now cleared, no interval)
     assert(engine.pollOnce() == 0)
+
+    // close() is the session-teardown hook for engine-retained caches
+    import spark.implicits._
+    graft.pipeline.NearDup.pairs(
+      Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")).count()
+    assert(CacheRegistry.entries.nonEmpty, "near-dup machinery retains caches")
+    engine.close()
+    assert(CacheRegistry.entries.isEmpty, "Engine.close releases every retained cache")
   }
 }

@@ -40,4 +40,30 @@ class PlanRegressionSpec extends SparkSpec {
     val p = planOf("e01_json_extract_agg")
     assert(!p.contains("user_id"), "e01 scan should prune user_id")
   }
+
+  test("v01: rank-filter top-k runs as partial WindowGroupLimit, not a full sort") {
+    // Spark's InferWindowGroupLimit must keep firing on the row_number +
+    // rnk <= k shape — losing it (e.g. by renaming through a projection
+    // it can't see through) silently turns top-k into a full window sort
+    val p = planOf("v01_similarity_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("v04: the dense all-pairs kernel never plans a nested-loop join or collect") {
+    val p = planOf("v04_cosine_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "v04 must use the block self-join kernel, not a BNLJ")
+    assert(!p.contains("CartesianProduct"), "no cartesian product in v04")
+    assert(p.contains("FlatMapGroups") || p.contains("MapGroups"),
+      "block-pair kernel missing from the plan")
+  }
+
+  test("v02: bucket kernel plans exactly one shuffle") {
+    val p = planOf("v02_ann_bucketed")
+    // the groupByKey on the bucket is the only exchange before the final
+    // global orderBy (range exchange) — a regression to the self-join
+    // form would add join exchanges
+    val exchanges = "ShuffleExchange|Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n${p.take(3000)}")
+  }
 }
