@@ -77,6 +77,26 @@ object Embeddings {
   private[operators] def sqlGt(a: Double, b: Double): Boolean =
     if (a.isNaN) !b.isNaN else !b.isNaN && a > b
 
+  /** Bounded top-k insertion under (score desc, id asc) SQL ordering —
+    * the ranking contract shared by the v02 kernel and [[annTopK]] (one
+    * implementation, so an ordering tweak cannot de-synchronize them). */
+  private[operators] final class TopKBuffer(k: Int) {
+    val scores = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var filled = 0
+    def insert(score: Double, id: Long): Unit = {
+      var p = 0
+      while (p < filled && !(sqlGt(score, scores(p)) ||
+        ((score == scores(p) || (score.isNaN && scores(p).isNaN)) && id < ids(p)))) p += 1
+      if (p < k) {
+        var q = math.min(filled, k - 1)
+        while (q > p) { scores(q) = scores(q - 1); ids(q) = ids(q - 1); q -= 1 }
+        scores(p) = score; ids(p) = id
+        if (filled < k) filled += 1
+      }
+    }
+  }
+
   private val NormSql =
     s"sqrt(CAST(aggregate(v, CAST(0 AS BIGINT), " +
       s"(acc, x) -> acc + CAST(FLOOR((x*x) * $Scale + 0.5) AS BIGINT)) AS DOUBLE) / $Scale)"
@@ -164,14 +184,18 @@ object Embeddings {
     * than recall can stand. Corpus rows live in exactly ONE bucket and
     * only query rows replicate (×(planes+1)), so a (query, candidate)
     * pair is generated at most once and the final per-query rank needs
-    * no dedup. Execution is the v02 shape: bucket-keyed cogroup, a
-    * primitive top-k kernel per bucket, then one global
-    * row_number ≤ k (Spark's WindowGroupLimit keeps that partial).
+    * no dedup. Execution: the source is scanned ONCE into an eagerly
+    * materialized tagged frame (code + norm per row, `localCheckpoint` —
+    * its storage lives exactly as long as the returned frame's plan),
+    * both cogroup sides read that frame, a primitive top-k kernel runs
+    * per bucket, then one global row_number ≤ k (Spark's
+    * WindowGroupLimit keeps that partial).
     * Returns (query_id, rnk, neighbor_id, cosine).
     *
-    * This is the library entry point behind the fixed catalog queries:
-    * v02 pins (4 planes, no probe) under a DuckDB oracle, v06 is the
-    * IVF alternative; recall is spec-gated against brute force in
+    * Relation to the catalog: v02 pins the same bucket-kernel SHAPE
+    * (4 sign planes, no probing, its own bit numbering and bucket
+    * output column) under a DuckDB oracle; v06 is the IVF alternative.
+    * annTopK itself is recall-gated against brute force in
     * EmbeddingsSpec rather than oracled (approximate by design).
     */
   def annTopK(vectors: DataFrame, k: Int, planes: Int = 4,
@@ -182,42 +206,32 @@ object Embeddings {
     import session.implicits._
     val P = planes
     def code(v: Array[Double]): Int = {
+      if (v.length < P)
+        throw new IllegalArgumentException(
+          s"annTopK: vector has ${v.length} dims but planes=$P — lower `planes`")
       var c = 0; var p = 0
       while (p < P) { if (v(p) >= 0.0) c |= (1 << p); p += 1 }
       c
     }
     val base = vectors.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
-    val corpus = base.map { case (id, v) => (code(v), id, v, fpNorm(v)) }
-    val queries = base.flatMap { case (id, v) =>
-      val c = code(v); val n = fpNorm(v)
-      val probes = if (multiProbe) Iterator(c) ++ (0 until P).iterator.map(p => c ^ (1 << p))
-        else Iterator(c)
-      probes.map(pb => (pb, id, v, n))
-    }
+    val tagged = base.map { case (id, v) => (code(v), id, v, fpNorm(v)) }.localCheckpoint()
+    val queries =
+      if (!multiProbe) tagged
+      else tagged.flatMap { case (c, id, v, n) =>
+        (Iterator(c) ++ (0 until P).iterator.map(p => c ^ (1 << p))).map(pb => (pb, id, v, n))
+      }
     val K = k
-    val scored = queries.groupByKey(_._1).cogroup(corpus.groupByKey(_._1)) { (_, qs, cs) =>
+    val scored = queries.groupByKey(_._1).cogroup(tagged.groupByKey(_._1)) { (_, qs, cs) =>
       val cand = cs.toArray
       qs.flatMap { case (_, qid, qv, qn) =>
-        val topC = new Array[Double](K); val topI = new Array[Long](K)
-        var filled = 0
+        val top = new TopKBuffer(K)
         var ci = 0
         while (ci < cand.length) {
           val (_, cid, cv, cn) = cand(ci)
-          if (cid != qid) {
-            val cos = fpCos(qv, cv, qn, cn)
-            var p = 0
-            while (p < filled && !(sqlGt(cos, topC(p)) ||
-              ((cos == topC(p) || (cos.isNaN && topC(p).isNaN)) && cid < topI(p)))) p += 1
-            if (p < K) {
-              var q = math.min(filled, K - 1)
-              while (q > p) { topC(q) = topC(q - 1); topI(q) = topI(q - 1); q -= 1 }
-              topC(p) = cos; topI(p) = cid
-              if (filled < K) filled += 1
-            }
-          }
+          if (cid != qid) top.insert(fpCos(qv, cv, qn, cn), cid)
           ci += 1
         }
-        (0 until filled).iterator.map(r => (qid, topI(r), topC(r)))
+        (0 until top.filled).iterator.map(r => (qid, top.ids(r), top.scores(r)))
       }
     }.toDF("query_id", "neighbor_id", "cosine")
     // merge the ≤ probesPerQuery per-bucket top-k lists into one rank
@@ -295,28 +309,15 @@ object Embeddings {
               val (qid, qv) = items(qi)
               // bounded top-K by (cosine desc, neighbor_id asc) under SQL
               // ordering (NaN ranks first) — exactly the row_number
-              // ordering of the declarative form
-              val topC = new Array[Double](K); val topI = new Array[Long](K)
-              var filled = 0
+              // ordering of the declarative form; shared TopKBuffer
+              val top = new TopKBuffer(K)
               var ci = 0
               while (ci < n) {
-                if (ci != qi) {
-                  val (cid, cv) = items(ci)
-                  val cos = fpCos(qv, cv, norms(qi), norms(ci))
-                  var p = 0
-                  while (p < filled && !(sqlGt(cos, topC(p)) ||
-                    ((cos == topC(p) || (cos.isNaN && topC(p).isNaN)) && cid < topI(p)))) p += 1
-                  if (p < K) {
-                    var q = math.min(filled, K - 1)
-                    while (q > p) { topC(q) = topC(q - 1); topI(q) = topI(q - 1); q -= 1 }
-                    topC(p) = cos; topI(p) = cid
-                    if (filled < K) filled += 1
-                  }
-                }
+                if (ci != qi) top.insert(fpCos(qv, items(ci)._2, norms(qi), norms(ci)), items(ci)._1)
                 ci += 1
               }
-              (0 until filled).iterator.map { r =>
-                (qid, (r + 1).toLong, topI(r), bkt, topC(r))
+              (0 until top.filled).iterator.map { r =>
+                (qid, (r + 1).toLong, top.ids(r), bkt, top.scores(r))
               }
             }
           }
@@ -427,7 +428,6 @@ object Embeddings {
         // mapPartitions pass with a primitive argmax kernel. A
         // crossJoin + interpreted HOF fold + per-vector row_number window
         // would shuffle n×#cells rows to do the same arithmetic.
-        val S = ScaleD
         val base = based(s, dir)
           .withColumn("nrm", expr(NormSql))
           .join(tbl(s, dir, "embeddings")

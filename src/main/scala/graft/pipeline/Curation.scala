@@ -123,13 +123,21 @@ object NearDup {
     // result is memoized against the retained shingle handle (reference-
     // stable across plan-matched calls), so d02/d05/curate in one
     // session pay it once, preserving the pair-cache reuse economics.
-    val hasHot = probeMemo.synchronized {
-      var caps = probeMemo.get(sh)
-      if (caps == null) {
-        caps = scala.collection.mutable.Map.empty[Long, Boolean]
-        probeMemo.put(sh, caps)
+    // read-probe-write, with the Spark job OUTSIDE the lock: holding a
+    // JVM-global monitor across a cluster job would serialize concurrent
+    // pairs() callers (racing threads may probe twice — harmless)
+    val memoized = probeMemo.synchronized(
+      Option(probeMemo.get(sh)).flatMap(_.get(maxShingleDf)))
+    val hasHot = memoized.getOrElse {
+      val probed = hot.limit(1).count() > 0
+      probeMemo.synchronized {
+        var caps = probeMemo.get(sh)
+        if (caps == null) {
+          caps = scala.collection.mutable.Map.empty[Long, Boolean]
+          probeMemo.put(sh, caps)
+        }
+        caps.getOrElseUpdate(maxShingleDf, probed)
       }
-      caps.getOrElseUpdate(maxShingleDf, hot.limit(1).count() > 0)
     }
     val (ex, sizes) =
       if (!hasHot)
@@ -167,21 +175,24 @@ object NearDup {
     * labels (which would leak near-duplicates through Curation and
     * contaminate train/test splits).
     *
-    * Per-round cost is ONE job: each round's labels materialize through
-    * an EAGER `localCheckpoint`, and the convergence signal rides a
-    * LongAccumulator filled during that materialization — no separate
-    * compare-join + count job. (A task retry can over-count the
-    * accumulator; that can only turn "converged" into "one more no-op
-    * round", never the reverse — the loop still exits on the next
-    * genuinely-unchanged round.) The checkpoint each round is
-    * load-bearing, not hygiene: the round's plan references `labels`
-    * twice (propagation join + carry-through), so an uncheckpointed
-    * lineage DOUBLES per round — at diameter ~15 the 2^15-node plan
-    * OOMs Spark's own plan-string rendering before any result is wrong
-    * (caught by the deep-chain spec). Checkpointing flattens each round
-    * to a LogicalRDD; superseded checkpoint RDDs go unreachable a round
-    * later and the ContextCleaner reclaims them (each holds only the
-    * near-dup id set — tiny).
+    * Per-round cost is ONE job: the convergence signal rides a
+    * LongAccumulator filled while the round's labels materialize into
+    * cache — no separate compare-join + count job. (A task retry can
+    * over-count the accumulator; that can only turn "converged" into
+    * "one more no-op round", never the reverse — the loop still exits
+    * on the next genuinely-unchanged round.)
+    *
+    * Each round's LOGICAL plan is re-rooted on the round's RDD
+    * (`createDataFrame(plan.rdd, schema)`): the round plan references
+    * `labels` twice (propagation join + carry-through), so a chained
+    * logical lineage DOUBLES per round — at diameter ~15 the 2^15-node
+    * plan OOMs Spark's own plan-string rendering before any result is
+    * wrong (caught by the deep-chain spec). Re-rooting keeps every
+    * round's plan flat while the RDD lineage stays LINEAR, and —
+    * unlike `localCheckpoint`, whose storage only frees via the
+    * ContextCleaner after a driver GC — the plain cache keeps at most
+    * two label sets persisted at once (current + next, the superseded
+    * one eagerly unpersisted).
     */
   def clusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
@@ -198,7 +209,7 @@ object NearDup {
       val prop = edges.join(labels, $"dst" === $"id")
         .groupBy($"src").agg(min($"label").as("nl"))
       val acc = spark.sparkContext.longAccumulator(s"neardup-cc-changes-$iter")
-      val next = labels.join(prop, $"id" === $"src", "left")
+      val roundPlan = labels.join(prop, $"id" === $"src", "left")
         .select($"id", least($"label", coalesce($"nl", $"label")).as("label"),
           $"label".as("old"))
         .as[(Long, Long, Long)]
@@ -206,9 +217,12 @@ object NearDup {
           it.map { case (id, l, o) => if (l != o) acc.add(1L); (id, l) }
         }
         .toDF("id", "label")
-        .localCheckpoint() // eager: ONE job materializes, fills the accumulator, flattens lineage
+      // flat logical root over the round's RDD (see scaladoc), cached +
+      // counted: ONE job materializes and fills the accumulator
+      val next = spark.createDataFrame(roundPlan.rdd, roundPlan.schema).cache()
+      next.count()
       changed = acc.value > 0
-      labels.unpersist(blocking = false) // round-0 cache; no-op for checkpointed rounds
+      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }

@@ -51,7 +51,18 @@ object StreamingDelivery {
         val qualified = s"`$database`.`$table`"
         val deliveredRows =
           if (!spark.catalog.tableExists(s"$database.$table")) -1L
-          else spark.table(qualified).filter(col(BatchIdCol) === batchId).count()
+          else {
+            val existing = spark.table(qualified)
+            // a foreign table without the ledger column can't support
+            // idempotent delivery at all — fail with a clear message
+            // instead of an unresolved-column error on every batch
+            if (!existing.columns.contains(BatchIdCol))
+              throw new IllegalStateException(
+                s"$qualified exists but has no $BatchIdCol ledger column — " +
+                  "streaming delivery cannot be idempotent into it; " +
+                  "deliver to a fresh table or add the column")
+            existing.filter(col(BatchIdCol) === batchId).count()
+          }
         if (deliveredRows < 0L || deliveredRows == 0L) {
           // partitioned by the ledger column: the probe above prunes to a
           // directory listing instead of scanning the table, and a batch's

@@ -76,8 +76,10 @@ class CurationSpec extends SparkSpec {
     // doc i = 10 consecutive words starting at 2i from a unique-word
     // stream: adjacent docs share 6 of their 8 shingles (J = 6/10 = 0.6),
     // docs two apart share 4 of 8 (J = 4/12 = 0.33 < 0.5) — a PATH graph.
-    // 16 docs → diameter 15 → min-label propagation needs ~15 rounds,
-    // crossing the every-10-rounds localCheckpoint lineage truncation.
+    // 16 docs → diameter 15 → ~15 propagation rounds: enough that a
+    // chained logical lineage (which doubles per round — the round plan
+    // references labels twice) would OOM plan rendering; pins the
+    // per-round flat re-rooting in NearDup.clusters.
     val nDocs = 16
     val words = (0 until 2 * nDocs + 10).map(i => s"w$i")
     val chain = (0 until nDocs).map { i =>

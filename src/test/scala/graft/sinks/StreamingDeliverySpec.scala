@@ -91,6 +91,24 @@ class StreamingDeliverySpec extends SparkSpec {
       s"expected ledger-mismatch error, got: ${messages(e)}")
   }
 
+  test("a foreign table without the ledger column fails with a clear error") {
+    val srcDir = mkSource
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    Seq((1L, "x")).toDF("id", "v")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"`$db`.`no_ledger`")
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val q = StreamingDelivery.startToWarehouse(
+      src, "no_ledger", Files.createTempDirectory("sdcp").toString, database = db)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("ledger column")),
+      s"expected missing-ledger error, got: ${messages(e)}")
+  }
+
   test("destination identifiers are validated before any SQL runs") {
     val srcDir = mkSource
     val src = spark.readStream
