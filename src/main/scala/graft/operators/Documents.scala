@@ -382,6 +382,79 @@ object Documents {
                 len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und'))) AS de,
                 len(list_filter(toks, x -> x IN ('el', 'la', 'los', 'y'))) AS es
               FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents))
-        GROUP BY 1, 2 ORDER BY lang, predicted"""))
+        GROUP BY 1, 2 ORDER BY lang, predicted""")),
+
+    QueryDef("d06_contamination",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Benchmark decontamination: flag corpus docs sharing any 3-word
+        // shingle with a held-out benchmark set (docs with doc_id % 50 == 0
+        // stand in for the benchmark — deterministic, so the oracle can
+        // reproduce the split). The benchmark side is tiny by nature (eval
+        // suites are 1e3-1e5 docs vs a 1e9-doc corpus), so its exploded
+        // shingle set BROADCASTS: the corpus side is scan → map-side hash
+        // join → partial agg, no corpus shuffle before aggregation. The
+        // two COUNT(DISTINCT)s plan as one Expand over the joined rows,
+        // keyed by doc_id — still corpus-partitioned.
+        val sh = graft.pipeline.NearDup.shingled(tbl(s, dir, "documents"))
+          .select($"doc_id", explode($"shingles").as("shingle"))
+        val bench = sh.filter($"doc_id" % 50 === 0)
+          .select($"doc_id".as("bench_id"), $"shingle")
+        sh.filter($"doc_id" % 50 =!= 0)
+          .join(broadcast(bench), "shingle")
+          .groupBy($"doc_id")
+          .agg(countDistinct($"shingle").as("n_shared_shingles"),
+            countDistinct($"bench_id").as("n_bench_docs"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3)
+        SELECT c.doc_id,
+               CAST(COUNT(DISTINCT c.shingle) AS BIGINT) AS n_shared_shingles,
+               CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+        FROM sh c JOIN sh b ON c.shingle = b.shingle
+        WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+        GROUP BY c.doc_id ORDER BY c.doc_id""")),
+
+    QueryDef("t08_repetition",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Gopher-style repetition signal: boilerplate/spam docs repeat
+        // their 2-grams. dup_frac = 1 - distinct/total bigrams; top_share
+        // = the most frequent bigram's share. Two-level aggregate keyed on
+        // (doc_id, bigram) then doc_id — partial aggregation combines
+        // map-side, so the shuffle carries at most one row per distinct
+        // (doc, bigram), never the exploded stream.
+        toked(s, dir)
+          .filter(size($"toks") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(toks)-1), i -> concat_ws(' ', toks[i-1], toks[i]))")).as("bg"))
+          .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("n"))
+          .groupBy($"doc_id")
+          .agg(sum($"n").as("n_bigrams"), count(lit(1)).as("n_uniq"),
+            max($"n").as("top_n"))
+          .select($"doc_id", $"n_bigrams", $"n_uniq", $"top_n",
+            (($"n_bigrams" - $"n_uniq") / $"n_bigrams").as("dup_frac"),
+            ($"top_n" / $"n_bigrams").as("top_share"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, n_bigrams, n_uniq, top_n,
+          (n_bigrams - n_uniq) / n_bigrams AS dup_frac,
+          top_n / n_bigrams AS top_share
+        FROM (
+          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+                 COUNT(*) AS n_uniq, MAX(n) AS top_n
+          FROM (
+            SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bg
+                  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+                  WHERE len(toks) >= 2)
+            GROUP BY doc_id, bg)
+          GROUP BY doc_id)
+        ORDER BY doc_id"""))
   )
 }

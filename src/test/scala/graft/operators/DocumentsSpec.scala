@@ -42,4 +42,49 @@ class DocumentsSpec extends SparkSpec {
     val total = out.agg(sum("n_copies")).collect()(0).getLong(0)
     assert(total == docs.count(), "copies partition the corpus")
   }
+
+  /** Write a planted documents table to a temp dir shaped like a test-data
+    * scale dir, so catalog queries (which read `dir`/documents.parquet)
+    * run against it unchanged. */
+  private def plantedDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs-fixture").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d06 contamination: flags only corpus docs sharing a benchmark shingle") {
+    // doc 50 is the benchmark (id % 50 == 0); doc 1 shares exactly the
+    // shingle "alpha beta gamma" with it; doc 2 shares nothing
+    val dir = plantedDir(Seq(
+      50L -> "alpha beta gamma delta",
+      1L -> "alpha beta gamma epsilon",
+      2L -> "one two three four"))
+    val out = Catalog.byName("d06_contamination").run(spark, dir)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 1L, 1L)),
+      s"expected exactly doc 1 with one shared shingle from one benchmark doc, got ${rows.toSeq}")
+    // scale shape: the benchmark side must broadcast (corpus never shuffles
+    // before the aggregate)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark join should be a broadcast hash join:\n$plan")
+  }
+
+  test("t08 repetition: dup_frac and top_share on planted bigram counts") {
+    // doc 1: bigrams (a b, b a, a b, b a, a b) -> 5 total, 2 distinct,
+    // top count 3; doc 2: 2 distinct bigrams, no repeats; doc 3: a single
+    // token has no bigrams and must be absent
+    val dir = plantedDir(Seq(
+      1L -> "a b a b a b",
+      2L -> "x y z",
+      3L -> "solo"))
+    val out = Catalog.byName("t08_repetition").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 2L, 3L, 3.0 / 5.0, 3.0 / 5.0),
+      (2L, 2L, 2L, 1L, 0.0, 1.0 / 2.0)), s"got ${out.toSeq}")
+  }
 }
