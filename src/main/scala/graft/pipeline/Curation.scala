@@ -110,8 +110,11 @@ object NearDup {
       maxShingleDf: Long = 100000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // no explicit populate job: the hot-probe below reads through this
+    // cached handle and materializes it as a side effect (one job does
+    // both), and a probe-memo hit implies an earlier pairs() call on the
+    // same handle already populated it
     val sh = graft.CacheRegistry.retain("neardup.shingles", shingled(docs))
-    sh.count() // populate once, before the three downstream readers
     val ex0 = sh.select($"doc_id", explode($"shingles").as("shingle"))
     val hot = ex0.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" > maxShingleDf).select($"shingle")
