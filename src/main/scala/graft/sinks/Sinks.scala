@@ -49,7 +49,7 @@ object WarehouseSink {
   val DefaultDatabase = "g_sheets"
 
   private val Ident = "^[A-Za-z0-9_]+$".r
-  private[sinks] def requireIdent(s: String, what: String): Unit =
+  private[graft] def requireIdent(s: String, what: String): Unit =
     if (!Ident.matches(s))
       throw new IllegalArgumentException(
         s"invalid $what '$s': only letters, digits and _ are allowed")

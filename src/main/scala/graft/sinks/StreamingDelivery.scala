@@ -29,6 +29,40 @@ object StreamingDelivery {
   /** Column stamped onto every delivered row; doubles as the commit ledger. */
   val BatchIdCol = "_batch_id"
 
+  /** Rows already delivered for `batchId`, or -1 if the table does not
+    * exist yet. Fails fast on a foreign table without the ledger column
+    * (idempotent delivery into it is impossible). */
+  private[graft] def deliveredRowCount(spark: org.apache.spark.sql.SparkSession,
+      database: String, table: String, batchId: Long): Long =
+    if (!spark.catalog.tableExists(s"$database.$table")) -1L
+    else {
+      val existing = spark.table(s"`$database`.`$table`")
+      if (!existing.columns.contains(BatchIdCol))
+        throw new IllegalStateException(
+          s"`$database`.`$table` exists but has no $BatchIdCol ledger column — " +
+            "streaming delivery cannot be idempotent into it; " +
+            "deliver to a fresh table or add the column")
+      existing.filter(col(BatchIdCol) === batchId).count()
+    }
+
+  /** Append `rows` stamped with `batchId` into the ledger table. A fresh
+    * table is partitioned by the ledger column (the probe above then
+    * prunes to a directory listing); an EXISTING table keeps whatever
+    * layout it has — appending with a partition spec that differs from
+    * the table's is an AnalysisException, which would wedge delivery into
+    * tables created before partitioning (or by other writers). */
+  private[graft] def appendLedgered(rows: DataFrame, database: String,
+      table: String, batchId: Long, tableIsNew: Boolean): Unit = {
+    val spark = rows.sparkSession
+    val usePartitioning =
+      tableIsNew || spark.catalog.listColumns(s"$database.$table")
+        .collect().exists(c => c.isPartition && c.name == BatchIdCol)
+    val w = rows.withColumn(BatchIdCol, lit(batchId))
+      .write.mode(SaveMode.Append).format("parquet")
+    (if (usePartitioning) w.partitionBy(BatchIdCol) else w)
+      .saveAsTable(s"`$database`.`$table`")
+  }
+
   /** The `foreachBatch` function: batchId-idempotent append into
     * `database`.`table` (auto-created, like the reference's dataset
     * bootstrap — `bigquery.py:13-16`). */
@@ -49,36 +83,9 @@ object StreamingDelivery {
       try {
         spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
         val qualified = s"`$database`.`$table`"
-        val deliveredRows =
-          if (!spark.catalog.tableExists(s"$database.$table")) -1L
-          else {
-            val existing = spark.table(qualified)
-            // a foreign table without the ledger column can't support
-            // idempotent delivery at all — fail with a clear message
-            // instead of an unresolved-column error on every batch
-            if (!existing.columns.contains(BatchIdCol))
-              throw new IllegalStateException(
-                s"$qualified exists but has no $BatchIdCol ledger column — " +
-                  "streaming delivery cannot be idempotent into it; " +
-                  "deliver to a fresh table or add the column")
-            existing.filter(col(BatchIdCol) === batchId).count()
-          }
-        if (deliveredRows < 0L || deliveredRows == 0L) {
-          // partitioned by the ledger column: the probe above prunes to a
-          // directory listing instead of scanning the table, and a batch's
-          // rows land in exactly one partition directory. An EXISTING
-          // table keeps whatever layout it has — appending with a
-          // partition spec that differs from the table's is an
-          // AnalysisException, which would wedge delivery into tables
-          // created before partitioning (or by other writers).
-          val usePartitioning =
-            if (deliveredRows < 0L) true
-            else spark.catalog.listColumns(s"$database.$table")
-              .collect().exists(c => c.isPartition && c.name == BatchIdCol)
-          val w = snap.withColumn(BatchIdCol, lit(batchId))
-            .write.mode(SaveMode.Append).format("parquet")
-          (if (usePartitioning) w.partitionBy(BatchIdCol) else w).saveAsTable(qualified)
-        }
+        val deliveredRows = deliveredRowCount(spark, database, table, batchId)
+        if (deliveredRows < 0L || deliveredRows == 0L)
+          appendLedgered(snap, database, table, batchId, tableIsNew = deliveredRows < 0L)
         else {
           // batchId matching is only sound while batch boundaries
           // reproduce — true for crash-replay under ONE checkpoint

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.sinks.StreamingDelivery
+import java.nio.file.Files
+
+/** Streaming curation: arriving documents are quality-gated, deduped
+  * within each micro-batch AND against the already-ingested corpus (the
+  * warehouse table is the dedup state — no streaming state store), and
+  * delivered idempotently under the `_batch_id` ledger. */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val db = "stream_cur_test"
+
+  private val goodA = "the quick brown fox jumps over the lazy dog"
+  private val goodB = "alpha beta gamma delta epsilon zeta"
+  private val goodC = "one two three four five six"
+
+  private def mkSource: String = {
+    val dir = Files.createTempDirectory("scsrc").toString
+    // file 1 → batch 0: a good doc, its exact duplicate, a too-short doc
+    Seq((1L, goodA), (2L, goodA), (3L, "short"), (4L, goodB))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    // file 2 → batch 1: a cross-batch duplicate of doc 1, and a fresh doc
+    Seq((5L, goodA), (6L, goodC))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    dir
+  }
+
+  private def run(srcDir: String, table: String): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = StreamingCuration.start(
+      src, table, Files.createTempDirectory("sccp").toString, database = db)
+    q.awaitTermination()
+  }
+
+  test("streamed corpus lands curated: quality-gated, dedup within and across batches") {
+    val srcDir = mkSource
+    run(srcDir, "docs_curated")
+    val tbl = spark.table(s"`$db`.`docs_curated`")
+    val ids = tbl.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 4L, 6L),
+      s"expected min-id survivors of the three distinct quality texts, got $ids")
+    assert(tbl.select("fingerprint").distinct().count() == 3L,
+      "fingerprints are unique across the delivered corpus")
+    // the within-batch duplicate (doc 2) and the cross-batch duplicate
+    // (doc 5) are both absent; the quality-gate victim (doc 3) too
+    assert(!ids.contains(2L) && !ids.contains(5L) && !ids.contains(3L))
+  }
+
+  test("replay with a fresh checkpoint is a no-op (ledger short-circuits before the anti-join)") {
+    val srcDir = mkSource
+    run(srcDir, "docs_replayed")
+    val tbl = s"`$db`.`docs_replayed`"
+    val before = spark.table(tbl).collect().toSet
+    run(srcDir, "docs_replayed")
+    assert(spark.table(tbl).collect().toSet == before,
+      "replaying the same files must not change the table")
+    val ids = spark.table(tbl).select(StreamingDelivery.BatchIdCol)
+      .distinct().as[Long].collect().sorted.toSeq
+    assert(ids == Seq(0L, 1L), s"unexpected batch ids: $ids")
+  }
+}
