@@ -28,7 +28,10 @@ object Bench {
     locally {
       import spark.implicits._
       import org.apache.spark.sql.functions._
-      val syn = (0L until 64L).map(i => (i, s"w$i x${i % 7} y${i % 5} z${i % 3} w${i + 1}"))
+      // docs repeat with period lcm(4,3,2)=12, so the self-join MATCHES
+      // rows and the pair-aggregation path runs over a non-empty stream
+      // (unique-token texts would leave the join output cold)
+      val syn = (0L until 64L).map(i => (i, s"a${i % 4} b${i % 3} c${i % 2} d${i % 4} e${i % 3}"))
         .toDF("doc_id", "text")
         .withColumn("toks", split(col("text"), " "))
         .withColumn("sh", expr(

@@ -395,8 +395,13 @@ object Documents {
         // shingle set BROADCASTS: the corpus side is scan → map-side hash
         // join → partial agg, no corpus shuffle before aggregation. The
         // two COUNT(DISTINCT)s plan as one Expand over the joined rows,
-        // keyed by doc_id — still corpus-partitioned.
-        val sh = graft.pipeline.NearDup.shingled(tbl(s, dir, "documents"))
+        // keyed by doc_id — still corpus-partitioned. The shingle frame
+        // feeds BOTH join sides, so retain it under the registry (same
+        // name+plan as the near-dup machinery — one cache entry, one
+        // corpus scan, deterministically rather than only when d02/d05
+        // happened to run first).
+        val sh = graft.CacheRegistry.retain("neardup.shingles",
+            graft.pipeline.NearDup.shingled(tbl(s, dir, "documents")))
           .select($"doc_id", explode($"shingles").as("shingle"))
         val bench = sh.filter($"doc_id" % 50 === 0)
           .select($"doc_id".as("bench_id"), $"shingle")

@@ -43,20 +43,33 @@ object Curation {
     * deterministic; the whole pipeline is one lineage (no RNG, no
     * collect except the bounded CC iteration in the cluster step).
     */
-  def curate(docs: DataFrame, minTokens: Int = 5, minUniqRatio: Double = 0.1,
-      weights: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)): DataFrame = {
+  /** The quality gate shared by batch and streaming curation: token count
+    * ≥ minTokens and unique-token ratio ≥ minUniqRatio (t02's signals).
+    * One definition so the two ingestion paths cannot diverge. */
+  private[pipeline] def qualityGate(docs: DataFrame, minTokens: Int,
+      minUniqRatio: Double): DataFrame = {
     val toked = docs.withColumn("_toks", split(col("text"), " "))
-    val quality = toked
+    toked
       .filter(size(col("_toks")) >= minTokens)
       .filter(size(array_distinct(col("_toks"))) / size(col("_toks")) >= minUniqRatio)
       .drop("_toks")
+  }
 
-    // exact dedup: canonical = min doc_id per fingerprint
-    val canon = quality.groupBy(md5(col("text")).as("_fp"))
-      .agg(min(col("doc_id")).as("_keep"))
-    val exactDeduped = quality
-      .join(canon, md5(col("text")) === col("_fp") && col("doc_id") === col("_keep"))
-      .drop("_fp", "_keep")
+  /** Exact dedup shared by batch and streaming curation: stamp
+    * `fingerprint` = md5(text) and keep the min-doc_id row per value.
+    * Window partitioned by fingerprint — one shuffle on the dedup key,
+    * no join back. */
+  private[pipeline] def exactDedup(docs: DataFrame): DataFrame =
+    docs.withColumn("fingerprint", md5(col("text")))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fingerprint")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1).drop("_rn")
+
+  def curate(docs: DataFrame, minTokens: Int = 5, minUniqRatio: Double = 0.1,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)): DataFrame = {
+    val exactDeduped = exactDedup(qualityGate(docs, minTokens, minUniqRatio))
+      .drop("fingerprint")
 
     // near-dup removal: keep only cluster minima
     val clusters = NearDup.clusters(exactDeduped)

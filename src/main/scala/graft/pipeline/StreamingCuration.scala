@@ -2,15 +2,15 @@ package graft.pipeline
 
 import graft.sinks.{StreamingDelivery, WarehouseSink}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming ingestion form of the curation pipeline: documents arrive as
-  * a stream, each micro-batch is quality-gated ([[Curation.curate]]'s
-  * predicates), exact-deduped within the batch, deduped AGAINST the
-  * already-ingested corpus, and appended idempotently under
-  * [[StreamingDelivery]]'s `_batch_id` ledger.
+  * a stream, each micro-batch is quality-gated and exact-deduped with the
+  * SAME shared predicates as [[Curation.curate]] ([[Curation.qualityGate]]
+  * / [[Curation.exactDedup]] — one definition, two ingestion paths), then
+  * deduped AGAINST the already-ingested corpus and appended idempotently
+  * under [[StreamingDelivery]]'s `_batch_id` ledger.
   *
   * Scale design: the warehouse table itself is the dedup state. A
   * streaming `dropDuplicates` on the content fingerprint would grow an
@@ -27,28 +27,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * on the ledger BEFORE the anti-join — after delivery the table contains
   * the batch's own fingerprints, so re-running the anti-join would yield
   * zero rows and [[StreamingDelivery.warehouseBatch]]'s count check would
-  * misread the replay as a ledger mismatch. The short-circuit restores
-  * the idempotent no-op; the row-count verification is necessarily
-  * forfeited for curated delivery (what a batch contributes depends on
-  * the table state it first saw, which a replay cannot reconstruct).
+  * misread the replay as a ledger mismatch. What a curated batch
+  * CONTRIBUTED cannot be reconstructed on replay (it depends on the table
+  * state it first saw), so the delivered-row count proves nothing — the
+  * replay guard instead compares the batch's pre-curation INPUT row count,
+  * stamped on every delivered row as `_input_rows` at delivery time,
+  * against the replayed batch: a checkpoint reset over a grown or
+  * re-batched source fails loudly instead of silently dropping the new
+  * rows. Batches that contributed zero rows leave no stamp, but they also
+  * leave no ledger entry — a replay re-executes them, and the anti-join
+  * makes that re-execution self-healing.
   */
 object StreamingCuration {
 
-  /** The curation transform applied to every micro-batch: quality gate,
-    * fingerprint, keep min-doc_id per fingerprint. Pure function of the
-    * batch — shared by the batch path and tests. */
-  private[pipeline] def curateBatch(batch: DataFrame, minTokens: Int,
-      minUniqRatio: Double): DataFrame = {
-    val toked = batch.withColumn("_toks", split(col("text"), " "))
-    toked
-      .filter(size(col("_toks")) >= minTokens)
-      .filter(size(array_distinct(col("_toks"))) / size(col("_toks")) >= minUniqRatio)
-      .drop("_toks")
-      .withColumn("fingerprint", md5(col("text")))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))))
-      .filter(col("_rn") === 1).drop("_rn")
-  }
+  /** Pre-curation batch size, stamped per delivered row (constant within
+    * a batch); the replay-verification counterpart of the `_batch_id`
+    * ledger. */
+  val InputRowsCol = "_input_rows"
 
   /** `foreachBatch` function: curate → anti-join corpus → ledgered append. */
   def curatingBatch(table: String,
@@ -64,19 +59,45 @@ object StreamingCuration {
       val snap = batch.localCheckpoint()
       try {
         spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+        val qualified = s"`$database`.`$table`"
         val delivered =
           StreamingDelivery.deliveredRowCount(spark, database, table, batchId)
+        // a pre-existing table must carry the curation columns — fail with
+        // a clear message, not an unresolved-column error every batch
+        if (delivered >= 0L) {
+          val cols = spark.table(qualified).columns.toSet
+          val missing = Seq("fingerprint", InputRowsCol).filterNot(cols)
+          if (missing.nonEmpty)
+            throw new IllegalStateException(
+              s"$qualified exists but lacks column(s) ${missing.mkString(", ")} — " +
+                "it was not created by curated delivery; deliver to a fresh table")
+        }
         if (delivered <= 0L) {
-          val curated = curateBatch(snap, minTokens, minUniqRatio)
+          val incoming = snap.count()
+          val curated = Curation.exactDedup(
+            Curation.qualityGate(snap, minTokens, minUniqRatio))
           val fresh =
             if (delivered < 0L) curated
             else curated.join(
-              spark.table(s"`$database`.`$table`").select(col("fingerprint")),
+              spark.table(qualified).select(col("fingerprint")),
               Seq("fingerprint"), "left_anti")
           StreamingDelivery.appendLedgered(
-            fresh, database, table, batchId, tableIsNew = delivered < 0L)
+            fresh.withColumn(InputRowsCol, lit(incoming)),
+            database, table, batchId, tableIsNew = delivered < 0L)
+        } else {
+          // replayed batch: verify the one invariant that survives
+          // curation — the pre-curation input size recorded at delivery
+          val recorded = spark.table(qualified)
+            .filter(col(StreamingDelivery.BatchIdCol) === batchId)
+            .agg(max(col(InputRowsCol))).collect()(0).getLong(0)
+          val incoming = snap.count()
+          if (incoming != recorded)
+            throw new IllegalStateException(
+              s"$qualified batch $batchId was delivered from $recorded input rows " +
+                s"but the replayed batch carries $incoming — the checkpoint and the " +
+                "delivery ledger disagree (checkpoint reset over a changed source?). " +
+                "Deliver to a fresh table or restore the original checkpoint.")
         }
-        // delivered > 0: replayed batch — the ledger already holds it
       } finally snap.unpersist(blocking = false)
   }
 

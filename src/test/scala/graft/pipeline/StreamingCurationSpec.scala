@@ -64,4 +64,45 @@ class StreamingCurationSpec extends SparkSpec {
       .distinct().as[Long].collect().sorted.toSeq
     assert(ids == Seq(0L, 1L), s"unexpected batch ids: $ids")
   }
+
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
+  test("checkpoint reset over a grown source fails loudly via the input-rows stamp") {
+    val srcDir = mkSource
+    run(srcDir, "docs_grown")
+    // the source grows, the checkpoint is lost: the fresh run batches all
+    // files into batch 0, whose ledger entry records 4 input rows — the
+    // replayed batch now carries 7
+    Seq((7L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val q = StreamingCuration.start(
+      src, "docs_grown", Files.createTempDirectory("sccp").toString, database = db)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(messages(e).exists(_.contains("delivery ledger disagree")),
+      s"expected input-rows mismatch error, got: ${messages(e)}")
+  }
+
+  test("a foreign table without the curation columns fails with a clear error") {
+    val srcDir = mkSource
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    // has the batch ledger but no fingerprint/_input_rows — e.g. created
+    // by plain (uncurated) streaming delivery
+    Seq((1L, "x", 0L))
+      .toDF("doc_id", "text", StreamingDelivery.BatchIdCol)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"`$db`.`docs_foreign`")
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val q = StreamingCuration.start(
+      src, "docs_foreign", Files.createTempDirectory("sccp").toString, database = db)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(messages(e).exists(_.contains("not created by curated delivery")),
+      s"expected missing-curation-columns error, got: ${messages(e)}")
+  }
 }
