@@ -460,6 +460,39 @@ object Documents {
                   WHERE len(toks) >= 2)
             GROUP BY doc_id, bg)
           GROUP BY doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    QueryDef("p01_sequence_pack",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // GPT-style sequence packing: concatenate documents in a fixed
+        // deterministic order and cut at a 512-token budget; each doc gets
+        // the training-sequence id and offset where its tokens begin.
+        // Sharded by lang — a GLOBAL ordered cumsum is inherently
+        // sequential, so the window partitions by shard and the packing is
+        // embarrassingly parallel across shards (at cluster scale shard
+        // finer: hash-bucket within lang, one cumsum per bucket; sequence
+        // ids then namespace by bucket).
+        val budget = 512
+        val w = Window.partitionBy($"lang").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        toked(s, dir)
+          .withColumn("n_toks", size($"toks").cast("long"))
+          .withColumn("cum_before", coalesce(sum($"n_toks").over(w), lit(0L)))
+          .select($"lang", $"doc_id", $"n_toks",
+            floor($"cum_before" / budget).cast("long").as("seq_id"),
+            ($"cum_before" % budget).as("seq_off"))
+          .orderBy($"lang", $"doc_id")
+      },
+      Some("""SELECT lang, doc_id, n_toks,
+          CAST(FLOOR(cum_before / 512) AS BIGINT) AS seq_id,
+          cum_before % 512 AS seq_off
+        FROM (SELECT lang, doc_id, n_toks,
+                COALESCE(CAST(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+              FROM (SELECT lang, doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+                    FROM documents))
+        ORDER BY lang, doc_id"""))
   )
 }

@@ -87,4 +87,25 @@ class DocumentsSpec extends SparkSpec {
       (1L, 5L, 2L, 3L, 3.0 / 5.0, 3.0 / 5.0),
       (2L, 2L, 2L, 1L, 0.0, 1.0 / 2.0)), s"got ${out.toSeq}")
   }
+
+  test("p01 sequence packing: cumulative offsets cross the 512-token budget per shard") {
+    import spark.implicits._
+    def words(n: Int) = (0 until n).map(i => s"t$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("docs-fixture").toString
+    Seq(
+      (1L, words(300), "en"), // seq 0, offset 0
+      (2L, words(300), "en"), // seq 0, offset 300
+      (3L, words(100), "en"), // cum_before 600 -> seq 1, offset 88
+      (4L, words(10), "de"))  // own shard: seq 0, offset 0
+      .toDF("doc_id", "text", "lang").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = Catalog.byName("p01_sequence_pack").run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("de", 4L, 10L, 0L, 0L),
+      ("en", 1L, 300L, 0L, 0L),
+      ("en", 2L, 300L, 0L, 300L),
+      ("en", 3L, 100L, 1L, 88L)), s"got ${out.toSeq}")
+  }
 }
