@@ -493,6 +493,37 @@ object Documents {
               FROM (SELECT lang, doc_id,
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
                     FROM documents))
-        ORDER BY lang, doc_id"""))
+        ORDER BY lang, doc_id""")),
+
+    QueryDef("p02_weighted_sample",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Deterministic weighted source mixing: each source gets a target
+        // keep-fraction (permille, derived here from the source index so
+        // the fixture exercises five distinct weights) and a doc survives
+        // iff its Knuth multiplicative hash falls under the threshold.
+        // Pure function of (doc_id, source) — re-runs and appends sample
+        // identically (the property randomSplit lacks), and the predicate
+        // is a scan-level filter: sampling 100 TB is a map-only pass.
+        // doc_id * 2654435761 stays far under i64 overflow at any
+        // realistic id range (ANSI mode would throw loudly, not wrap).
+        tbl(s, dir, "documents")
+          .withColumn("frac_pm",
+            (lit(100) + lit(50) * (expr("CAST(substring(source, 4, 10) AS INT)") % 5))
+              .cast("long"))
+          .withColumn("keep", ($"doc_id" * lit(2654435761L)) % 1000 < $"frac_pm")
+          .groupBy($"source", $"frac_pm")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"keep", 1L).otherwise(0L)).as("n_sampled"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, frac_pm, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM (SELECT source,
+                CAST(100 + 50 * (CAST(substr(source, 4, 10) AS INT) % 5) AS BIGINT) AS frac_pm,
+                (doc_id * 2654435761) % 1000 <
+                  CAST(100 + 50 * (CAST(substr(source, 4, 10) AS INT) % 5) AS BIGINT) AS keep
+              FROM documents)
+        GROUP BY source, frac_pm ORDER BY source"""))
   )
 }

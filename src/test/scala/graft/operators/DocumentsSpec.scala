@@ -108,4 +108,18 @@ class DocumentsSpec extends SparkSpec {
       ("en", 2L, 300L, 0L, 300L),
       ("en", 3L, 100L, 1L, 88L)), s"got ${out.toSeq}")
   }
+
+  test("p02 weighted sampling: deterministic and near its per-source targets") {
+    val run1 = Catalog.byName("p02_weighted_sample").run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val run2 = Catalog.byName("p02_weighted_sample").run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(run1.toSeq == run2.toSeq, "sampling is a pure function of the input")
+    run1.filter(_._3 >= 20).foreach { case (src, fracPm, n, sampled) =>
+      val got = sampled.toDouble / n
+      val want = fracPm.toDouble / 1000
+      assert(math.abs(got - want) < 0.2,
+        s"$src sampled $got of docs, target $want")
+    }
+  }
 }
