@@ -505,13 +505,17 @@ object Documents {
         // Pure function of (doc_id, source) — re-runs and appends sample
         // identically (the property randomSplit lacks), and the predicate
         // is a scan-level filter: sampling 100 TB is a map-only pass.
-        // doc_id * 2654435761 stays far under i64 overflow at any
-        // realistic id range (ANSI mode would throw loudly, not wrap).
+        // The id folds through pmod FIRST (ids may be negative in foreign
+        // corpora, and Spark/DuckDB `%` keeps the dividend's sign — an
+        // unsigned-folded id keeps every later remainder nonnegative) and
+        // the fold bound 1048573 caps the multiply at ~2.8e15, far under
+        // i64 overflow for ANY id (ANSI mode would throw, not wrap).
         tbl(s, dir, "documents")
           .withColumn("frac_pm",
             (lit(100) + lit(50) * (expr("CAST(substring(source, 4, 10) AS INT)") % 5))
               .cast("long"))
-          .withColumn("keep", ($"doc_id" * lit(2654435761L)) % 1000 < $"frac_pm")
+          .withColumn("keep",
+            (pmod($"doc_id", lit(1048573L)) * lit(2654435761L)) % 1000 < $"frac_pm")
           .groupBy($"source", $"frac_pm")
           .agg(count(lit(1)).as("n_docs"),
             sum(when($"keep", 1L).otherwise(0L)).as("n_sampled"))
@@ -521,7 +525,7 @@ object Documents {
           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         FROM (SELECT source,
                 CAST(100 + 50 * (CAST(substr(source, 4, 10) AS INT) % 5) AS BIGINT) AS frac_pm,
-                (doc_id * 2654435761) % 1000 <
+                ((((doc_id % 1048573) + 1048573) % 1048573) * 2654435761) % 1000 <
                   CAST(100 + 50 * (CAST(substr(source, 4, 10) AS INT) % 5) AS BIGINT) AS keep
               FROM documents)
         GROUP BY source, frac_pm ORDER BY source"""))

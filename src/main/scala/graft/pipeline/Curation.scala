@@ -58,12 +58,19 @@ object Curation {
   /** Exact dedup shared by batch and streaming curation: stamp
     * `fingerprint` = md5(text) and keep the min-doc_id row per value.
     * Window partitioned by fingerprint — one shuffle on the dedup key,
-    * no join back. */
+    * no join back. The sort is made TOTAL by a content-hash tiebreak:
+    * doc_id alone can tie (at-least-once sources, non-unique foreign
+    * ids), and row_number over a partial order keeps whichever row the
+    * shuffle delivered first — a re-run could keep a different survivor,
+    * breaking this module's re-run-identical contract. With the
+    * tiebreak, ties only remain between fully identical rows, where the
+    * choice is immaterial. */
   private[pipeline] def exactDedup(docs: DataFrame): DataFrame =
     docs.withColumn("fingerprint", md5(col("text")))
       .withColumn("_rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fingerprint")).orderBy(col("doc_id"))))
+          .partitionBy(col("fingerprint"))
+          .orderBy(col("doc_id"), xxhash64(docs.columns.map(col): _*))))
       .filter(col("_rn") === 1).drop("_rn")
 
   def curate(docs: DataFrame, minTokens: Int = 5, minUniqRatio: Double = 0.1,

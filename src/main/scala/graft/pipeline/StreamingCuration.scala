@@ -62,16 +62,22 @@ object StreamingCuration {
         val qualified = s"`$database`.`$table`"
         val delivered =
           StreamingDelivery.deliveredRowCount(spark, database, table, batchId)
-        // a pre-existing table must carry the curation columns — fail with
-        // a clear message, not an unresolved-column error every batch
-        if (delivered >= 0L) {
-          val cols = spark.table(qualified).columns.toSet
-          val missing = Seq("fingerprint", InputRowsCol).filterNot(cols)
-          if (missing.nonEmpty)
-            throw new IllegalStateException(
-              s"$qualified exists but lacks column(s) ${missing.mkString(", ")} — " +
-                "it was not created by curated delivery; deliver to a fresh table")
-        }
+        // a pre-existing table must carry the fingerprint column (the
+        // dedup state itself) — fail with a clear message, not an
+        // unresolved-column error every batch. A curated table WITHOUT
+        // the _input_rows stamp (written by an earlier version, or by a
+        // writer that dropped it) stays usable: parquet appends cannot
+        // add a column to an existing table, so delivery matches the
+        // legacy schema and replay verification degrades to the ledger
+        // probe alone rather than wedging the stream.
+        val existingCols =
+          if (delivered >= 0L) spark.table(qualified).columns.toSet
+          else Set.empty[String]
+        if (delivered >= 0L && !existingCols("fingerprint"))
+          throw new IllegalStateException(
+            s"$qualified exists but has no fingerprint column — " +
+              "it was not created by curated delivery; deliver to a fresh table")
+        val stamped = delivered < 0L || existingCols(InputRowsCol)
         if (delivered <= 0L) {
           val incoming = snap.count()
           val curated = Curation.exactDedup(
@@ -82,9 +88,9 @@ object StreamingCuration {
               spark.table(qualified).select(col("fingerprint")),
               Seq("fingerprint"), "left_anti")
           StreamingDelivery.appendLedgered(
-            fresh.withColumn(InputRowsCol, lit(incoming)),
+            if (stamped) fresh.withColumn(InputRowsCol, lit(incoming)) else fresh,
             database, table, batchId, tableIsNew = delivered < 0L)
-        } else {
+        } else if (stamped) {
           // replayed batch: verify the one invariant that survives
           // curation — the pre-curation input size recorded at delivery
           val recorded = spark.table(qualified)
@@ -97,7 +103,7 @@ object StreamingCuration {
                 s"but the replayed batch carries $incoming — the checkpoint and the " +
                 "delivery ledger disagree (checkpoint reset over a changed source?). " +
                 "Deliver to a fresh table or restore the original checkpoint.")
-        }
+        } // else: legacy unstamped table — replay skips, unverifiable
       } finally snap.unpersist(blocking = false)
   }
 

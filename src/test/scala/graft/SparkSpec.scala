@@ -11,6 +11,12 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Every message down a throwable's cause chain — streaming failures
+    * surface wrapped in StreamingQueryException layers. */
+  protected def causeMessages(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty
+    else Option(t.getMessage).toSeq ++ causeMessages(t.getCause)
+
   override def afterAll(): Unit = {
     // session is shared across suites — do not stop it here
     super.afterAll()

@@ -65,8 +65,6 @@ class StreamingCurationSpec extends SparkSpec {
     assert(ids == Seq(0L, 1L), s"unexpected batch ids: $ids")
   }
 
-  private def messages(t: Throwable): Seq[String] =
-    if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
 
   test("checkpoint reset over a grown source fails loudly via the input-rows stamp") {
     val srcDir = mkSource
@@ -83,8 +81,8 @@ class StreamingCurationSpec extends SparkSpec {
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q.awaitTermination()
     }
-    assert(messages(e).exists(_.contains("delivery ledger disagree")),
-      s"expected input-rows mismatch error, got: ${messages(e)}")
+    assert(causeMessages(e).exists(_.contains("delivery ledger disagree")),
+      s"expected input-rows mismatch error, got: ${causeMessages(e)}")
   }
 
   test("a foreign table without the curation columns fails with a clear error") {
@@ -102,7 +100,28 @@ class StreamingCurationSpec extends SparkSpec {
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q.awaitTermination()
     }
-    assert(messages(e).exists(_.contains("not created by curated delivery")),
-      s"expected missing-curation-columns error, got: ${messages(e)}")
+    assert(causeMessages(e).exists(_.contains("not created by curated delivery")),
+      s"expected missing-curation-columns error, got: ${causeMessages(e)}")
+  }
+
+  test("a curated table without the input-rows stamp stays usable (replay check degrades)") {
+    val srcDir = mkSource
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    // shape written by an earlier curated-delivery version: fingerprint +
+    // ledger, no _input_rows. Its batch-0 ledger entry makes the stream's
+    // batch 0 replay-skip (unverifiable without the stamp); batch 1 must
+    // still deliver, matching the legacy schema.
+    Seq((100L, "legacy text kept verbatim",
+        "00000000000000000000000000000000", 0L))
+      .toDF("doc_id", "text", "fingerprint", StreamingDelivery.BatchIdCol)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"`$db`.`docs_legacy`")
+    run(srcDir, "docs_legacy")
+    val tbl = spark.table(s"`$db`.`docs_legacy`")
+    assert(!tbl.columns.contains(StreamingCuration.InputRowsCol),
+      "legacy schema is preserved — parquet appends cannot add a column")
+    val ids = tbl.select("doc_id").as[Long].collect().sorted.toSeq
+    // batch 0 (docs 1-4) skipped via its ledger entry; batch 1 delivered
+    // doc 5 (goodA is fresh here) and doc 6
+    assert(ids == Seq(5L, 6L, 100L), s"got $ids")
   }
 }

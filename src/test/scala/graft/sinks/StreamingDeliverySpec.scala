@@ -85,10 +85,8 @@ class StreamingDeliverySpec extends SparkSpec {
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q.awaitTermination()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("delivery ledger disagree")),
-      s"expected ledger-mismatch error, got: ${messages(e)}")
+    assert(causeMessages(e).exists(_.contains("delivery ledger disagree")),
+      s"expected ledger-mismatch error, got: ${causeMessages(e)}")
   }
 
   test("a foreign table without the ledger column fails with a clear error") {
@@ -103,10 +101,8 @@ class StreamingDeliverySpec extends SparkSpec {
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q.awaitTermination()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("ledger column")),
-      s"expected missing-ledger error, got: ${messages(e)}")
+    assert(causeMessages(e).exists(_.contains("ledger column")),
+      s"expected missing-ledger error, got: ${causeMessages(e)}")
   }
 
   test("destination identifiers are validated before any SQL runs") {
