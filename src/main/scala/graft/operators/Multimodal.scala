@@ -157,6 +157,35 @@ object Multimodal {
         COUNT(*) AS n,
         CAST(SUM(n_chars) AS BIGINT) AS sum_bytes,
         CAST(SUM(doc_id % 64 + 1) AS BIGINT) / COUNT(*) AS avg_width
-        FROM documents GROUP BY 1 ORDER BY kind"""))
+        FROM documents GROUP BY 1 ORDER BY kind""")),
+
+    QueryDef("m02_frame_sample_stats",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the REAL typed pipeline end-to-end: encode → decode → frame-
+        // sample (32-byte frames, keep every 3rd) → aggregate. Narrow
+        // until the final (kind) aggregation, like m01.
+        val media = decode(fromDocuments(tbl(s, dir, "documents")))
+        frameSample(media, frameBytes = 32, everyN = 3).toDF()
+          .select($"doc_id", $"meta.kind".as("kind"), $"meta.nBytes".as("kept_bytes"))
+          .groupBy($"kind")
+          .agg(count(lit(1)).as("n"), sum($"kept_bytes").as("sum_kept_bytes"))
+          .orderBy($"kind")
+      },
+      // closed-form frame arithmetic: payload length == n_chars (see
+      // encodeBlob), frames of 32 bytes with a partial tail, every 3rd
+      // kept; the tail frame is kept iff its index (n_frames-1) is a
+      // multiple of 3, and then contributes only its partial size
+      Some("""WITH m AS (
+          SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                   WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 n_chars,
+                 CAST((n_chars + 31) // 32 AS BIGINT) AS n_frames
+          FROM documents)
+        SELECT kind, COUNT(*) AS n,
+          CAST(SUM(((n_frames + 2) // 3) * 32 -
+            CASE WHEN n_frames > 0 AND (n_frames - 1) % 3 = 0 AND n_chars % 32 <> 0
+              THEN 32 - (n_chars % 32) ELSE 0 END) AS BIGINT) AS sum_kept_bytes
+        FROM m GROUP BY kind ORDER BY kind"""))
   )
 }
