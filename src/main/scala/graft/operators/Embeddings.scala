@@ -97,9 +97,11 @@ object Embeddings {
     }
   }
 
-  private val NormSql =
-    s"sqrt(CAST(aggregate(v, CAST(0 AS BIGINT), " +
+  private def normSqlOf(c: String): String =
+    s"sqrt(CAST(aggregate($c, CAST(0 AS BIGINT), " +
       s"(acc, x) -> acc + CAST(FLOOR((x*x) * $Scale + 0.5) AS BIGINT)) AS DOUBLE) / $Scale)"
+
+  private val NormSql = normSqlOf("v")
 
   private def dotSql(a: String, b: String): String =
     s"CAST(aggregate(zip_with($a, $b, (x, y) -> x*y), CAST(0 AS BIGINT), " +
@@ -553,7 +555,77 @@ object Embeddings {
                  GROUP BY 1, 2)
         SELECT label_a, label_b, dot / (na.nrm * nb.nrm) AS cosine
         FROM dots JOIN norms na ON label_a = na.label JOIN norms nb ON label_b = nb.label
-        ORDER BY label_a, label_b"""))
+        ORDER BY label_a, label_b""")),
+
+    QueryDef("v07_prefix_rerank",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Matryoshka-style two-stage retrieval: a COARSE rank on the
+        // leading 8 dimensions prunes the corpus to 30 candidates per
+        // query; only those pay the full 64-dim exact cosine. At test
+        // scale both stages touch the same rows, but the SHAPE is the
+        // scale win: the coarse pass reads an 8x narrower vector (or a
+        // separately stored truncated copy — column pruning does this for
+        // free with a `prefix` column), so the wide vectors stream
+        // through the dot product only for candidates, not the corpus.
+        // Both stages are deterministic (fixed-point dots, ties by id),
+        // so the DuckDB oracle reproduces candidate sets exactly.
+        // Recall caveat: on ISOTROPIC vectors (this fixture) a prefix
+        // carries only dims/64 of the signal (measured 0.23 vs exact
+        // top-10, ~4x the random-candidate baseline — spec-gated);
+        // matryoshka-trained embeddings concentrate energy in leading
+        // dims, which is what makes this shape standard in production.
+        val base = based(s, dir)
+          .withColumn("pv", expr("slice(v, 1, 8)"))
+          .withColumn("nrm", expr(NormSql))
+          .withColumn("pnrm", expr(normSqlOf("pv")))
+        val queries = base.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"pv".as("qpv"),
+            $"nrm".as("qn"), $"pnrm".as("qpn"))
+        val corpus = base
+          .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"pv".as("cpv"),
+            $"nrm".as("cn"), $"pnrm".as("cpn"))
+        val wCoarse = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"neighbor_id")
+        val wExact = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        corpus.join(broadcast(queries), $"query_id" =!= $"neighbor_id")
+          .withColumn("pcos", expr(dotSql("qpv", "cpv")) / ($"qpn" * $"cpn"))
+          .withColumn("crnk", row_number().over(wCoarse))
+          .filter($"crnk" <= 30)
+          .withColumn("cosine", expr(DotSql) / ($"qn" * $"cn"))
+          .withColumn("rnk", row_number().over(wExact).cast("long"))
+          .filter($"rnk" <= 10)
+          .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+          .orderBy($"query_id", $"rnk")
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     (embedding::DOUBLE[])[1:8] AS pv FROM embeddings),
+        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        p2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS pnrm
+               FROM (SELECT vec_id, unnest(pv) AS x FROM base) GROUP BY vec_id),
+        pdots AS (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS pdot
+                  FROM (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                               unnest(q.pv) AS qx, unnest(c.pv) AS cx
+                        FROM base q, base c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+                  GROUP BY 1, 2),
+        coarse AS (SELECT qid, cid,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY pdot / (pa.pnrm * pb.pnrm) DESC, cid) AS crnk
+                   FROM pdots JOIN p2 pa ON qid = pa.vec_id JOIN p2 pb ON cid = pb.vec_id),
+        cand AS (SELECT qid, cid FROM coarse WHERE crnk <= 30),
+        dots AS (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+                 FROM (SELECT cand.qid, cand.cid,
+                              unnest(q.v) AS qx, unnest(c.v) AS cx
+                       FROM cand JOIN base q ON cand.qid = q.vec_id
+                                 JOIN base c ON cand.cid = c.vec_id)
+                 GROUP BY 1, 2),
+        scored AS (SELECT qid AS query_id, cid AS neighbor_id,
+                          dot / (a.nrm * b.nrm) AS cosine,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS rnk
+                   FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
+        SELECT query_id, rnk, neighbor_id, cosine FROM scored
+        WHERE rnk <= 10 ORDER BY query_id, rnk"""))
   )
 
   import org.apache.spark.sql.types.DecimalType

@@ -94,4 +94,33 @@ class EmbeddingsSpec extends SparkSpec {
       .filter(col("bucket") =!= col("true_bucket")).count()
     assert(bad == 0)
   }
+
+  test("v07 prefix rerank: reranked cosines are exact and recall vs v01 is high") {
+    def top(name: String): Map[Long, Seq[(Long, Double)]] =
+      Catalog.byName(name).run(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    val exact = top("v01_similarity_topk")
+    val staged = top("v07_prefix_rerank")
+    assert(staged.keySet == exact.keySet)
+    // every neighbor v07 DOES return carries the exact full-dim cosine
+    // (rerank is exact; only the candidate set is approximate)
+    val exactScores = exact.map { case (q, ns) => q -> ns.toMap }
+    staged.foreach { case (q, ns) =>
+      ns.foreach { case (id, c) =>
+        exactScores(q).get(id).foreach(e => assert(e == c,
+          s"query $q neighbor $id: reranked cosine $c != exact $e"))
+      }
+    }
+    // the fixture's vectors are isotropic random, so an 8-of-64-dim
+    // prefix carries ~1/8 of the cosine signal — recall can't approach 1
+    // the way matryoshka-trained embeddings (energy concentrated in the
+    // leading dims) would. Gate well above the random-candidate baseline
+    // (30/499 ≈ 0.06): measured 0.23 ≈ 4x random.
+    val recall = staged.map { case (q, ns) =>
+      ns.map(_._1).toSet.intersect(exact(q).map(_._1).toSet).size
+    }.sum.toDouble / (exact.size * 10)
+    assert(recall >= 0.15, s"two-stage recall vs exact top-10: $recall")
+  }
 }
