@@ -52,8 +52,13 @@ object Multimodal {
       k += 1
       i += Character.charCount(cp)
     }
-    val kind = (docId % 3).toInt
-    val width = (docId % 64 + 1).toInt
+    // floorMod: ids may be negative in foreign corpora (the convention
+    // everywhere in this repo) — Scala % would emit a negative kind byte
+    // (decode drops it as malformed) and a width byte that reads back
+    // shifted by 256 via & 0xFF, silently diverging from the oracles'
+    // arithmetic. floorMod keeps both in range for any id.
+    val kind = java.lang.Math.floorMod(docId, 3L).toInt
+    val width = (java.lang.Math.floorMod(docId, 64L) + 1).toInt
     val height = (body.length % 64 + 1)
     Magic ++ Array(kind.toByte, width.toByte, height.toByte, 0.toByte) ++ body
   }
@@ -151,12 +156,13 @@ object Multimodal {
           .orderBy($"kind")
       },
       // the blob dims are deterministic functions of (doc_id, n_chars), so
-      // the oracle predicts the decoded stats without touching binary
-      Some("""SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      // the oracle predicts the decoded stats without touching binary;
+      // ((x % m) + m) % m mirrors encodeBlob's floorMod for negative ids
+      Some("""SELECT CASE CAST(((doc_id % 3) + 3) % 3 AS INT) WHEN 0 THEN 'image'
                 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         COUNT(*) AS n,
         CAST(SUM(n_chars) AS BIGINT) AS sum_bytes,
-        CAST(SUM(doc_id % 64 + 1) AS BIGINT) / COUNT(*) AS avg_width
+        CAST(SUM(((doc_id % 64) + 64) % 64 + 1) AS BIGINT) / COUNT(*) AS avg_width
         FROM documents GROUP BY 1 ORDER BY kind""")),
 
     QueryDef("m02_frame_sample_stats",
@@ -177,7 +183,7 @@ object Multimodal {
       // kept; the tail frame is kept iff its index (n_frames-1) is a
       // multiple of 3, and then contributes only its partial size
       Some("""WITH m AS (
-          SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+          SELECT CASE CAST(((doc_id % 3) + 3) % 3 AS INT) WHEN 0 THEN 'image'
                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                  n_chars,
                  CAST((n_chars + 31) // 32 AS BIGINT) AS n_frames

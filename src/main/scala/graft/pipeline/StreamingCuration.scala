@@ -79,7 +79,6 @@ object StreamingCuration {
               "it was not created by curated delivery; deliver to a fresh table")
         val stamped = delivered < 0L || existingCols(InputRowsCol)
         if (delivered <= 0L) {
-          val incoming = snap.count()
           val curated = Curation.exactDedup(
             Curation.qualityGate(snap, minTokens, minUniqRatio))
           val fresh =
@@ -88,7 +87,9 @@ object StreamingCuration {
               spark.table(qualified).select(col("fingerprint")),
               Seq("fingerprint"), "left_anti")
           StreamingDelivery.appendLedgered(
-            if (stamped) fresh.withColumn(InputRowsCol, lit(incoming)) else fresh,
+            // the count job runs only when the stamp can be written —
+            // legacy tables skip it (the value would be dead anyway)
+            if (stamped) fresh.withColumn(InputRowsCol, lit(snap.count())) else fresh,
             database, table, batchId, tableIsNew = delivered < 0L)
         } else if (stamped) {
           // replayed batch: verify the one invariant that survives
@@ -103,7 +104,17 @@ object StreamingCuration {
                 s"but the replayed batch carries $incoming — the checkpoint and the " +
                 "delivery ledger disagree (checkpoint reset over a changed source?). " +
                 "Deliver to a fresh table or restore the original checkpoint.")
-        } // else: legacy unstamped table — replay skips, unverifiable
+        } else {
+          // legacy unstamped table: the replay skip CANNOT be verified —
+          // a checkpoint reset over a grown source would be silently
+          // swallowed here. Refusing outright would wedge every legacy
+          // stream on its first honest replay, so degrade — but LOUDLY,
+          // so the operator knows this table never regains the guarantee.
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"$qualified batch $batchId replayed against a table without " +
+              s"$InputRowsCol — skip is UNVERIFIED (a checkpoint reset over a " +
+              "changed source would be lost silently); migrate to a stamped table")
+        }
       } finally snap.unpersist(blocking = false)
   }
 

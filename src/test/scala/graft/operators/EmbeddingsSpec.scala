@@ -104,13 +104,18 @@ class EmbeddingsSpec extends SparkSpec {
     val exact = top("v01_similarity_topk")
     val staged = top("v07_prefix_rerank")
     assert(staged.keySet == exact.keySet)
-    // every neighbor v07 DOES return carries the exact full-dim cosine
-    // (rerank is exact; only the candidate set is approximate)
-    val exactScores = exact.map { case (q, ns) => q -> ns.toMap }
+    // EVERY neighbor v07 returns carries the exact full-dim cosine
+    // (rerank is exact; only the candidate set is approximate) — verified
+    // by recomputing fpCos for all returned pairs, not just the ones that
+    // happen to intersect v01's top-10
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val norms = vecs.map { case (id, v) => id -> Embeddings.fpNorm(v) }
     staged.foreach { case (q, ns) =>
       ns.foreach { case (id, c) =>
-        exactScores(q).get(id).foreach(e => assert(e == c,
-          s"query $q neighbor $id: reranked cosine $c != exact $e"))
+        val e = Embeddings.fpCos(vecs(q), vecs(id), norms(q), norms(id))
+        assert(e == c, s"query $q neighbor $id: reranked cosine $c != exact $e")
       }
     }
     // the fixture's vectors are isotropic random, so an 8-of-64-dim

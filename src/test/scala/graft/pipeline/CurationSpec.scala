@@ -47,6 +47,25 @@ class CurationSpec extends SparkSpec {
     assert(NearDup.pairs(curated).count() == 0)
   }
 
+  test("exactDedup picks a content-deterministic survivor when doc_ids tie") {
+    // at-least-once sources / non-unique foreign ids: same doc_id, same
+    // text, different payload column — the survivor must not depend on
+    // shuffle order (pins the xxhash64 tiebreak in the window sort)
+    val tied = Seq(
+      (1L, "one two three four five six", "srcA"),
+      (1L, "one two three four five six", "srcB"),
+      (2L, "seven eight nine ten eleven twelve", "srcC"))
+      .toDF("doc_id", "text", "source")
+    def survivors() = Curation.exactDedup(tied.repartition(5))
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = survivors()
+    assert(a.keySet == Set(1L, 2L), "one survivor per fingerprint")
+    (1 to 5).foreach { _ =>
+      assert(survivors() == a, "survivor choice is a pure function of content")
+    }
+  }
+
   test("stop-shingle guard drops hot shingles from the jaccard universe") {
     // two docs that share ONLY a planted hot phrase (df = 4 > cap of 3),
     // plus two docs that are near-dups through non-hot shingles
