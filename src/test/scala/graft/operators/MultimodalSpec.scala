@@ -27,6 +27,19 @@ class MultimodalSpec extends SparkSpec {
     assert(media(2).meta.height == "xyz".length % 64 + 1)
   }
 
+  test("negative doc_ids encode valid blobs (kind/width via floorMod, no drops)") {
+    val neg = Seq((-1L, "minus one text"), (-2L, "minus two text"), (-65L, "far below"))
+      .toDF("doc_id", "text")
+    val media = decode(fromDocuments(neg)).collect().sortBy(_.doc_id)
+    assert(media.length == 3, "negative-id blobs must decode, not drop as malformed")
+    // floorMod semantics: -1 % 3 -> 2 ('video'), -2 % 3 -> 1 ('audio'),
+    // -65 % 3 -> 1; width floorMod(-1, 64) + 1 = 64
+    val byId = media.map(m => m.doc_id -> m).toMap
+    assert(byId(-1L).meta.kind == "video" && byId(-1L).meta.width == 64)
+    assert(byId(-2L).meta.kind == "audio")
+    assert(byId(-65L).meta.kind == "audio" && byId(-65L).meta.width == 64)
+  }
+
   test("malformed blobs are dropped like undecodable files") {
     val bad = Seq((9L, "JUNKxxxxpayload".getBytes("UTF-8")), (10L, Array[Byte](1, 2)))
       .toDF("doc_id", "payload")
