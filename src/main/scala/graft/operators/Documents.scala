@@ -57,6 +57,71 @@ object Documents {
   private def neardupPairs(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.NearDup.pairs(tbl(s, dir, "documents"))
 
+  /** Two-phase parallel sequence packing over a `(lang, doc_id, n_toks)`
+    * frame (extra columns pass through): appends `seq_id`/`seq_off` — the
+    * training sequence of `budget` tokens, and the offset within it, where
+    * each doc's tokens begin when docs are concatenated per lang in doc_id
+    * order.
+    *
+    * The naive form is ONE window `PARTITION BY lang ORDER BY doc_id` — a
+    * single task per language, i.e. a single-reducer bottleneck (plus a
+    * skewed-key full shuffle) on a mostly-monolingual 100 TB corpus. Here
+    * the ordered cumsum decomposes over RANGE buckets of doc_id:
+    *
+    *  1. each lang's id span is split uniformly (`(doc_id - lo) DIV w`).
+    *     The bucket function is MONOTONE in doc_id, so bucket-major order
+    *     IS doc_id order, and a per-(lang, bucket) local cumsum plus each
+    *     bucket's starting offset reconstructs the global cumsum EXACTLY
+    *     (integer addition is associative) — output bit-identical to the
+    *     single-window form, which is why p01's DuckDB oracle needs no
+    *     knowledge of the bucketing;
+    *  2. per-bucket token totals (one row per (lang, bucket)) get an
+    *     exclusive prefix sum over buckets — the only lang-wide window,
+    *     over ≤ `buckets` rows per lang — and broadcast-join back as the
+    *     bucket offsets.
+    *
+    * Per-task work drops to O(corpus / (langs × buckets)) and the heavy
+    * shuffle keys on (lang, bucket). Uniform-width spans assume ids spread
+    * roughly evenly over their range (true of sequential ingest ids); for
+    * pathological id distributions swap the boundaries for sampled
+    * quantiles à la Spark's RangePartitioner — ANY monotone boundary set
+    * yields the identical output, so the choice is pure performance.
+    * `hi - lo` can only overflow if one lang's ids span more than the
+    * full i64 range in magnitude; ANSI mode throws loudly rather than
+    * wrapping.
+    */
+  def packSequences(docs: DataFrame, budget: Int, buckets: Int = 32): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // per-lang id span → uniform range-bucket width (ceil keeps bucket
+    // ids < buckets); the span pass scans two narrow columns only
+    val spans = docs.groupBy($"lang")
+      .agg(min($"doc_id").as("_lo"), max($"doc_id").as("_hi"))
+      .withColumn("_w", expr(s"(_hi - _lo) DIV $buckets + 1"))
+      .select($"lang", $"_lo", $"_w")
+    val withB = docs.join(broadcast(spans), Seq("lang"))
+      .withColumn("_bkt", expr("(doc_id - _lo) DIV _w"))
+    // phase 1: cumsum LOCAL to each (lang, bucket)
+    val wLocal = Window.partitionBy($"lang", $"_bkt").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withB
+      .withColumn("_local", coalesce(sum($"n_toks").over(wLocal), lit(0L)))
+    // phase 2: exclusive prefix of per-bucket totals over the tiny
+    // (lang, bucket) aggregate
+    val wOff = Window.partitionBy($"lang").orderBy($"_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy($"lang", $"_bkt").agg(sum($"n_toks").as("_tot"))
+      .withColumn("_off", coalesce(sum($"_tot").over(wOff), lit(0L)))
+      .select($"lang", $"_bkt", $"_off")
+    local.join(broadcast(offs), Seq("lang", "_bkt"))
+      .withColumn("_cum", $"_off" + $"_local")
+      .withColumn("seq_id", floor($"_cum" / budget).cast("long"))
+      .withColumn("seq_off", $"_cum" % budget)
+      .drop("_lo", "_w", "_bkt", "_local", "_off", "_cum")
+  }
+
   /** Shared DuckDB oracle for d02/d03: brute-force all-pairs exact Jaccard
     * is fine AS AN ORACLE at sf0.01 (500 docs); the Spark plans avoid it.
     * Shingling is index-aligned with the Spark side: DuckDB lists are
@@ -465,23 +530,22 @@ object Documents {
     QueryDef("p01_sequence_pack",
       (s: SparkSession, dir: String) => {
         import s.implicits._
-        // GPT-style sequence packing: concatenate documents in a fixed
-        // deterministic order and cut at a 512-token budget; each doc gets
-        // the training-sequence id and offset where its tokens begin.
-        // Sharded by lang — a GLOBAL ordered cumsum is inherently
-        // sequential, so the window partitions by shard and the packing is
-        // embarrassingly parallel across shards (at cluster scale shard
-        // finer: hash-bucket within lang, one cumsum per bucket; sequence
-        // ids then namespace by bucket).
+        // GPT-style sequence packing: concatenate documents per lang in
+        // doc_id order and cut at a 512-token budget; each doc gets the
+        // training-sequence id and offset where its tokens begin. The
+        // ordered cumsum runs through [[packSequences]]'s two-phase
+        // range-bucketed plan — no window partition ever spans a whole
+        // lang, so a mostly-monolingual 100 TB corpus packs across the
+        // cluster instead of on one reducer (see packSequences scaladoc;
+        // the output, and hence the oracle, is bit-identical to the
+        // single-window form).
         val budget = 512
-        val w = Window.partitionBy($"lang").orderBy($"doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        toked(s, dir)
-          .withColumn("n_toks", size($"toks").cast("long"))
-          .withColumn("cum_before", coalesce(sum($"n_toks").over(w), lit(0L)))
-          .select($"lang", $"doc_id", $"n_toks",
-            floor($"cum_before" / budget).cast("long").as("seq_id"),
-            ($"cum_before" % budget).as("seq_off"))
+        packSequences(
+          toked(s, dir)
+            .withColumn("n_toks", size($"toks").cast("long"))
+            .select($"lang", $"doc_id", $"n_toks"),
+          budget)
+          .select($"lang", $"doc_id", $"n_toks", $"seq_id", $"seq_off")
           .orderBy($"lang", $"doc_id")
       },
       Some("""SELECT lang, doc_id, n_toks,

@@ -109,6 +109,40 @@ class DocumentsSpec extends SparkSpec {
       ("en", 3L, 100L, 1L, 88L)), s"got ${out.toSeq}")
   }
 
+  test("packSequences: bucketed two-phase cumsum equals the single-window form, " +
+    "and no doc_id-ordered window partitions by lang alone") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // skewed fixture: one dominant lang with sparse/offset ids, one small
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 500).map { i =>
+      val lang = if (i % 10 == 0) "de" else "en"
+      (lang, i.toLong * 3 + 17, (rnd.nextInt(400) + 1).toLong)
+    }.toDF("lang", "doc_id", "n_toks")
+    val got = Documents.packSequences(docs, budget = 512, buckets = 8)
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = docs
+      .withColumn("cum", coalesce(sum($"n_toks").over(w), lit(0L)))
+      .select($"lang", $"doc_id", $"n_toks",
+        floor($"cum" / 512).cast("long").as("seq_id"), ($"cum" % 512).as("seq_off"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang", "doc_id", "n_toks", "seq_id", "seq_off").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    assert(rows(got) == rows(want), "two-phase packing must be bit-identical to the naive window")
+    // the scale contract: the doc_id-ordered cumsum window is partitioned
+    // by (lang, _bkt) — a window partitioned by lang ALONE ordering by
+    // doc_id would be the one-task-per-lang plan this exists to kill. The
+    // only lang-only window orders by _bkt (the ≤`buckets`-row offsets).
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert("windowspecdefinition\\(lang#\\d+, _bkt#\\d+L?, doc_id".r.findFirstIn(plan).isDefined,
+      s"expected the heavy cumsum window keyed on (lang, _bkt):\n$plan")
+    assert("windowspecdefinition\\(lang#\\d+, doc_id".r.findFirstIn(plan).isEmpty,
+      s"found a doc_id-ordered window partitioned by lang alone:\n$plan")
+  }
+
   test("p02 weighted sampling: deterministic and near its per-source targets") {
     val run1 = Catalog.byName("p02_weighted_sample").run(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
