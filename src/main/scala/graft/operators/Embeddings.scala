@@ -186,12 +186,16 @@ object Embeddings {
     * than recall can stand. Corpus rows live in exactly ONE bucket and
     * only query rows replicate (×(planes+1)), so a (query, candidate)
     * pair is generated at most once and the final per-query rank needs
-    * no dedup. Execution: the source is scanned ONCE into an eagerly
-    * materialized tagged frame (code + norm per row, `localCheckpoint` —
-    * its storage lives exactly as long as the returned frame's plan),
-    * both cogroup sides read that frame, a primitive top-k kernel runs
-    * per bucket, then one global row_number ≤ k (Spark's
-    * WindowGroupLimit keeps that partial).
+    * no dedup. Execution: the source is scanned ONCE into a tagged frame
+    * (code + norm per row) built from deterministic COLUMN expressions
+    * and retained under [[graft.CacheRegistry]] — plan-matched repeat
+    * calls hit one entry, and the storage is released by `Engine.close`
+    * / `unpersistAll` instead of waiting on the ContextCleaner the way
+    * the earlier `localCheckpoint` form did (the repo's own argument
+    * against localCheckpoint, `Curation.clusters` scaladoc). Both
+    * cogroup sides read that frame, a primitive top-k kernel runs per
+    * bucket, then one global row_number ≤ k (Spark's WindowGroupLimit
+    * keeps that partial).
     * Returns (query_id, rnk, neighbor_id, cosine).
     *
     * Relation to the catalog: v02 pins the same bucket-kernel SHAPE
@@ -207,16 +211,15 @@ object Embeddings {
     val session = vectors.sparkSession
     import session.implicits._
     val P = planes
-    def code(v: Array[Double]): Int = {
-      if (v.length < P)
-        throw new IllegalArgumentException(
-          s"annTopK: vector has ${v.length} dims but planes=$P — lower `planes`")
-      var c = 0; var p = 0
-      while (p < P) { if (v(p) >= 0.0) c |= (1 << p); p += 1 }
-      c
-    }
-    val base = vectors.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
-    val tagged = base.map { case (id, v) => (code(v), id, v, fpNorm(v)) }.localCheckpoint()
+    // sign code as a column expression (ANSI array indexing throws on a
+    // vector shorter than `planes`); tuple-named columns so the retained
+    // DataFrame converts straight back to the kernel's typed Dataset
+    val codeCol = (0 until P).map(p =>
+      when(col("v").getItem(p) >= 0.0, lit(1 << p)).otherwise(lit(0))).reduce(_ + _)
+    val tagged = graft.CacheRegistry.retain(s"ann.tagged.p$P",
+      vectors.select(codeCol.as("_1"), col("vec_id").cast("long").as("_2"),
+        col("v").as("_3"), expr(NormSql).as("_4")))
+      .as[(Int, Long, Array[Double], Double)]
     val queries =
       if (!multiProbe) tagged
       else tagged.flatMap { case (c, id, v, n) =>

@@ -58,9 +58,20 @@ class EmbeddingsSpec extends SparkSpec {
       }.sum
       hits.toDouble / (all.length * k)
     }
+    graft.CacheRegistry.unpersistAll() // isolate from other suites
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val r1 = recall(Embeddings.annTopK(vecs, k, planes = 4))
     val rM = recall(Embeddings.annTopK(vecs, k, planes = 4, multiProbe = true))
     info(f"recall single-probe $r1%.3f, multi-probe $rM%.3f")
+    // the tagged frame is registry-owned (no localCheckpoint): both calls
+    // plan-match ONE retained entry, and unpersistAll releases its storage
+    // (delta-based — earlier suites may hold non-registry caches)
+    assert(graft.CacheRegistry.entries == Seq("ann.tagged.p4"),
+      s"expected one retained tagged frame, got ${graft.CacheRegistry.entries}")
+    graft.CacheRegistry.unpersistAll()
+    assert(graft.CacheRegistry.entries.isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(persistedBefore),
+      "annTopK storage must be released by unpersistAll")
     // deterministic on the fixture: measured 0.129 single vs 0.475 multi —
     // pinned with margin (axis-aligned 4-plane LSH on 64-dim embeddings is
     // WEAK by construction; the point is the probe's 3-4x lift)
