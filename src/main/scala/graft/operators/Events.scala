@@ -42,7 +42,12 @@ object Events {
         import s.implicits._
         import org.apache.spark.sql.types.{MapType, StringType}
         // full JSON parse to MapType (FIXTURES.md B) — then group by a
-        // decile bucket of the map's "k" value.
+        // decile bucket of the map's "k" value. NOTE: this query exists
+        // to exercise the MapType column shape; when only known keys are
+        // consulted, e01's `get_json_object` single-key extraction is the
+        // PRODUCTION form — it skips materializing the whole map per row
+        // (measured 0.9 s vs 4.2 s here at sf0.1; EventsJsonSpec pins the
+        // equivalence of the two extraction paths).
         eventsTbl(s, dir)
           .withColumn("props_map", from_json($"props", MapType(StringType, StringType)))
           .withColumn("k", element_at($"props_map", "k").cast("long"))
