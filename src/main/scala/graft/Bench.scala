@@ -43,29 +43,61 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
     var failures = List.empty[(String, String)]
+    // shared-cache pass (the library's real session economics: retained
+    // caches are populated once and reused). A query is "coupled" when it
+    // touched the CacheRegistry while running (populate OR reuse —
+    // including work executed at plan-build time, like the CC loop) or
+    // when its cache-substituted plan reads an InMemoryRelation (silent
+    // plan-matched reuse of another query's cache, e.g. d04 reading d02's
+    // shingles without ever calling the registry) — either way its number
+    // depends on which query ran first.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
+      var coupled = false
+      try {
+        val touches0 = CacheRegistry.touches
+        val df = fn(spark, sfDir)
+        coupled = CacheRegistry.touches != touches0 ||
+          df.queryExecution.withCachedData.toString.contains("InMemoryRelation")
+        df.write.format("noop").mode("overwrite").save()
+      } catch {
         case e: Throwable =>
           failures ::= (name -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
+      (name, (System.nanoTime() - t0) / 1e9, coupled)
+    }
+    // isolation pass: re-time each coupled query against a CLEARED
+    // registry, so every number includes its own full cache build —
+    // independent of alphabetical run order
+    val isolated = results.collect { case (name, _, true) => name }.map { name =>
+      CacheRegistry.unpersistAll(blocking = true)
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          failures ::= (s"isolated:$name" -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => util.Json.quote(k) + ":" + v }
+    val qs = results.map { case (k, v, _) => util.Json.quote(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val iso =
+      if (isolated.isEmpty) ""
+      else isolated.map { case (k, v) => util.Json.quote(k) + ":" + v }
+        .mkString(",\"isolated\":{", ",", "}")
     val errs =
       if (failures.isEmpty) ""
       else failures.reverse.map { case (k, m) =>
         util.Json.quote(k) + ":" + util.Json.quote(m.take(300))
       }.mkString(",\"errors\":{", ",", "}")
-    // cache-coupling disclosure: per-query numbers are not independent —
-    // the first near-dup query to run (alphabetically d02) pays the
-    // shared shingle/pair cache cost that d03/d05 then reuse
     val notes = util.Json.quote(
-      "d02 populates the CacheRegistry shingle/pair caches; d03/d05 reuse them")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"notes":$notes,"sf":${util.Json.quote(sfDir)}}""")
+      "queries: shared-cache pass (alphabetically-first builder, d02, pays the " +
+        "CacheRegistry shingle/pair build that later readers reuse); isolated: the " +
+        "cache-coupled queries re-timed with the registry cleared before each, so " +
+        "those numbers are order-independent. total sums the shared pass only.")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$iso$errs,"notes":$notes,"sf":${util.Json.quote(sfDir)}}""")
     spark.stop()
     if (failures.nonEmpty) {
       failures.reverse.foreach { case (k, m) => System.err.println(s"[bench] $k FAILED: $m") }

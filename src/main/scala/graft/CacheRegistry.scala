@@ -24,8 +24,17 @@ import org.apache.spark.sql.DataFrame
   */
 object CacheRegistry {
   private val retained = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+  private var touchCount = 0L
+
+  /** Monotone count of [[retain]] calls — lets a sequential caller
+    * (Bench's coupling detector) tell whether a block of work interacted
+    * with the registry at all, including pure cache-hit reuse that leaves
+    * [[entries]] unchanged and work executed at plan-BUILD time (the CC
+    * loop) that a plan inspection of the returned frame cannot see. */
+  def touches: Long = synchronized(touchCount)
 
   def retain(name: String, df: DataFrame): DataFrame = synchronized {
+    touchCount += 1
     // entries bound to a stopped session are dead handles: returning one
     // would fail every later caller in this JVM (tests run sessions
     // back-to-back), so evict them before matching

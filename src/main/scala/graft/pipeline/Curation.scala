@@ -249,8 +249,18 @@ object NearDup {
       labels = next
       iter += 1
     }
-    val out = labels.select($"id".as("doc_id"), $"label".as("cluster_id")).cache()
-    out.count()
+    // the result is re-rooted on its OWN flat LogicalRDD before the loop
+    // caches are dropped: Spark 4.1's Dataset.unpersist CASCADES into
+    // cache entries whose plan contains the unpersisted plan, so a plain
+    // `labels.select(...).cache()` would lose its entry at the
+    // labels.unpersist below — consumers would silently recompute through
+    // RDD lineage and the materialized blocks would linger unowned
+    // (verified by the returned-frame-stays-cached spec). Registry
+    // ownership replaces the anonymous cache: Engine.close releases it.
+    val projected = labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+    val out = graft.CacheRegistry.retain("neardup.clusters",
+      spark.createDataFrame(projected.rdd, projected.schema))
+    out.count() // materialize through labels' still-live cache
     edges.unpersist(blocking = false)
     labels.unpersist(blocking = false)
     out

@@ -112,6 +112,24 @@ class CurationSpec extends SparkSpec {
     graft.CacheRegistry.unpersistAll()
   }
 
+  test("clusters returns a frame that STAYS cached after the loop caches drop") {
+    import spark.implicits._
+    graft.CacheRegistry.unpersistAll()
+    val docs2 = (0 until 6).map { i =>
+      (i.toLong, (0 until 10).map(j => s"w${2 * i + j}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = NearDup.clusters(docs2)
+    // Spark 4.1 Dataset.unpersist cascades into dependent cache entries;
+    // the returned frame is re-rooted so the loop-frame unpersists inside
+    // clusters() cannot drop it — without that, this storageLevel reads
+    // NONE and every consumer silently recomputes through RDD lineage
+    assert(out.storageLevel.useMemory,
+      s"clusters() result lost its cache entry (storageLevel ${out.storageLevel})")
+    assert(graft.CacheRegistry.entries.contains("neardup.clusters"))
+    graft.CacheRegistry.unpersistAll()
+    assert(!out.storageLevel.useMemory)
+  }
+
   test("CacheRegistry retains once per plan and unpersistAll releases") {
     graft.CacheRegistry.unpersistAll()
     val before = graft.CacheRegistry.entries.size
