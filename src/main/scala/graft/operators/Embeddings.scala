@@ -247,6 +247,133 @@ object Embeddings {
       .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
   }
 
+  /** Deterministic Lloyd's k-means over a `(vec_id, v)` frame — the
+    * trainer v06's label-centroid stand-in lacks, making IVF possible on
+    * UNLABELED data (the normal case). Every step is reproducible:
+    *
+    *  - seeding: the `k` vectors with the smallest Knuth multiplicative
+    *    hash of `vec_id` (p02's sign/overflow-safe fold — data-independent
+    *    of insert order, cross-engine computable, ties by vec_id);
+    *  - assignment: argmax fixed-point cosine against the broadcast model
+    *    in ascending-cell order under SQL NaN semantics ([[sqlGt]]) — ties
+    *    keep the smallest cell, zero-norm vectors land in cell 0;
+    *  - update: per-(cell, dim) exact DECIMAL(38,12) mean (v03's shape —
+    *    order-independent), collected once per round (the model is
+    *    O(cells × dims) VALUES, the KMeansModel shape — never the data);
+    *    a cell that loses all members keeps its previous centroid;
+    *  - a FIXED iteration count, no convergence RNG.
+    *
+    * Scale: each round is one narrow map pass (argmax against a broadcast
+    * array) plus one partial-aggregated groupBy of (cell, dim) — no
+    * shuffle of vectors by cell, no driver materialization of data. At
+    * 100 TB run the trainer on a deterministic hash-sample of the corpus
+    * (centroids need statistics, not every row) and raise `k` toward √n.
+    */
+  def kMeansModel(vectors: DataFrame, k: Int, iters: Int = 3): Array[(Long, Array[Double], Double)] = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val session = vectors.sparkSession
+    import session.implicits._
+    val base = vectors.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
+    val seeds = base.toDF("vec_id", "v")
+      .withColumn("_r",
+        (pmod($"vec_id", lit(1048573L)) * lit(2654435761L)) % lit(1000000007L))
+      .orderBy($"_r", $"vec_id").limit(k)
+      .select($"vec_id", $"v").as[(Long, Array[Double])].collect()
+    var model = seeds.zipWithIndex.map { case ((_, v), i) => (i.toLong, v, fpNorm(v)) }
+    var round = 0
+    while (round < iters) {
+      val bc = session.sparkContext.broadcast(model)
+      val means = base.mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (_, v) =>
+          val nrm = fpNorm(v)
+          var best = Long.MinValue; var bestC = Double.NegativeInfinity; var any = false
+          var ci = 0
+          while (ci < cs.length) {
+            val c = fpCos(v, cs(ci)._2, nrm, cs(ci)._3)
+            if (!any || sqlGt(c, bestC)) { bestC = c; best = cs(ci)._1; any = true }
+            ci += 1
+          }
+          (best, v)
+        }
+      }.toDF("cell", "v")
+        .select($"cell", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"x".cast(DecimalType38)).cast("double") / count(lit(1))).as("m"))
+        .groupBy($"cell")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
+        .as[(Long, Array[Double])].collect().toMap
+      model = model.map { case (cell, cv, cn) =>
+        means.get(cell).map(m => (cell, m, fpNorm(m))).getOrElse((cell, cv, cn))
+      }
+      bc.destroy()
+      round += 1
+    }
+    model
+  }
+
+  /** IVF ANN over k-means cells for every vector: approximate top-`k`
+    * cosine neighbors, probing each query's `probes` nearest cells.
+    * Corpus rows live in exactly ONE cell (their nearest) and only query
+    * rows replicate ×probes, so a (query, candidate) pair is generated at
+    * most once — [[annTopK]]'s economics with data-ADAPTED cells instead
+    * of data-independent sign planes (better recall per probed fraction
+    * on clustered data; needs the training pass). Assignment is a single
+    * broadcast-argmax map; the quadratic work happens only within cells.
+    * Recall-gated in EmbeddingsSpec (approximate by design, like
+    * annTopK); the tagged frame is CacheRegistry-owned.
+    */
+  def ivfTopK(vectors: DataFrame, k: Int, cells: Int = 8, probes: Int = 2,
+      iters: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(probes > 0 && probes <= cells, s"probes must be in 1..$cells, got $probes")
+    val session = vectors.sparkSession
+    import session.implicits._
+    val model = kMeansModel(vectors, cells, iters)
+    val bc = session.sparkContext.broadcast(model)
+    val P = probes
+    val base = vectors.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
+    val tagged = graft.CacheRegistry.retain(s"ivf.tagged.c$cells.p$P",
+      base.mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (id, v) =>
+          val nrm = fpNorm(v)
+          // nearest-first probe cells under the same (cosine desc, cell
+          // asc) SQL ordering as the trainer's assignment
+          val top = new TopKBuffer(P)
+          var ci = 0
+          while (ci < cs.length) {
+            top.insert(fpCos(v, cs(ci)._2, nrm, cs(ci)._3), cs(ci)._1)
+            ci += 1
+          }
+          (top.ids.take(top.filled), id, v, nrm)
+        }
+      }.toDF())
+      .as[(Array[Long], Long, Array[Double], Double)]
+    val corpus = tagged.map { case (pc, id, v, n) => (pc(0), id, v, n) }
+    val queries = tagged.flatMap { case (pc, id, v, n) => pc.iterator.map(c => (c, id, v, n)) }
+    val K = k
+    val scored = queries.groupByKey(_._1).cogroup(corpus.groupByKey(_._1)) { (_, qs, cs) =>
+      val cand = cs.toArray
+      qs.flatMap { case (_, qid, qv, qn) =>
+        val top = new TopKBuffer(K)
+        var ci = 0
+        while (ci < cand.length) {
+          val (_, cid, cv, cn) = cand(ci)
+          if (cid != qid) top.insert(fpCos(qv, cv, qn, cn), cid)
+          ci += 1
+        }
+        (0 until top.filled).iterator.map(r => (qid, top.ids(r), top.scores(r)))
+      }
+    }.toDF("query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= K)
+      .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef("v01_similarity_topk",
@@ -417,8 +544,9 @@ object Embeddings {
         import s.implicits._
         // IVF (inverted-file) ANN: vectors are assigned to CELLS — here
         // the exact per-label centroids (deterministic, so the DuckDB
-        // oracle can replicate the index bit-for-bit; a production build
-        // would k-means them) — and a query searches only its own cell.
+        // oracle can replicate the index bit-for-bit; [[kMeansModel]] +
+        // [[ivfTopK]] are the trainer/search pair for UNLABELED data) —
+        // and a query searches only its own cell.
         // The IVF scale shape: the coarse quantizer (10 centroids)
         // BROADCASTS, assignment is one linear pass (n × #cells fixed-
         // point cosines), and quadratic work happens only within cells —
