@@ -374,6 +374,61 @@ object Embeddings {
       .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
   }
 
+  /** v02's deterministic sign-LSH bucket (bit 8 = sign of dim 0 … bit 1 =
+    * sign of dim 3) as a column expression — the index build and any
+    * cross-engine oracle reconstruct it identically. */
+  private val SignBucketCol: Column =
+    (0 until 4).map(p => when(col("v").getItem(p) >= 0.0, lit(8L >> p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Build-once ANN index: persist `(bucket, vec_id, v, nrm)` bucketed +
+    * sorted on the sign-LSH `bucket` via [[graft.plans.CoLocated
+    * .writeBucketed]]. The expensive per-row work (norms, codes) is paid
+    * ONCE at build time; [[queryIndex]] then serves top-k with no
+    * recomputation and — because the stored layout already clusters by
+    * `bucket` — no shuffle. At 100 TB this is the difference between an
+    * index and a query plan: v02 rebuilds codes+norms on every call,
+    * this table amortizes them across every future query (and appends
+    * maintain it incrementally: new vectors bucket independently).
+    * Returns the qualified `database.table` name. */
+  def buildIndex(vectors: DataFrame, database: String, table: String): String =
+    graft.plans.CoLocated.writeBucketed(
+      vectors.select(SignBucketCol.as("bucket"), col("vec_id").cast("long").as("vec_id"),
+        col("v"), expr(NormSql).as("nrm")),
+      database, table, "bucket", buckets = 16)
+
+  /** Top-3 neighbors per vector from a [[buildIndex]] table. The read is
+    * `groupBy(bucket).as[…].flatMapGroups` — grouping on the STORED
+    * bucket column lets Catalyst prove the bucketed scan already
+    * satisfies the ClusteredDistribution, so the physical plan is scan →
+    * partition-local sort → kernel with NO Exchange and no norm/bucket
+    * recomputation (asserted in EmbeddingsSpec). Same kernel arithmetic
+    * and (cosine desc, id asc) ordering as v02, so the output is
+    * bit-identical to rebuilding from scratch. */
+  def queryIndex(s: SparkSession, database: String, table: String): DataFrame = {
+    import s.implicits._
+    val K = 3
+    s.table(s"`$database`.`$table`")
+      .select($"bucket".as("_1"), $"vec_id".as("_2"), $"v".as("_3"), $"nrm".as("_4"))
+      .groupBy($"_1").as[Long, (Long, Long, Array[Double], Double)]
+      .flatMapGroups { (bkt, iter) =>
+        val items = iter.toArray
+        val n = items.length
+        items.indices.iterator.flatMap { qi =>
+          val (_, qid, qv, qn) = items(qi)
+          val top = new TopKBuffer(K)
+          var ci = 0
+          while (ci < n) {
+            if (ci != qi) top.insert(fpCos(qv, items(ci)._3, qn, items(ci)._4), items(ci)._2)
+            ci += 1
+          }
+          (0 until top.filled).iterator.map { r =>
+            (qid, (r + 1).toLong, top.ids(r), bkt, top.scores(r))
+          }
+        }
+      }.toDF("query_id", "rnk", "neighbor_id", "bucket", "cosine")
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef("v01_similarity_topk",
@@ -646,6 +701,46 @@ object Embeddings {
                             ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS rnk
                    FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
         SELECT query_id, rnk, neighbor_id, cell, cosine FROM scored
+        WHERE rnk <= 3 ORDER BY query_id, rnk""")),
+
+    QueryDef("v08_ann_index_persisted",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // build-once / query-many: [[buildIndex]] persists the sign-LSH
+        // index (codes + norms paid once, bucketed layout paid once),
+        // [[queryIndex]] serves top-k from it with no shuffle and no
+        // recomputation. The catalog entry exercises BOTH phases so the
+        // driver's gate covers the round trip; only the final ORDER BY
+        // (oracle total-order requirement) adds an exchange. The index
+        // is deterministic, so the DuckDB oracle simply reconstructs it
+        // — same oracle as v02, and the two queries must agree exactly
+        // (index read-back == rebuild, pinned in EmbeddingsSpec).
+        val table = "v08_" + java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+        Embeddings.buildIndex(based(s, dir), "graft_index", table)
+        Embeddings.queryIndex(s, "graft_index", table)
+          .orderBy($"query_id", $"rnk")
+      },
+      Some("""WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 CAST(CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+                    + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+          FROM embeddings),
+        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        dots AS (SELECT qid, cid, bkt, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+                 FROM (SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket AS bkt,
+                              unnest(q.v) AS qx, unnest(c.v) AS cx
+                       FROM base q, base c
+                       WHERE q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+                 GROUP BY 1, 2, 3),
+        scored AS (SELECT qid AS query_id, cid AS neighbor_id, bkt AS bucket,
+                          dot / (a.nrm * b.nrm) AS cosine,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS rnk
+                   FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
+        SELECT query_id, rnk, neighbor_id, bucket, cosine FROM scored
         WHERE rnk <= 3 ORDER BY query_id, rnk""")),
 
     QueryDef("v03_label_centroid_sim",

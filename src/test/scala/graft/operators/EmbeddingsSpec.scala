@@ -146,6 +146,27 @@ class EmbeddingsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("v08 persisted index: read-back plan has no Exchange/recompute; equals v02 rebuild") {
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    Embeddings.buildIndex(vecs, "graft_index", "v08spec")
+    val q = Embeddings.queryIndex(spark, "graft_index", "v08spec")
+    val plan = q.queryExecution.executedPlan.toString
+    // the whole point of the persisted index: the bucketed layout feeds
+    // the kernel directly — no shuffle, no norm/bucket recomputation
+    assert(!plan.contains("Exchange"), s"index read-back must not shuffle:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      s"index read-back must not rescan the raw vectors:\n$plan")
+    assert(!plan.contains("aggregate("),
+      s"norms must come from the stored column, not be recomputed:\n$plan")
+    // read-back == rebuild: v08 (through the persisted table) and v02
+    // (from scratch) must produce identical rows
+    def rows(name: String) = Catalog.byName(name).run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(rows("v08_ann_index_persisted") == rows("v02_ann_bucketed"))
+  }
+
   test("v07 prefix rerank: reranked cosines are exact and recall vs v01 is high") {
     def top(name: String): Map[Long, Seq[(Long, Double)]] =
       Catalog.byName(name).run(spark, sf).collect()
