@@ -52,19 +52,29 @@ object Bench {
     // shingles without ever calling the registry) — either way its number
     // depends on which query ran first.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // the coupling detection must NOT run inside the timed window:
+      // rendering withCachedData forces analysis + cache substitution +
+      // full plan stringification, which r4 measured at 0.8-2.0 s on
+      // complex plans — enough to make untouched queries look regressed
+      // round-over-round. Stop the clock at the write, THEN inspect (the
+      // plan is already analyzed by then; touches straddle the work).
+      val touches0 = CacheRegistry.touches
       val t0 = System.nanoTime()
+      var elapsed = 0.0
       var coupled = false
       try {
-        val touches0 = CacheRegistry.touches
         val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = (System.nanoTime() - t0) / 1e9
         coupled = CacheRegistry.touches != touches0 ||
           df.queryExecution.withCachedData.toString.contains("InMemoryRelation")
-        df.write.format("noop").mode("overwrite").save()
       } catch {
         case e: Throwable =>
+          elapsed = (System.nanoTime() - t0) / 1e9
           failures ::= (name -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          coupled = CacheRegistry.touches != touches0
       }
-      (name, (System.nanoTime() - t0) / 1e9, coupled)
+      (name, elapsed, coupled)
     }
     // isolation pass: re-time each coupled query against a CLEARED
     // registry, so every number includes its own full cache build —

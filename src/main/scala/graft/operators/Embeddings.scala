@@ -381,6 +381,13 @@ object Embeddings {
     (0 until 4).map(p => when(col("v").getItem(p) >= 0.0, lit(8L >> p)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** The stored index row: sign-LSH bucket, id, vector, precomputed norm.
+    * One definition for build and append, so the two write paths cannot
+    * diverge on the code/norm arithmetic. */
+  private def indexRows(vectors: DataFrame): DataFrame =
+    vectors.select(SignBucketCol.as("bucket"), col("vec_id").cast("long").as("vec_id"),
+      col("v"), expr(NormSql).as("nrm"))
+
   /** Build-once ANN index: persist `(bucket, vec_id, v, nrm)` bucketed +
     * sorted on the sign-LSH `bucket` via [[graft.plans.CoLocated
     * .writeBucketed]]. The expensive per-row work (norms, codes) is paid
@@ -388,14 +395,23 @@ object Embeddings {
     * recomputation and — because the stored layout already clusters by
     * `bucket` — no shuffle. At 100 TB this is the difference between an
     * index and a query plan: v02 rebuilds codes+norms on every call,
-    * this table amortizes them across every future query (and appends
-    * maintain it incrementally: new vectors bucket independently).
-    * Returns the qualified `database.table` name. */
+    * this table amortizes them across every future query; new vectors
+    * enter via [[appendToIndex]] without touching the resident files.
+    * Rebuilding into an existing name always succeeds — stale warehouse
+    * directories from earlier JVMs are replaced, not tripped over (see
+    * writeBucketed). Returns the qualified `database.table` name. */
   def buildIndex(vectors: DataFrame, database: String, table: String): String =
     graft.plans.CoLocated.writeBucketed(
-      vectors.select(SignBucketCol.as("bucket"), col("vec_id").cast("long").as("vec_id"),
-        col("v"), expr(NormSql).as("nrm")),
-      database, table, "bucket", buckets = 16)
+      indexRows(vectors), database, table, "bucket", buckets = 16)
+
+  /** Incremental index maintenance: bucket-code + norm the NEW vectors
+    * only and append them into the existing [[buildIndex]] table (same
+    * bucket spec, so the layout invariant [[queryIndex]] relies on is
+    * preserved). Append-then-query equals a full rebuild over the union —
+    * pinned in EmbeddingsSpec. */
+  def appendToIndex(vectors: DataFrame, database: String, table: String): String =
+    graft.plans.CoLocated.appendBucketed(
+      indexRows(vectors), database, table, "bucket", buckets = 16)
 
   /** Top-3 neighbors per vector from a [[buildIndex]] table. The read is
     * `groupBy(bucket).as[…].flatMapGroups` — grouping on the STORED
@@ -715,7 +731,9 @@ object Embeddings {
         // is deterministic, so the DuckDB oracle simply reconstructs it
         // — same oracle as v02, and the two queries must agree exactly
         // (index read-back == rebuild, pinned in EmbeddingsSpec).
-        val table = "v08_" + java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+        // table name from the SANITIZED dir string, not dir.hashCode —
+        // a 32-bit hash lets two dirs collide and silently share an index
+        val table = "v08_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
         Embeddings.buildIndex(based(s, dir), "graft_index", table)
         Embeddings.queryIndex(s, "graft_index", table)
           .orderBy($"query_id", $"rnk")

@@ -12,12 +12,43 @@ object CoLocated {
   /** Write a table bucketed+sorted on its join key. Two tables bucketed
     * on the same key with the same bucket count join WITHOUT a shuffle
     * (and without a sort, since buckets are pre-sorted): the exchange is
-    * paid once at load time instead of on every join. */
+    * paid once at load time instead of on every join.
+    *
+    * Idempotent ACROSS JVMs, not just within one session: a managed-table
+    * directory left by an earlier process survives in the warehouse while
+    * a fresh session's in-memory catalog has no entry for it, so
+    * `SaveMode.Overwrite` alone cannot drop it and the CTAS throws
+    * `LOCATION_ALREADY_EXISTS`. Drop the catalog entry (if known) AND
+    * remove any stale location before writing — rebuilding an index into
+    * the same name must always succeed (pinned in EmbeddingsSpec). */
   def writeBucketed(df: DataFrame, database: String, table: String,
       key: String, buckets: Int): String = {
     val spark = df.sparkSession
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    spark.sql(s"DROP TABLE IF EXISTS `$database`.`$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.catalog.getDatabase(database).locationUri, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(s"`$database`.`$table`")
+    s"$database.$table"
+  }
+
+  /** Append rows into an existing bucketed table with the SAME bucket
+    * spec: new rows hash into their buckets independently of the resident
+    * data (each append adds one sorted file per non-empty bucket), so the
+    * table keeps satisfying ClusteredDistribution on `key` — readers stay
+    * Exchange-free — without rewriting the resident files. This is the
+    * incremental-maintenance path for [[graft.operators.Embeddings
+    * .buildIndex]]-style layouts: the alternative, rebuild-on-ingest,
+    * rewrites the full corpus for every delta. */
+  def appendBucketed(df: DataFrame, database: String, table: String,
+      key: String, buckets: Int): String = {
+    df.write.mode(SaveMode.Append)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)

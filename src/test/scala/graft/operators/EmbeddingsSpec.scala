@@ -167,6 +167,56 @@ class EmbeddingsSpec extends SparkSpec {
     assert(rows("v08_ann_index_persisted") == rows("v02_ann_bucketed"))
   }
 
+  test("buildIndex is idempotent: rebuild into same name, and over a stale warehouse dir") {
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // same-session rebuild (Overwrite path)
+    Embeddings.buildIndex(vecs, "graft_index", "v08idem")
+    Embeddings.buildIndex(vecs, "graft_index", "v08idem")
+    val n1 = Embeddings.queryIndex(spark, "graft_index", "v08idem").count()
+    assert(n1 > 0)
+    // the r4 failure mode: a managed-table directory left by an EARLIER
+    // JVM while the current catalog has no entry for it — simulated by
+    // planting the location with junk under a name the catalog has never
+    // seen. Pre-fix this threw LOCATION_ALREADY_EXISTS on saveAsTable.
+    val db = spark.catalog.getDatabase("graft_index")
+    val stale = new org.apache.hadoop.fs.Path(db.locationUri, "v08stale")
+    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(stale)
+    fs.create(new org.apache.hadoop.fs.Path(stale, "junk.bin")).close()
+    assert(!spark.catalog.tableExists("graft_index.v08stale"))
+    Embeddings.buildIndex(vecs, "graft_index", "v08stale")
+    assert(Embeddings.queryIndex(spark, "graft_index", "v08stale").count() == n1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stale, "junk.bin")),
+      "stale junk must be replaced by the rebuilt index")
+    spark.sql("DROP TABLE IF EXISTS graft_index.v08idem")
+    spark.sql("DROP TABLE IF EXISTS graft_index.v08stale")
+  }
+
+  test("appendToIndex: build on a prefix + append the rest == full rebuild") {
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val head = vecs.filter(col("vec_id") < 250)
+    val tail = vecs.filter(col("vec_id") >= 250)
+    Embeddings.buildIndex(head, "graft_index", "v08incr")
+    Embeddings.appendToIndex(tail, "graft_index", "v08incr")
+    Embeddings.buildIndex(vecs, "graft_index", "v08full")
+    def rows(t: String) = Embeddings.queryIndex(spark, "graft_index", t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows("v08incr") == rows("v08full"),
+      "incremental append must be indistinguishable from a full rebuild")
+    // the appended table still reads Exchange-free (the invariant the
+    // bucketed layout exists to preserve)
+    val plan = Embeddings.queryIndex(spark, "graft_index", "v08incr")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"appended index read-back must not shuffle:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_index.v08incr")
+    spark.sql("DROP TABLE IF EXISTS graft_index.v08full")
+  }
+
   test("v07 prefix rerank: reranked cosines are exact and recall vs v01 is high") {
     def top(name: String): Map[Long, Seq[(Long, Double)]] =
       Catalog.byName(name).run(spark, sf).collect()

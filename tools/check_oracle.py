@@ -42,6 +42,12 @@ def main():
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        errmark = os.path.join(pdir, "_error.txt")
+        if os.path.exists(errmark):
+            with open(errmark) as fh:
+                print(f"FAIL {name}: query failed in Verify: {fh.read()[:300]}")
+            n_fail += 1
+            continue
         files = glob.glob(f"{pdir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output at {pdir}")
