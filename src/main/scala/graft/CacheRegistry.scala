@@ -14,8 +14,11 @@ import org.apache.spark.sql.DataFrame
   *
   * `retain` is idempotent per (name, plan): re-registering a semantically
   * identical frame returns the already-tracked handle, so repeated catalog
-  * calls in one session do not grow the registry; handles whose session
-  * has stopped are evicted on the next retain. The registry is
+  * calls in one session do not grow the registry; a same-name frame whose
+  * plan differs REPLACES the old entry (evicted), so names hold exactly
+  * one live cache even for frames that can never plan-match (kernel
+  * closures, re-rooted RDDs); handles whose session has stopped are
+  * evicted on the next retain. The registry is
   * JVM-global — Spark's CacheManager (which does the plan matching) is
   * per-session-state, and the retained frames are shared by catalog
   * queries that run without any Engine — so `Engine.close` releasing all
@@ -44,6 +47,15 @@ object CacheRegistry {
     } match {
       case Some((_, existing)) => existing
       case None =>
+        // a same-name entry whose plan does NOT match is superseded, not
+        // a sibling: frames rooted on kernel closures (mapGroups/
+        // mapPartitions lambdas) or re-rooted RDDs can never sameResult-
+        // match across calls, so without eviction every call would pin a
+        // NEW full cached copy under the same name until unpersistAll —
+        // the registry's contract is one live entry per name
+        retained.filterInPlace { case (n, d) =>
+          if (n == name) { scala.util.Try(d.unpersist(false)); false } else true
+        }
         df.cache()
         retained += ((name, df))
         df

@@ -247,15 +247,36 @@ object Documents {
         // 64-bit SimHash over distinct 3-word shingles (unigrams are
         // useless on a tiny vocabulary — every doc holds most tokens):
         // bit b is the sign of Σ ±1 over shingle hashes.
+        //
+        // The fold runs as a primitive groupByKey kernel (the proven v02
+        // pattern), NOT as 64 sum(when(bitwiseAND…)) aggregate columns:
+        // that unrolled expression tree lands in the repo's documented
+        // codegen-method-limit pitfall class, and combined with the
+        // banded self-join recomputing the whole shingle→explode→64-agg
+        // upstream for BOTH sides it measured 78.5 s isolated at sf0.1.
+        // The kernel is one shuffle of (doc_id, h) pairs + a per-doc
+        // counts[64] array fold; the resulting one-row-per-doc frame is
+        // tiny and retained under CacheRegistry, so the self-join reads
+        // the cache twice instead of recomputing twice (isolated < 3 s).
         val th = shingled(s, dir)
           .select($"doc_id", explode($"shingles").as("shingle"))
           .select($"doc_id", xxhash64($"shingle").as("h"))
-        val bitSums = (0 until 64).map(b =>
-          sum(when($"h".bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"s$b"))
-        val sums = th.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-        val sim = sums.select($"doc_id",
-          (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-            .reduce(_ bitwiseOR _).as("simhash"))
+          .as[(Long, Long)]
+        val simDf = th.groupByKey(_._1).mapGroups { (id, it) =>
+          val counts = new Array[Int](64)
+          it.foreach { case (_, h) =>
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+              b += 1
+            }
+          }
+          var sh = 0L
+          var b = 0
+          while (b < 64) { if (counts(b) > 0) sh |= 1L << b; b += 1 }
+          (id, sh)
+        }.toDF("doc_id", "simhash")
+        val sim = graft.CacheRegistry.retain("neardup.simhash", simDf)
         // banded self-join on 8 bands × 8 bits: a pair with hamming ≤ 7
         // has ≥1 clean band (pigeonhole), so for the ≤6 threshold below
         // the banded join is EXHAUSTIVE — identical output to an n² scan,

@@ -322,7 +322,10 @@ object Embeddings {
     * on clustered data; needs the training pass). Assignment is a single
     * broadcast-argmax map; the quadratic work happens only within cells.
     * Recall-gated in EmbeddingsSpec (approximate by design, like
-    * annTopK); the tagged frame is CacheRegistry-owned.
+    * annTopK); the tagged frame is CacheRegistry-owned. Its plan is
+    * rooted on a kernel closure, so repeat calls can never plan-match a
+    * prior entry — the registry's same-name eviction replaces the old
+    * cache instead of accumulating one full corpus copy per call.
     */
   def ivfTopK(vectors: DataFrame, k: Int, cells: Int = 8, probes: Int = 2,
       iters: Int = 3): DataFrame = {
@@ -331,6 +334,11 @@ object Embeddings {
     val session = vectors.sparkSession
     import session.implicits._
     val model = kMeansModel(vectors, cells, iters)
+    // an empty corpus trains an empty model — return a typed empty frame
+    // instead of letting the per-row probe (pc(0)) throw downstream
+    if (model.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "rnk", "neighbor_id", "cosine")
     val bc = session.sparkContext.broadcast(model)
     val P = probes
     val base = vectors.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]

@@ -257,6 +257,11 @@ object NearDup {
     // RDD lineage and the materialized blocks would linger unowned
     // (verified by the returned-frame-stays-cached spec). Registry
     // ownership replaces the anonymous cache: Engine.close releases it.
+    // A LogicalRDD never plan-matches a later call's, so the registry's
+    // same-name eviction replaces the previous entry per call; if the
+    // cached blocks are ever evicted under memory pressure, recompute
+    // walks the (linear) RDD lineage back through the propagation rounds
+    // — consumers needing durability should write the frame out instead.
     val projected = labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
     val out = graft.CacheRegistry.retain("neardup.clusters",
       spark.createDataFrame(projected.rdd, projected.schema))

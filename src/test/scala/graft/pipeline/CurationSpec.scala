@@ -130,6 +130,42 @@ class CurationSpec extends SparkSpec {
     assert(!out.storageLevel.useMemory)
   }
 
+  test("CacheRegistry same-name retain with a non-matching plan replaces the entry") {
+    import spark.implicits._
+    graft.CacheRegistry.unpersistAll()
+    // LogicalRDD roots never sameResult-match across calls — the shape of
+    // every kernel-closure / re-rooted frame (d04 sim, ivf tagged,
+    // clusters). Pre-eviction each retain pinned a NEW full cached copy.
+    def rerooted(): org.apache.spark.sql.DataFrame = {
+      val p = Seq(1L, 2L, 3L).toDF("x")
+      spark.createDataFrame(p.rdd, p.schema)
+    }
+    val r1 = graft.CacheRegistry.retain("spec.evict", rerooted())
+    r1.count()
+    assert(r1.storageLevel.useMemory)
+    val r2 = graft.CacheRegistry.retain("spec.evict", rerooted())
+    r2.count()
+    assert(graft.CacheRegistry.entries.count(_ == "spec.evict") == 1,
+      s"one live entry per name, got ${graft.CacheRegistry.entries}")
+    assert(!r1.storageLevel.useMemory, "superseded same-name cache must be released")
+    assert(r2.storageLevel.useMemory)
+    graft.CacheRegistry.unpersistAll()
+  }
+
+  test("repeated clusters() calls hold one neardup.clusters entry") {
+    import spark.implicits._
+    graft.CacheRegistry.unpersistAll()
+    val docs2 = (0 until 6).map { i =>
+      (i.toLong, (0 until 10).map(j => s"w${2 * i + j}").mkString(" "))
+    }.toDF("doc_id", "text")
+    NearDup.clusters(docs2)
+    val out2 = NearDup.clusters(docs2)
+    assert(graft.CacheRegistry.entries.count(_ == "neardup.clusters") == 1,
+      s"re-rooted result must replace, not accumulate: ${graft.CacheRegistry.entries}")
+    assert(out2.storageLevel.useMemory, "the LIVE entry is the latest call's frame")
+    graft.CacheRegistry.unpersistAll()
+  }
+
   test("CacheRegistry retains once per plan and unpersistAll releases") {
     graft.CacheRegistry.unpersistAll()
     val before = graft.CacheRegistry.entries.size
