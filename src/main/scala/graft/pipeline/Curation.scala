@@ -112,6 +112,57 @@ object NearDup {
         "transform(sequence(1, size(toks)-2), " +
           "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("shingles"))
 
+  /** Exact Jaccard on two distinct-shingle arrays; the same single
+    * long/long IEEE division as the d02/d03 catalog arithmetic. */
+  private[graft] def jaccardCol(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("long")
+    inter / (size(a) + size(b) - inter).cast("long")
+  }
+
+  /** Per-doc MinHash band signatures — d03's exact construction (64 hash
+    * functions over two-level shingle hashing, 32 bands × 2 rows):
+    * `(doc_id, shingles, keys[32])`. Docs with fewer than 3 tokens carry
+    * no shingles and produce no row (they cannot near-dup anything).
+    * This is the frame [[StreamingCuration]] persists as its signature
+    * history: at 100 TB it is the compact, probe-able residue of every
+    * document ever seen — the shingle/minhash work is paid once per doc,
+    * at ingest. */
+  def signatures(docs: DataFrame): DataFrame = {
+    val sh = shingled(docs)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
+    val sigCols = (0 until 64).map(h => min(xxhash64(col("h0"), lit(h))).as(s"mh$h"))
+    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    sig.select(col("doc_id"),
+        array((0 until 32).map(b =>
+          xxhash64(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*).as("keys"))
+      .join(sh, Seq("doc_id"))
+  }
+
+  /** Doc ids from `cand` that VERIFY (exact Jaccard ≥ `threshold`) as
+    * near-dups of any row in `seen` — both frames in [[signatures]]
+    * shape. A pair is a candidate iff it shares any of the 32 band keys
+    * (d03's recall argument: P(miss) = (1−j²)³² — 1e-23 at j ≥ 0.9),
+    * then the stored shingle arrays decide exactly, so precision is 1.
+    *
+    * Scale: `cand` is one trigger-bounded micro-batch and BROADCASTS
+    * (both its band keys and its shingle arrays); `seen` — the unbounded
+    * signature history — is only ever scanned map-side: band-key probe,
+    * then shingle verify restricted to the (few) banded hits. No shuffle
+    * of the history, ever. */
+  def probeSeen(cand: DataFrame, seen: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val cx = cand.select(col("doc_id").as("cid"),
+      posexplode(col("keys")).as(Seq("band", "key")))
+    val sx = seen.select(col("doc_id").as("sid"), col("shingles").as("ssh"),
+      posexplode(col("keys")).as(Seq("band", "key")))
+    sx.join(broadcast(cx), Seq("band", "key"))
+      .select(col("cid"), col("sid"), col("ssh")).distinct()
+      .join(broadcast(cand.select(col("doc_id").as("cid"), col("shingles").as("csh"))),
+        Seq("cid"))
+      .filter(jaccardCol(col("csh"), col("ssh")) >= threshold)
+      .select(col("cid").as("doc_id")).distinct()
+  }
+
   /** Exact (doc_a, doc_b, jaccard) pairs with Jaccard ≥ threshold via the
     * inverted-index self-join.
     *

@@ -9,8 +9,20 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * a stream, each micro-batch is quality-gated and exact-deduped with the
   * SAME shared predicates as [[Curation.curate]] ([[Curation.qualityGate]]
   * / [[Curation.exactDedup]] — one definition, two ingestion paths), then
-  * deduped AGAINST the already-ingested corpus and appended idempotently
-  * under [[StreamingDelivery]]'s `_batch_id` ledger.
+  * deduped AGAINST the already-ingested corpus — exact (fingerprint
+  * anti-join) AND near-dup (MinHash signature probe + exact-Jaccard
+  * verify against the `<table>_sigs` history, plus the batch-local CC
+  * cluster-minima rule) — and appended idempotently under
+  * [[StreamingDelivery]]'s `_batch_id` ledger.
+  *
+  * Near-dup parity with the batch pipeline: on a corpus ingested in
+  * ascending doc_id order, the delivered set equals `Curation.curate`'s
+  * (spec-pinned, including the transitive-chain case — the signature
+  * history keeps every candidate, so a doc dropped as a near-dup still
+  * blocks later docs similar only to it). The one inherent single-pass
+  * limit: two already-delivered docs can never be retro-merged by a LATER
+  * doc that links their clusters — batch reprocessing is the recovery
+  * path, as in any online dedup.
   *
   * Scale design: the warehouse table itself is the dedup state. A
   * streaming `dropDuplicates` on the content fingerprint would grow an
@@ -44,6 +56,11 @@ object StreamingCuration {
     * a batch); the replay-verification counterpart of the `_batch_id`
     * ledger. */
   val InputRowsCol = "_input_rows"
+
+  /** Suffix of the signature side table (`<table>_sigs`): one
+    * [[NearDup.signatures]] row per candidate ever seen, ledgered by
+    * `_batch_id` like the curated table itself. */
+  val SigSuffix = "_sigs"
 
   /** `foreachBatch` function: curate → anti-join corpus → ledgered append. */
   def curatingBatch(table: String,
@@ -82,15 +99,62 @@ object StreamingCuration {
           val curated = Curation.exactDedup(
             Curation.qualityGate(snap, minTokens, minUniqRatio))
           val fresh =
-            if (delivered < 0L) curated
-            else curated.join(
-              spark.table(qualified).select(col("fingerprint")),
-              Seq("fingerprint"), "left_anti")
-          StreamingDelivery.appendLedgered(
-            // the count job runs only when the stamp can be written —
-            // legacy tables skip it (the value would be dead anyway)
-            if (stamped) fresh.withColumn(InputRowsCol, lit(snap.count())) else fresh,
-            database, table, batchId, tableIsNew = delivered < 0L)
+            (if (delivered < 0L) curated
+             else curated.join(
+               spark.table(qualified).select(col("fingerprint")),
+               Seq("fingerprint"), "left_anti"))
+              // referenced by the signature build, the within-batch CC and
+              // the survivor anti-join — execute the gate+dedup plan once
+              .localCheckpoint()
+          try {
+            val sigTable = table + SigSuffix
+            val sigQualified = s"`$database`.`$sigTable`"
+            val sigDelivered =
+              StreamingDelivery.deliveredRowCount(spark, database, sigTable, batchId)
+            val candSigs = NearDup.signatures(fresh).localCheckpoint()
+            try {
+              // cross-batch near-dups: probe the persisted signature
+              // history (banded join + exact-Jaccard verify). The history
+              // records EVERY candidate ever seen — survivor or not — so a
+              // doc dropped as a near-dup still blocks future docs similar
+              // only to IT (the transitive-chain case). Excluding this
+              // batch's own rows keeps a crash-replay (sigs landed,
+              // curated rows did not) from matching the batch against
+              // itself.
+              val seenHits =
+                if (sigDelivered < 0L) candSigs.select(col("doc_id")).limit(0)
+                else NearDup.probeSeen(candSigs, spark.table(sigQualified)
+                  .filter(col(StreamingDelivery.BatchIdCol) =!= batchId))
+              // within-batch near-dups: the SAME CC + cluster-minima rule
+              // as Curation.curate. A cluster touching a seen near-dup is
+              // dropped WHOLE — its component's min doc lives in an
+              // earlier batch (streaming parity assumes ingest order
+              // tracks doc_id, the monotone-id production case).
+              val cl = NearDup.clusters(fresh)
+              val contaminated = cl.join(seenHits, Seq("doc_id"))
+                .select(col("cluster_id")).distinct()
+              val dropIds = cl.join(contaminated, Seq("cluster_id")).select(col("doc_id"))
+                .union(cl.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id")))
+                .union(seenHits)
+                .distinct()
+              val survivors = fresh.join(dropIds, Seq("doc_id"), "left_anti")
+              // signature append FIRST, under its own ledger: if the
+              // process dies between the two appends, the replay sees an
+              // empty curated ledger (re-runs the batch) and a set sig
+              // ledger (skips re-append); the own-batch probe exclusion
+              // above makes that re-run correct. The reverse order would
+              // lose the batch's signatures forever.
+              if (sigDelivered <= 0L)
+                StreamingDelivery.appendLedgered(candSigs, database, sigTable, batchId,
+                  tableIsNew = sigDelivered < 0L)
+              StreamingDelivery.appendLedgered(
+                // the count job runs only when the stamp can be written —
+                // legacy tables skip it (the value would be dead anyway)
+                if (stamped) survivors.withColumn(InputRowsCol, lit(snap.count()))
+                else survivors,
+                database, table, batchId, tableIsNew = delivered < 0L)
+            } finally candSigs.unpersist(blocking = false)
+          } finally fresh.unpersist(blocking = false)
         } else if (stamped) {
           // replayed batch: verify the one invariant that survives
           // curation — the pre-curation input size recorded at delivery

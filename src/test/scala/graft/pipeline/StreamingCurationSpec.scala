@@ -52,6 +52,54 @@ class StreamingCurationSpec extends SparkSpec {
     assert(!ids.contains(2L) && !ids.contains(5L) && !ids.contains(3L))
   }
 
+  // --- near-dup parity fixture: 20-token docs where each interior
+  // single-token edit kills exactly 3 shingles, so Jaccard is dialable:
+  // 1 edit apart = 15/21 ≈ 0.71, 2 = 12/24 = 0.5, 3 = 9/27 = 0.33 < 0.5.
+  private def tokens(prefix: String): Vector[String] =
+    (1 to 20).map(i => s"$prefix$i").toVector
+  private def edited(base: Vector[String], edits: (Int, String)*): String =
+    edits.foldLeft(base) { case (t, (i, w)) => t.updated(i, w) }.mkString(" ")
+
+  test("streaming near-dup curation equals Curation.curate on a corpus replayed in batches") {
+    val t = tokens("a")
+    val corpus = Seq(
+      // batch 0
+      1L -> t.mkString(" "),            // component root — kept
+      2L -> t.mkString(" "),            // exact dup of 1 — exact-dedup drop
+      3L -> edited(t, 5 -> "x3"),       // ~1 (j .71) — in-batch CC drop
+      4L -> tokens("b").mkString(" "),  // distinct — kept
+      // batch 1
+      5L -> edited(t, 2 -> "x5"),       // ~1 (j .71) — cross-batch sig probe drop
+      6L -> tokens("c").mkString(" "),  // distinct — kept
+      7L -> edited(tokens("c"), 10 -> "x7"), // ~6 — in-batch CC drop
+      // batch 2
+      8L -> edited(t, 5 -> "x3", 10 -> "x8", 15 -> "x9"),
+      // ^ ~3 only (j(8,3) = .5; j(8,1) = .33): 3 was itself DROPPED, so
+      //   this doc pins the signature-history-of-dropped-docs path — the
+      //   transitive chain 1–3–8 that plain survivor-probing would leak
+      9L -> tokens("d").mkString(" "))  // distinct — kept
+    val srcDir = Files.createTempDirectory("scnd").toString
+    Seq(corpus.take(4), corpus.slice(4, 7), corpus.drop(7)).foreach { batch =>
+      batch.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    run(srcDir, "docs_neardup")
+    val streamed = spark.table(s"`$db`.`docs_neardup`")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val batch = Curation.curate(corpus.toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(batch == Seq(1L, 4L, 6L, 9L), s"batch pipeline sanity: $batch")
+    assert(streamed == batch,
+      s"streaming must deliver the batch pipeline's survivors: $streamed vs $batch")
+    // the signature history records every candidate (not just survivors)
+    // under the batch ledger — that is what made the 1–3–8 chain work
+    val sigs = spark.table(s"`$db`.`docs_neardup${StreamingCuration.SigSuffix}`")
+    val sigIds = sigs.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(sigIds == Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L),
+      s"sigs hold every exact-deduped candidate incl. near-dup drops: $sigIds")
+    assert(sigs.columns.contains(StreamingDelivery.BatchIdCol),
+      "signature table is ledgered like the curated table")
+  }
+
   test("replay with a fresh checkpoint is a no-op (ledger short-circuits before the anti-join)") {
     val srcDir = mkSource
     run(srcDir, "docs_replayed")
