@@ -31,6 +31,27 @@ final class Engine private[graft] (val spark: SparkSession, val runner: JobRunne
   def run(pollMillis: Long = 1000L, maxCycles: Option[Int] = None): Unit =
     runner.run(pollMillis, maxCycles)
 
+  /** L1, streaming form: the poll loop as a Structured Streaming query —
+    * Spark owns cadence, restarts and progress monitoring. */
+  def runStreaming(pollInterval: String = "1 second")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    runner.runStreaming(pollInterval)
+
+  /** Streaming document ingestion under this engine's session
+    * ([[graft.pipeline.StreamingCuration]]): quality gate → exact dedup →
+    * near-dup (signature-history probe + batch CC) → ledgered warehouse
+    * append. Restartable from `checkpointDir` — the `_batch_id` ledger
+    * makes replayed batches no-ops, so the daemon and the ingestion
+    * stream can crash and resume independently. */
+  def startCuration(docs: org.apache.spark.sql.DataFrame, table: String,
+      checkpointDir: String,
+      database: String = graft.sinks.WarehouseSink.DefaultDatabase,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.pipeline.StreamingCuration.start(docs, table, checkpointDir,
+      database, trigger = trigger)
+
   /** Release the engine-retained caches (shingle/pair tables — see
     * [[CacheRegistry]]). The SparkSession is the caller's and stays up. */
   def close(): Unit = CacheRegistry.unpersistAll()
