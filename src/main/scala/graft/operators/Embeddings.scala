@@ -769,6 +769,116 @@ object Embeddings {
         SELECT query_id, rnk, neighbor_id, bucket, cosine FROM scored
         WHERE rnk <= 3 ORDER BY query_id, rnk""")),
 
+    QueryDef("v09_ann_kmeans_ivf",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the UNLABELED-data IVF path under the driver's hash gate:
+        // [[kMeansModel]] (deterministic Lloyd's — Knuth-hash seeding,
+        // broadcast-argmax assignment, exact DECIMAL means, fixed
+        // iterations) trains the coarse quantizer and [[ivfTopK]] serves
+        // multi-probe top-k from it. Every step is cross-engine
+        // computable, so the DuckDB oracle replays the trainer round for
+        // round (3 unrolled Lloyd iterations) and the search — this
+        // upgrades the pair from its recall-spec to a hash-match.
+        // k=3/cells=8/probes=2/iters=3 keep the oracle's 8·n assignment
+        // cross-join bounded; output restricted to the v06-style 10-query
+        // panel (the operator computes all queries; rank-per-query is
+        // unaffected by the post-filter).
+        Embeddings.ivfTopK(based(s, dir), k = 3, cells = 8, probes = 2, iters = 3)
+          .filter($"query_id" < 10)
+          .orderBy($"query_id", $"rnk")
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        -- seeding: k smallest Knuth multiplicative hashes of vec_id, ties by id;
+        -- cell = position in that order (kMeansModel's zipWithIndex)
+        seeds AS (SELECT vec_id, v,
+                         row_number() OVER (ORDER BY
+                           ((vec_id % 1048573 + 1048573) % 1048573) * 2654435761 % 1000000007,
+                           vec_id) AS rn
+                  FROM base),
+        m0v AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, v AS cv FROM seeds WHERE rn <= 8),
+        m0n AS (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
+                FROM (SELECT cell, unnest(cv) AS e FROM m0v) GROUP BY cell),
+        m0 AS (SELECT v.cell, v.cv, n.cn FROM m0v v JOIN m0n n ON v.cell = n.cell),
+        -- Lloyd round 1: argmax fixed-point cosine (NaN ranks first, ties
+        -- keep the smallest cell), exact DECIMAL(38,12) per-(cell,dim)
+        -- mean, empty cells carry the previous centroid
+        d1 AS (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+               FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
+                     FROM base b, m0 m) GROUP BY 1, 2),
+        a1 AS (SELECT vid, cell FROM (
+                 SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
+                          ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
+                 FROM d1 d JOIN n2 ON d.vid = n2.vec_id JOIN m0 m ON d.cell = m.cell)
+               WHERE rn = 1),
+        g1 AS (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
+               FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
+                     FROM base b JOIN a1 a ON b.vec_id = a.vid) GROUP BY 1, 2),
+        u1 AS (SELECT cell, list(mn ORDER BY pos) AS cv FROM g1 GROUP BY cell),
+        w1 AS (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m0 p LEFT JOIN u1 u ON p.cell = u.cell),
+        x1 AS (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
+               FROM (SELECT cell, unnest(cv) AS e FROM w1) GROUP BY cell),
+        m1 AS (SELECT w.cell, w.cv, x.cn FROM w1 w JOIN x1 x ON w.cell = x.cell),
+        -- Lloyd round 2
+        d2 AS (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+               FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
+                     FROM base b, m1 m) GROUP BY 1, 2),
+        a2 AS (SELECT vid, cell FROM (
+                 SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
+                          ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
+                 FROM d2 d JOIN n2 ON d.vid = n2.vec_id JOIN m1 m ON d.cell = m.cell)
+               WHERE rn = 1),
+        g2 AS (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
+               FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
+                     FROM base b JOIN a2 a ON b.vec_id = a.vid) GROUP BY 1, 2),
+        u2 AS (SELECT cell, list(mn ORDER BY pos) AS cv FROM g2 GROUP BY cell),
+        w2 AS (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m1 p LEFT JOIN u2 u ON p.cell = u.cell),
+        x2 AS (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
+               FROM (SELECT cell, unnest(cv) AS e FROM w2) GROUP BY cell),
+        m2 AS (SELECT w.cell, w.cv, x.cn FROM w2 w JOIN x2 x ON w.cell = x.cell),
+        -- Lloyd round 3
+        d3 AS (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+               FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
+                     FROM base b, m2 m) GROUP BY 1, 2),
+        a3 AS (SELECT vid, cell FROM (
+                 SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
+                          ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
+                 FROM d3 d JOIN n2 ON d.vid = n2.vec_id JOIN m2 m ON d.cell = m.cell)
+               WHERE rn = 1),
+        g3 AS (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
+               FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
+                     FROM base b JOIN a3 a ON b.vec_id = a.vid) GROUP BY 1, 2),
+        u3 AS (SELECT cell, list(mn ORDER BY pos) AS cv FROM g3 GROUP BY cell),
+        w3 AS (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m2 p LEFT JOIN u3 u ON p.cell = u.cell),
+        x3 AS (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
+               FROM (SELECT cell, unnest(cv) AS e FROM w3) GROUP BY cell),
+        m3 AS (SELECT w.cell, w.cv, x.cn FROM w3 w JOIN x3 x ON w.cell = x.cell),
+        -- search: probe ranks under the final model; corpus lives in its
+        -- nearest cell, queries probe their 2 nearest
+        pd AS (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+               FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
+                     FROM base b, m3 m) GROUP BY 1, 2),
+        pr AS (SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
+                        ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
+               FROM pd d JOIN n2 ON d.vid = n2.vec_id JOIN m3 m ON d.cell = m.cell),
+        corp AS (SELECT vid AS cid, cell FROM pr WHERE rn = 1),
+        qp AS (SELECT vid AS qid, cell FROM pr WHERE rn <= 2 AND vid < 10),
+        dots AS (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+                 FROM (SELECT q.qid, c.cid, unnest(qb.v) AS qx, unnest(cb.v) AS cx
+                       FROM qp q JOIN corp c ON q.cell = c.cell AND q.qid <> c.cid
+                       JOIN base qb ON q.qid = qb.vec_id
+                       JOIN base cb ON c.cid = cb.vec_id)
+                 GROUP BY 1, 2),
+        scored AS (SELECT qid AS query_id, cid AS neighbor_id,
+                          dot / (a.nrm * b.nrm) AS cosine,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS rnk
+                   FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
+        SELECT query_id, rnk, neighbor_id, cosine FROM scored
+        WHERE rnk <= 3 ORDER BY query_id, rnk""")),
+
     QueryDef("v03_label_centroid_sim",
       (s: SparkSession, dir: String) => {
         import s.implicits._
