@@ -987,6 +987,81 @@ object Embeddings {
                             ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS rnk
                    FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
         SELECT query_id, rnk, neighbor_id, cosine FROM scored
+        WHERE rnk <= 10 ORDER BY query_id, rnk""")),
+
+    QueryDef("v10_ann_int8",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Scalar int8 quantization + integer-exact search — the
+        // COMPRESSION path for 100 TB retrieval. Per-dimension symmetric
+        // scales (127 / max|x_d|, a 64-row global aggregate) quantize
+        // every vector to int8 codes: 8× less storage/scan/cache than
+        // float64, and the search arithmetic becomes EXACT integer sums
+        // (no fixed-point rounding needed — int products are closed
+        // under i64), so this stays under the hash gate rather than a
+        // recall spec. At cluster scale the codes table is what you
+        // persist (v08's bucketed layout applies unchanged); the scales
+        // are a broadcast model like v06's coarse quantizer, and the
+        // quantize pass is map-side behind a scan.
+        //
+        // Determinism: max|x| per dim is exact (no arithmetic); the
+        // driver computes s = 127.0/m with one IEEE division exactly as
+        // the oracle's SQL does; FLOOR(x*s + 0.5) is single-op IEEE
+        // round-half-up (matches the engine-wide fixed-point contract);
+        // everything after is integer. n² norm products ≤ (64·127²)² ≈
+        // 1.07e12 < 2^53, so the final CAST(...AS DOUBLE)/sqrt is exact
+        // on its inputs in both engines. (In-flight codes ride as i64
+        // lanes so the fold needs no per-element widening; a PERSISTED
+        // code table would pack them to tinyint — the 8× claim is about
+        // that storage form.)
+        val base = based(s, dir)
+        val scales: Array[Double] = base
+          .select(posexplode($"v").as(Seq("pos", "x")))
+          .groupBy($"pos").agg(max(abs($"x")).as("m"))
+          .orderBy($"pos")
+          .as[(Int, Double)].collect()
+          .map { case (_, m) => if (m == 0.0) 0.0 else 127.0 / m }
+        val scLit = array(scales.map(lit(_)): _*)
+        val quant = base.select(
+          $"vec_id",
+          transform($"v", (x, i) =>
+            floor(x * element_at(scLit, i + lit(1)) + lit(0.5)).cast("long")).as("q"))
+          .withColumn("nn", expr(
+            "aggregate(q, CAST(0 AS BIGINT), (acc, y) -> acc + y * y)"))
+        val queries = quant.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"q".as("qq"), $"nn".as("qn"))
+        val corpus = quant
+          .select($"vec_id".as("neighbor_id"), $"q".as("cq"), $"nn".as("cn"))
+        val w = Window.partitionBy($"query_id").orderBy($"cos_q8".desc, $"neighbor_id")
+        corpus.join(broadcast(queries), $"query_id" =!= $"neighbor_id")
+          .withColumn("dot_q8", expr(
+            "aggregate(zip_with(qq, cq, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, p) -> acc + p)"))
+          .withColumn("cos_q8",
+            $"dot_q8".cast("double") / sqrt(($"qn" * $"cn").cast("double")))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 10)
+          .select($"query_id", $"rnk", $"neighbor_id", $"dot_q8", $"cos_q8")
+          .orderBy($"query_id", $"rnk")
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ex AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM base),
+        sc AS (SELECT pos, CASE WHEN MAX(ABS(x)) = 0 THEN 0.0 ELSE 127.0 / MAX(ABS(x)) END AS s
+               FROM ex GROUP BY pos),
+        q AS (SELECT e.vec_id, e.pos, CAST(FLOOR(e.x * sc.s + 0.5) AS BIGINT) AS qx
+              FROM ex e JOIN sc ON e.pos = sc.pos),
+        n2 AS (SELECT vec_id, CAST(SUM(qx * qx) AS BIGINT) AS nn FROM q GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                        CAST(SUM(a.qx * b.qx) AS BIGINT) AS dot_q8
+                 FROM q a JOIN q b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+                 WHERE a.vec_id < 10 GROUP BY 1, 2),
+        scored AS (SELECT query_id, neighbor_id, dot_q8,
+                          CAST(dot_q8 AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) AS cos_q8,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(dot_q8 AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) DESC,
+                                     neighbor_id) AS rnk
+                   FROM dots JOIN n2 na ON query_id = na.vec_id
+                             JOIN n2 nb ON neighbor_id = nb.vec_id)
+        SELECT query_id, rnk, neighbor_id, dot_q8, cos_q8 FROM scored
         WHERE rnk <= 10 ORDER BY query_id, rnk"""))
   )
 

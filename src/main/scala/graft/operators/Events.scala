@@ -301,5 +301,44 @@ object Events {
         SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
           COUNT(*) AS n, ${sumExactSql("value")} AS sum_value
         FROM expanded GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+  ,
+
+    QueryDef("e13_type_transitions",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // First-order Markov transition matrix over per-user event
+        // sequences — the sequence-mining shape behind next-action
+        // models and funnel discovery. ONE shuffle keyed by user_id
+        // feeds the lag window (same (ts, event_id) total order as
+        // e04's sessionizer), then the matrix itself is a tiny
+        // (|types|² ≤ 25-row) aggregate with map-side partials — at
+        // 100 TB the window shuffle is the only data-sized stage, and
+        // it reuses the partitioning any per-user analysis already
+        // needs. Row-conditional probabilities are emitted as 1e-12
+        // fixed-point BIGINTs via integer floor-division (exact and
+        // identical cross-engine; a DOUBLE ratio would hash-diverge).
+        val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val rowTot = Window.partitionBy($"prev_type")
+        eventsTbl(s, dir)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+          .filter($"prev_type".isNotNull)
+          .groupBy($"prev_type", $"event_type")
+          .agg(count(lit(1)).as("transitions"))
+          .withColumn("prob_fp",
+            expr("transitions * 1000000000000 div sum(transitions) over (partition by prev_type)"))
+          .select($"prev_type", $"event_type", $"transitions", $"prob_fp")
+          .orderBy($"prev_type", $"event_type")
+      },
+      Some("""WITH seq AS (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        tr AS (SELECT prev_type, event_type, COUNT(*) AS transitions
+               FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        SELECT prev_type, event_type, transitions,
+               CAST((transitions * 1000000000000)
+                 // CAST(SUM(transitions) OVER (PARTITION BY prev_type) AS BIGINT) AS BIGINT) AS prob_fp
+        FROM tr ORDER BY prev_type, event_type"""))
   )
 }

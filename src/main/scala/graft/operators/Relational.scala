@@ -479,6 +479,50 @@ object Relational {
         CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
         CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
         FROM customer JOIN orders ON c_custkey = o_custkey
-        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    QueryDef("q25_zorder_layout",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Z-order (Morton) clustering — the multi-dimensional DATA
+        // LAYOUT primitive behind file skipping at 100 TB: writing
+        // `repartitionByRange('zval).sortWithinPartitions('zval)` makes
+        // every parquet file cover a narrow RECTANGLE in (partkey,
+        // suppkey) space, so min/max footer stats prune scans on EITHER
+        // predicate column — a plain sort clusters one dimension and
+        // shreds the other. This query computes the interleave and
+        // proves the locality claim relationally: each of the 32
+        // occupied top-6-bit buckets spans ≤ 1/8 of the partkey range ×
+        // ≤ 1/3 of the suppkey range (asserted in RelationalSpec).
+        // The bit interleave is integer div/mod arithmetic GENERATED
+        // from one Scala loop for both engines (only the integer-div
+        // token differs), so the forms cannot drift; values < 2^16 —
+        // exact everywhere.
+        tbl(s, dir, "lineitem")
+          .withColumn("zval", expr(zvalExpr("l_partkey div 8", "l_suppkey", "div")))
+          .groupBy(expr("zval div 1024").cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min($"l_partkey").as("pk_min"), max($"l_partkey").as("pk_max"),
+            min($"l_suppkey").as("sk_min"), max($"l_suppkey").as("sk_max"))
+          .orderBy($"bucket")
+      },
+      Some(s"""WITH z AS (SELECT l_partkey, l_suppkey,
+               ${zvalExpr("(l_partkey // 8)", "l_suppkey", "//")} AS zval
+               FROM lineitem)
+        SELECT CAST(zval // 1024 AS BIGINT) AS bucket, COUNT(*) AS n,
+               MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+               MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+        FROM z GROUP BY 1 ORDER BY bucket"""))
   )
+
+  /** 8-bit × 8-bit Morton interleave as portable integer arithmetic:
+    * bit b of `x` lands at position 2b, bit b of `y` at 2b+1. `idiv` is
+    * the engine's integer-division token (`div` Spark, `//` DuckDB) —
+    * everything else is shared `%`/`*`/`+`, so the two rendered forms
+    * compute identically by construction. */
+  private def zvalExpr(x: String, y: String, idiv: String): String =
+    (0 until 8).map { b =>
+      s"((($x) $idiv ${1 << b}) % 2) * ${1L << (2 * b)} + " +
+        s"((($y) $idiv ${1 << b}) % 2) * ${1L << (2 * b + 1)}"
+    }.mkString("(", " + ", ")")
 }
