@@ -268,11 +268,38 @@ object NearDup {
     * two label sets persisted at once (current + next, the superseded
     * one eagerly unpersisted).
     */
+  /** Warm-call memo for [[clusters]]: the loop's result frame is rooted
+    * on a LogicalRDD and can never plan-match a later call, so without
+    * this a second clusters() in the same session re-runs EVERY
+    * propagation round (measured 4.4 s at sf0.1) to rebuild an identical
+    * frame. The retained pairs handle is reference-stable across
+    * plan-matched calls (the registry returns the first object) and its
+    * plan encodes docs+threshold, so object identity is an exact
+    * semantic key. unpersistAll/Engine.close invalidates transitively:
+    * it drops the pairs entry too, so the next pairs() returns a fresh
+    * object and the memo misses. Plain reference ops under the JVM-global
+    * registry discipline; the loop itself runs outside any lock. */
+  private val clustersMemo =
+    new java.util.concurrent.atomic.AtomicReference[(DataFrame, DataFrame)]()
+
   def clusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ps = pairs(docs, threshold).select($"doc_a", $"doc_b") // pairs() is retained
-    val edges = ps.union(ps.select($"doc_b", $"doc_a")).toDF("src", "dst").cache()
+    val psRet = pairs(docs, threshold) // registry-owned, reference-stable
+    val memo = clustersMemo.get()
+    if (memo != null && (memo._1 eq psRet) &&
+      graft.CacheRegistry.entries.contains("neardup.clusters"))
+      return memo._2
+    val ps = psRet.select($"doc_a", $"doc_b")
+    // co-partition the edge list by the propagation join key ONCE: the
+    // cached layout already satisfies the per-round join's required
+    // distribution, so each round shuffles only the (small) label frame
+    // instead of re-exchanging the edge set — at 100 TB the edges are
+    // data-sized and this per-round exchange is the loop's dominant
+    // moving cost; labels-by-id stays a per-round shuffle (it changes
+    // every round by construction)
+    val edges = ps.union(ps.select($"doc_b", $"doc_a")).toDF("src", "dst")
+      .repartition($"dst").cache()
     var labels = edges.select($"src".as("id")).distinct().withColumn("label", $"id").cache()
     var changed = true
     var iter = 0
@@ -319,6 +346,7 @@ object NearDup {
     out.count() // materialize through labels' still-live cache
     edges.unpersist(blocking = false)
     labels.unpersist(blocking = false)
+    clustersMemo.set((psRet, out))
     out
   }
 }

@@ -166,6 +166,26 @@ class CurationSpec extends SparkSpec {
     graft.CacheRegistry.unpersistAll()
   }
 
+  test("warm clusters() call is memoized; unpersistAll invalidates") {
+    import spark.implicits._
+    graft.CacheRegistry.unpersistAll()
+    val docs2 = (0 until 6).map { i =>
+      (i.toLong, (0 until 10).map(j => s"w${2 * i + j}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val a = NearDup.clusters(docs2)
+    val b = NearDup.clusters(docs2)
+    // the loop result can never plan-match (LogicalRDD root), so without
+    // the memo the second call re-runs every propagation round; identity
+    // equality proves zero recompute
+    assert(a eq b, "warm call must return the memoized frame, not re-run the loop")
+    graft.CacheRegistry.unpersistAll()
+    val c = NearDup.clusters(docs2)
+    assert(!(c eq a), "session teardown must invalidate the memo")
+    assert(c.collect().toSet == a.collect().toSet,
+      "post-invalidation rebuild must reproduce the same clustering")
+    graft.CacheRegistry.unpersistAll()
+  }
+
   test("CacheRegistry retains once per plan and unpersistAll releases") {
     graft.CacheRegistry.unpersistAll()
     val before = graft.CacheRegistry.entries.size
