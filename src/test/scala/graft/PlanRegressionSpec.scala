@@ -66,4 +66,34 @@ class PlanRegressionSpec extends SparkSpec {
     val exchanges = "ShuffleExchange|Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n${p.take(3000)}")
   }
+
+  test("v10: query panel broadcasts; top-k runs as partial WindowGroupLimit") {
+    val p = planOf("v10_ann_int8")
+    // few-queries-vs-corpus: the 10-query side must broadcast so the
+    // corpus streams map-side (same economics as v01); the rank<=10
+    // filter must prune per-partition before the window's shuffle
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("e13: events scan prunes payload; matrix agg has a map-side partial") {
+    val p = planOf("e13_type_transitions")
+    assert(!p.contains("props"), "e13 must not read the props payload column")
+    assert(!p.contains("value#") && !p.contains(",value"),
+      "e13 must not read the value column")
+    // the (prev,cur) matrix aggregation must combine map-side — at scale
+    // the post-window rows are data-sized and only |types|^2 groups exist
+    assert(p.contains("partial_count") || p.contains("Partial"), p.take(3000))
+  }
+
+  test("q25: lineitem scan reads only the two z-order key columns") {
+    val p = planOf("q25_zorder_layout")
+    assert(!p.contains("l_orderkey") && !p.contains("l_quantity") &&
+      !p.contains("l_extendedprice"),
+      "q25 scan must prune all non-key lineitem columns")
+    // one hash exchange for the bucket agg + the final range sort only
+    val exchanges = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning"
+      .r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n${p.take(3000)}")
+  }
 }
