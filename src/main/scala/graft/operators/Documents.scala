@@ -144,6 +144,25 @@ object Documents {
        WHERE jaccard >= 0.5
        ORDER BY doc_a, doc_b"""
 
+  /** Inlined modular power table for d04's oracle: 256 rows of
+    * (i, 31^i mod 1e9+7, 131^i mod 998244353), generated from the same
+    * constants the kernel folds with — one source for both engines' bases
+    * and moduli, so they cannot drift. 256 covers any shingle the 3-word
+    * construction can produce by a wide margin (lookup-miss would
+    * silently drop characters, hence the margin). */
+  private val SimhashPowers: String = {
+    val sb = new StringBuilder
+    var p31 = 1L
+    var p131 = 1L
+    for (i <- 0 until 256) {
+      if (i > 0) sb.append(',')
+      sb.append('(').append(i).append(',').append(p31).append(',').append(p131).append(')')
+      p31 = p31 * 31 % 1000000007L
+      p131 = p131 * 131 % 998244353L
+    }
+    sb.toString
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef("d01_exact_dedup",
@@ -254,20 +273,44 @@ object Documents {
         // codegen-method-limit pitfall class, and combined with the
         // banded self-join recomputing the whole shingle→explode→64-agg
         // upstream for BOTH sides it measured 78.5 s isolated at sf0.1.
-        // The kernel is one shuffle of (doc_id, h) pairs + a per-doc
-        // counts[64] array fold; the resulting one-row-per-doc frame is
-        // tiny and retained under CacheRegistry, so the self-join reads
-        // the cache twice instead of recomputing twice (isolated < 3 s).
+        // The kernel is one shuffle of (doc_id, shingle) pairs + a
+        // per-doc counts[64] array fold; the resulting one-row-per-doc
+        // frame is tiny and retained under CacheRegistry, so the
+        // self-join reads the cache twice instead of recomputing twice
+        // (isolated < 3 s).
+        //
+        // The shingle hash is CROSS-ENGINE: two independent polynomial
+        // folds (base 31 mod 1e9+7 — t06's fingerprint — and base 131
+        // mod 998244353), each Knuth-mixed to 32 bits; bits 0..31 come
+        // from the first word, 32..63 from the second. Pure integer
+        // arithmetic a SQL engine can replay, unlike xxhash64 (which
+        // kept d04 on a rows-only check through r4) — the DuckDB oracle
+        // replays the fold with a recursive power table and checks the
+        // n² hamming filter, which the banded join EQUALS exhaustively
+        // (pigeonhole, see below). Text is ASCII word-soup, so charAt ==
+        // ascii() codepoints; per-shingle cost is a JVM char loop inside
+        // the kernel, not an interpreted HOF.
         val th = shingled(s, dir)
           .select($"doc_id", explode($"shingles").as("shingle"))
-          .select($"doc_id", xxhash64($"shingle").as("h"))
-          .as[(Long, Long)]
+          .as[(Long, String)]
         val simDf = th.groupByKey(_._1).mapGroups { (id, it) =>
           val counts = new Array[Int](64)
-          it.foreach { case (_, h) =>
+          it.foreach { case (_, str) =>
+            var h1 = 0L
+            var h2 = 0L
+            var i = 0
+            while (i < str.length) {
+              val c = str.charAt(i).toLong
+              h1 = (h1 * 31 + c) % 1000000007L
+              h2 = (h2 * 131 + c) % 998244353L
+              i += 1
+            }
+            val m1 = (h1 * 2654435761L) % 4294967296L
+            val m2 = (h2 * 2654435761L) % 4294967296L
             var b = 0
-            while (b < 64) {
-              if (((h >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+            while (b < 32) {
+              if (((m1 >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+              if (((m2 >>> b) & 1L) != 0L) counts(b + 32) += 1 else counts(b + 32) -= 1
               b += 1
             }
           }
@@ -295,9 +338,49 @@ object Documents {
           .filter($"hamming" <= 6)
           .orderBy($"doc_a", $"doc_b")
       },
-      // xxhash64 is Spark-specific → no cross-engine oracle (driver does a
-      // rows-only check); DocumentsSpec pins precision/recall vs d02.
-      None),
+      // The oracle replays the polynomial-hash simhash fold (inlined
+      // power table, same Knuth mix, sign counts per bit) and applies a
+      // brute-force n² hamming ≤ 6 filter — which the banded join equals
+      // EXHAUSTIVELY (any pair with hamming ≤ 7 shares a clean band by
+      // pigeonhole), so this is a true hash-match gate, not a sampled
+      // one. Verified cell-for-cell against an independent Python
+      // implementation of the kernel before adoption. The power table is
+      // a GENERATED VALUES literal, not a recursive CTE: DuckDB 1.0
+      // leaves a same-connection recursive CTE's buffers unreclaimed,
+      // and the next heavy oracle (v09, alphabetically after d04) then
+      // dies with a spurious out-of-memory — reproduced and pinned on
+      // exactly this pair before switching forms.
+      Some(s"""WITH pw(i, p31, p131) AS (VALUES $SimhashPowers),
+          sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(toks)-1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            WHERE len(toks) >= 3),
+          ch AS (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS i FROM sh),
+          hs AS (
+            SELECT doc_id, s,
+                   CAST(SUM(ascii(substr(ch.s, ch.i, 1)) * CAST(pw.p31 AS BIGINT)) % 1000000007 AS BIGINT) AS h1,
+                   CAST(SUM(ascii(substr(ch.s, ch.i, 1)) * CAST(pw.p131 AS BIGINT)) % 998244353 AS BIGINT) AS h2
+            FROM ch JOIN pw ON pw.i = length(ch.s) - ch.i
+            GROUP BY doc_id, s),
+          mx AS (SELECT doc_id, (h1 * 2654435761) % 4294967296 AS m1,
+                                (h2 * 2654435761) % 4294967296 AS m2 FROM hs),
+          bits AS (SELECT doc_id, unnest(generate_series(0, 63)) AS bp, m1, m2 FROM mx),
+          sgn AS (
+            SELECT doc_id, bp,
+                   SUM(CASE WHEN (CASE WHEN bp < 32
+                                       THEN (m1 // (CAST(1 AS BIGINT) << bp)) % 2
+                                       ELSE (m2 // (CAST(1 AS BIGINT) << (bp - 32))) % 2 END) = 1
+                            THEN 1 ELSE -1 END) AS cnt
+            FROM bits GROUP BY doc_id, bp),
+          ham AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(SUM(CASE WHEN (a.cnt > 0) <> (b.cnt > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+            FROM sgn a JOIN sgn b ON a.bp = b.bp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
+        ORDER BY doc_a, doc_b""")),
 
     QueryDef("t01_text_stats",
       (s: SparkSession, dir: String) => {
