@@ -29,10 +29,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Embeddings {
 
-  /** embeddings with double-cast vector and exact L2 norm. */
-  private def based(s: SparkSession, dir: String): DataFrame =
+  /** embeddings with double-cast vector and exact L2 norm. Also installs
+    * the `fp_dot` native expression on the session — every catalog entry
+    * flows through here before any `expr(NormSql)`/`dotSql` analysis. */
+  private def based(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.FixedPointDot.install(s)
     tbl(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
 
   /** Exact fixed-point arithmetic: each double product is rounded to
     * 1e-12 (floor(p*1e12 + 0.5): multiply/add/floor are single IEEE ops —
@@ -97,15 +101,23 @@ object Embeddings {
     }
   }
 
+  /** Declarative faces of the fixed-point contract, now routed through
+    * the native `fp_dot` expression ([[graft.functions.FixedPointDot]],
+    * installed by [[based]]/[[annTopK]]/[[indexRows]] before analysis).
+    * The previous `aggregate(zip_with(...))` higher-order-function form
+    * computed the identical values but evaluated INTERPRETED with a
+    * per-row zipped intermediate array; `fp_dot` is a primitive loop
+    * inside whole-stage codegen. Arithmetic is unchanged term for term,
+    * so every oracle hash is unmoved (asserted across the catalog by the
+    * unchanged CORRECTNESS pass, and HOF==fp_dot equality is pinned in
+    * FixedPointDotSpec). */
   private def normSqlOf(c: String): String =
-    s"sqrt(CAST(aggregate($c, CAST(0 AS BIGINT), " +
-      s"(acc, x) -> acc + CAST(FLOOR((x*x) * $Scale + 0.5) AS BIGINT)) AS DOUBLE) / $Scale)"
+    s"sqrt(CAST(fp_dot($c, $c) AS DOUBLE) / $Scale)"
 
   private val NormSql = normSqlOf("v")
 
   private def dotSql(a: String, b: String): String =
-    s"CAST(aggregate(zip_with($a, $b, (x, y) -> x*y), CAST(0 AS BIGINT), " +
-      s"(acc, p) -> acc + CAST(FLOOR(p * $Scale + 0.5) AS BIGINT)) AS DOUBLE) / $Scale"
+    s"CAST(fp_dot($a, $b) AS DOUBLE) / $Scale"
 
   private val DotSql = dotSql("qv", "cv")
 
@@ -209,6 +221,7 @@ object Embeddings {
     require(k > 0, s"k must be positive, got $k")
     require(planes > 0 && planes <= 16, s"planes must be in 1..16, got $planes")
     val session = vectors.sparkSession
+    graft.functions.FixedPointDot.install(session)
     import session.implicits._
     val P = planes
     // sign code as a column expression (ANSI array indexing throws on a
@@ -392,9 +405,11 @@ object Embeddings {
   /** The stored index row: sign-LSH bucket, id, vector, precomputed norm.
     * One definition for build and append, so the two write paths cannot
     * diverge on the code/norm arithmetic. */
-  private def indexRows(vectors: DataFrame): DataFrame =
+  private def indexRows(vectors: DataFrame): DataFrame = {
+    graft.functions.FixedPointDot.install(vectors.sparkSession)
     vectors.select(SignBucketCol.as("bucket"), col("vec_id").cast("long").as("vec_id"),
       col("v"), expr(NormSql).as("nrm"))
+  }
 
   /** Build-once ANN index: persist `(bucket, vec_id, v, nrm)` bucketed +
     * sorted on the sign-LSH `bucket` via [[graft.plans.CoLocated

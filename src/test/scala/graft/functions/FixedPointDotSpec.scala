@@ -1,0 +1,46 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FixedPointDotSpec extends SparkSpec {
+
+  test("fp_dot equals the HOF aggregate(zip_with) form bit-for-bit") {
+    import spark.implicits._
+    FixedPointDot.install(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian()), Array.fill(64)(rnd.nextGaussian()))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("native", expr("fp_dot(a, b)"))
+      .withColumn("hof", expr(
+        "aggregate(zip_with(a, b, (x, y) -> x*y), CAST(0 AS BIGINT), " +
+          "(acc, p) -> acc + CAST(FLOOR(p * 1000000000000.0 + 0.5) AS BIGINT))"))
+    assert(df.filter($"native" =!= $"hof").isEmpty,
+      "native expression diverged from the interpreted HOF contract")
+    // and from an independent re-derivation of the kernels' JVM fold
+    val got = df.select($"id", $"native").as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, a, b) =>
+      val want = a.zip(b).map { case (x, y) =>
+        math.floor(x * y * 1e12 + 0.5).toLong
+      }.sum
+      assert(got(id) == want, s"row $id: native ${got(id)} != kernel fold $want")
+    }
+  }
+
+  test("fp_dot edge cases: empty arrays, zero vectors, null input") {
+    import spark.implicits._
+    FixedPointDot.install(spark)
+    val df = Seq(
+      (1L, Some(Array.empty[Double]), Some(Array.empty[Double])),
+      (2L, Some(Array(0.0, 0.0)), Some(Array(0.0, 0.0))),
+      (3L, None, Some(Array(1.0)))
+    ).toDF("id", "a", "b").withColumn("d", expr("fp_dot(a, b)"))
+    val got = df.select($"id", $"d").collect().map(r => r.getLong(0) -> (
+      if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L).contains(0L), "empty arrays fold to 0")
+    assert(got(2L).contains(0L), "zero vectors fold to 0")
+    assert(got(3L).isEmpty, "null input propagates null")
+  }
+}
