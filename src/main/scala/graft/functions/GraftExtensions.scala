@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("parse_human_interval"),
       ParseHumanInterval.info,
       ParseHumanInterval.builder))
+    ext.injectFunction((
+      FunctionIdentifier("fp_dot"),
+      FixedPointDot.info,
+      FixedPointDot.builder))
     ext.injectTableFunction((
       FunctionIdentifier(GraftQuery.name),
       GraftQuery.info,
