@@ -192,6 +192,48 @@ object Multimodal {
           CAST(SUM(((n_frames + 2) // 3) * 32 -
             CASE WHEN n_frames > 0 AND (n_frames - 1) % 3 = 0 AND n_chars % 32 <> 0
               THEN 32 - (n_chars % 32) ELSE 0 END) AS BIGINT) AS sum_kept_bytes
-        FROM m GROUP BY kind ORDER BY kind"""))
+        FROM m GROUP BY kind ORDER BY kind""")),
+
+    QueryDef("m03_feature_histogram",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the FEATURE-EXTRACTION stage under the hash gate: encode →
+        // decode → per-blob byte-histogram densities ([[featureExtract]],
+        // previously spec-only) → per-(kind, bucket) aggregate. The
+        // pipeline is narrow until the final 3×16-group aggregation —
+        // at scale the feature map runs where the decode ran, and only
+        // (kind, bucket, partial-sum) triples shuffle. Densities are
+        // single IEEE divisions (count/len, both exact ints), so the
+        // sumExact fixed-point fold keeps the cross-doc sum
+        // order-independent and the DuckDB oracle replays it from the
+        // deterministic container arithmetic (7-bit body ⇒ ascii/16
+        // buckets; empty payloads clamp the denominator to 1).
+        val media = decode(fromDocuments(tbl(s, dir, "documents")))
+        featureExtract(media).toDF()
+          .select($"kind", posexplode($"features").as(Seq("bucket", "d")))
+          .groupBy($"kind", $"bucket".cast("long").as("bucket"))
+          .agg(sumExact($"d").as("sum_density"))
+          .orderBy($"kind", $"bucket")
+      },
+      // featureExtract emits all 16 buckets per blob (zeros included), so
+      // the oracle LEFT JOINs a dense kind×bucket grid over the nonzero
+      // sums — a missing group is a zero sum, not a missing row
+      Some("""WITH docs2 AS (SELECT doc_id,
+               CASE CAST(((doc_id % 3) + 3) % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               text, GREATEST(length(text), 1) AS n FROM documents),
+          ch AS (SELECT doc_id, kind, n,
+                        unnest(generate_series(1, length(text))) AS i, text FROM docs2),
+          per AS (SELECT doc_id, kind, n, ascii(substr(text, i, 1)) // 16 AS bucket,
+                         COUNT(*) AS c
+                  FROM ch GROUP BY doc_id, kind, n, bucket),
+          sums AS (SELECT kind, bucket,
+                          SUM(CAST(FLOOR((CAST(c AS DOUBLE) / n) * 1e6 + 0.5) AS BIGINT)) AS st
+                   FROM per GROUP BY kind, bucket),
+          grid AS (SELECT DISTINCT kind, unnest(generate_series(0, 15)) AS bucket FROM docs2)
+        SELECT g.kind, CAST(g.bucket AS BIGINT) AS bucket,
+               CAST(COALESCE(st, 0) AS DOUBLE) / 1e6 AS sum_density
+        FROM grid g LEFT JOIN sums s ON g.kind = s.kind AND g.bucket = s.bucket
+        ORDER BY g.kind, g.bucket"""))
   )
 }
