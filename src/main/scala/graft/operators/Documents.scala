@@ -192,13 +192,13 @@ object Documents {
           .orderBy(col("doc_id"))
       },
       // oracle: recursive CTE reachability, min reachable id per vertex
-      Some("""WITH RECURSIVE sh AS (
+      Some("""WITH RECURSIVE sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct(list_transform(range(1, len(toks)-1),
                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
            WHERE len(toks) >= 3),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b FROM (
              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
@@ -206,7 +206,7 @@ object Documents {
                            - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS jaccard
              FROM sh a, sh b WHERE a.doc_id < b.doc_id)
            WHERE jaccard >= 0.5),
-         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
                    UNION SELECT doc_b, doc_a FROM pairs),
          walk(id, label) AS (
            SELECT DISTINCT src, src FROM edges

@@ -799,94 +799,100 @@ object Embeddings {
         // cross-join bounded; output restricted to the v06-style 10-query
         // panel (the operator computes all queries; rank-per-query is
         // unaffected by the post-filter).
+        //
+        // Every oracle CTE is MATERIALIZED: the Lloyd rounds reference
+        // each other repeatedly, and DuckDB 1.0 re-inlines plain CTEs
+        // per reference — the un-hinted form re-evaluates the chain
+        // combinatorially (measured 199 s and memory-flaky vs 0.46 s
+        // materialized, identical 30 rows).
         Embeddings.ivfTopK(based(s, dir), k = 3, cells = 8, probes = 2, iters = 3)
           .filter($"query_id" < 10)
           .orderBy($"query_id", $"rnk")
       },
-      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+      Some("""WITH base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n2 AS MATERIALIZED (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
                FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
         -- seeding: k smallest Knuth multiplicative hashes of vec_id, ties by id;
         -- cell = position in that order (kMeansModel's zipWithIndex)
-        seeds AS (SELECT vec_id, v,
+        seeds AS MATERIALIZED (SELECT vec_id, v,
                          row_number() OVER (ORDER BY
                            ((vec_id % 1048573 + 1048573) % 1048573) * 2654435761 % 1000000007,
                            vec_id) AS rn
                   FROM base),
-        m0v AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, v AS cv FROM seeds WHERE rn <= 8),
-        m0n AS (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
+        m0v AS MATERIALIZED (SELECT CAST(rn - 1 AS BIGINT) AS cell, v AS cv FROM seeds WHERE rn <= 8),
+        m0n AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
                 FROM (SELECT cell, unnest(cv) AS e FROM m0v) GROUP BY cell),
-        m0 AS (SELECT v.cell, v.cv, n.cn FROM m0v v JOIN m0n n ON v.cell = n.cell),
+        m0 AS MATERIALIZED (SELECT v.cell, v.cv, n.cn FROM m0v v JOIN m0n n ON v.cell = n.cell),
         -- Lloyd round 1: argmax fixed-point cosine (NaN ranks first, ties
         -- keep the smallest cell), exact DECIMAL(38,12) per-(cell,dim)
         -- mean, empty cells carry the previous centroid
-        d1 AS (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+        d1 AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
                FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
                      FROM base b, m0 m) GROUP BY 1, 2),
-        a1 AS (SELECT vid, cell FROM (
+        a1 AS MATERIALIZED (SELECT vid, cell FROM (
                  SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
                           ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
                  FROM d1 d JOIN n2 ON d.vid = n2.vec_id JOIN m0 m ON d.cell = m.cell)
                WHERE rn = 1),
-        g1 AS (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
+        g1 AS MATERIALIZED (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
                FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
                      FROM base b JOIN a1 a ON b.vec_id = a.vid) GROUP BY 1, 2),
-        u1 AS (SELECT cell, list(mn ORDER BY pos) AS cv FROM g1 GROUP BY cell),
-        w1 AS (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m0 p LEFT JOIN u1 u ON p.cell = u.cell),
-        x1 AS (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
+        u1 AS MATERIALIZED (SELECT cell, list(mn ORDER BY pos) AS cv FROM g1 GROUP BY cell),
+        w1 AS MATERIALIZED (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m0 p LEFT JOIN u1 u ON p.cell = u.cell),
+        x1 AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
                FROM (SELECT cell, unnest(cv) AS e FROM w1) GROUP BY cell),
-        m1 AS (SELECT w.cell, w.cv, x.cn FROM w1 w JOIN x1 x ON w.cell = x.cell),
+        m1 AS MATERIALIZED (SELECT w.cell, w.cv, x.cn FROM w1 w JOIN x1 x ON w.cell = x.cell),
         -- Lloyd round 2
-        d2 AS (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+        d2 AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
                FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
                      FROM base b, m1 m) GROUP BY 1, 2),
-        a2 AS (SELECT vid, cell FROM (
+        a2 AS MATERIALIZED (SELECT vid, cell FROM (
                  SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
                           ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
                  FROM d2 d JOIN n2 ON d.vid = n2.vec_id JOIN m1 m ON d.cell = m.cell)
                WHERE rn = 1),
-        g2 AS (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
+        g2 AS MATERIALIZED (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
                FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
                      FROM base b JOIN a2 a ON b.vec_id = a.vid) GROUP BY 1, 2),
-        u2 AS (SELECT cell, list(mn ORDER BY pos) AS cv FROM g2 GROUP BY cell),
-        w2 AS (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m1 p LEFT JOIN u2 u ON p.cell = u.cell),
-        x2 AS (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
+        u2 AS MATERIALIZED (SELECT cell, list(mn ORDER BY pos) AS cv FROM g2 GROUP BY cell),
+        w2 AS MATERIALIZED (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m1 p LEFT JOIN u2 u ON p.cell = u.cell),
+        x2 AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
                FROM (SELECT cell, unnest(cv) AS e FROM w2) GROUP BY cell),
-        m2 AS (SELECT w.cell, w.cv, x.cn FROM w2 w JOIN x2 x ON w.cell = x.cell),
+        m2 AS MATERIALIZED (SELECT w.cell, w.cv, x.cn FROM w2 w JOIN x2 x ON w.cell = x.cell),
         -- Lloyd round 3
-        d3 AS (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+        d3 AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
                FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
                      FROM base b, m2 m) GROUP BY 1, 2),
-        a3 AS (SELECT vid, cell FROM (
+        a3 AS MATERIALIZED (SELECT vid, cell FROM (
                  SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
                           ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
                  FROM d3 d JOIN n2 ON d.vid = n2.vec_id JOIN m2 m ON d.cell = m.cell)
                WHERE rn = 1),
-        g3 AS (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
+        g3 AS MATERIALIZED (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
                FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
                      FROM base b JOIN a3 a ON b.vec_id = a.vid) GROUP BY 1, 2),
-        u3 AS (SELECT cell, list(mn ORDER BY pos) AS cv FROM g3 GROUP BY cell),
-        w3 AS (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m2 p LEFT JOIN u3 u ON p.cell = u.cell),
-        x3 AS (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
+        u3 AS MATERIALIZED (SELECT cell, list(mn ORDER BY pos) AS cv FROM g3 GROUP BY cell),
+        w3 AS MATERIALIZED (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m2 p LEFT JOIN u3 u ON p.cell = u.cell),
+        x3 AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
                FROM (SELECT cell, unnest(cv) AS e FROM w3) GROUP BY cell),
-        m3 AS (SELECT w.cell, w.cv, x.cn FROM w3 w JOIN x3 x ON w.cell = x.cell),
+        m3 AS MATERIALIZED (SELECT w.cell, w.cv, x.cn FROM w3 w JOIN x3 x ON w.cell = x.cell),
         -- search: probe ranks under the final model; corpus lives in its
         -- nearest cell, queries probe their 2 nearest
-        pd AS (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+        pd AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
                FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
                      FROM base b, m3 m) GROUP BY 1, 2),
-        pr AS (SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
+        pr AS MATERIALIZED (SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
                         ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
                FROM pd d JOIN n2 ON d.vid = n2.vec_id JOIN m3 m ON d.cell = m.cell),
-        corp AS (SELECT vid AS cid, cell FROM pr WHERE rn = 1),
-        qp AS (SELECT vid AS qid, cell FROM pr WHERE rn <= 2 AND vid < 10),
-        dots AS (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+        corp AS MATERIALIZED (SELECT vid AS cid, cell FROM pr WHERE rn = 1),
+        qp AS MATERIALIZED (SELECT vid AS qid, cell FROM pr WHERE rn <= 2 AND vid < 10),
+        dots AS MATERIALIZED (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
                  FROM (SELECT q.qid, c.cid, unnest(qb.v) AS qx, unnest(cb.v) AS cx
                        FROM qp q JOIN corp c ON q.cell = c.cell AND q.qid <> c.cid
                        JOIN base qb ON q.qid = qb.vec_id
                        JOIN base cb ON c.cid = cb.vec_id)
                  GROUP BY 1, 2),
-        scored AS (SELECT qid AS query_id, cid AS neighbor_id,
+        scored AS MATERIALIZED (SELECT qid AS query_id, cid AS neighbor_id,
                           dot / (a.nrm * b.nrm) AS cosine,
                           row_number() OVER (PARTITION BY qid
                             ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS rnk
@@ -926,7 +932,7 @@ object Embeddings {
           GROUP BY 1, 2),
         norms AS (SELECT label, sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
                   FROM comps GROUP BY label),
-        dots AS (SELECT a.label AS label_a, b.label AS label_b,
+        dots AS MATERIALIZED (SELECT a.label AS label_a, b.label AS label_b,
                         CAST(SUM(CAST(a.m * b.m AS DECIMAL(38,12))) AS DOUBLE) AS dot
                  FROM comps a JOIN comps b ON a.pos = b.pos AND a.label < b.label
                  GROUP BY 1, 2)
@@ -974,9 +980,9 @@ object Embeddings {
           .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
           .orderBy($"query_id", $"rnk")
       },
-      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      Some("""WITH base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,
                      (embedding::DOUBLE[])[1:8] AS pv FROM embeddings),
-        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+        n2 AS MATERIALIZED (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
                FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
         p2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS pnrm
                FROM (SELECT vec_id, unnest(pv) AS x FROM base) GROUP BY vec_id),
@@ -990,13 +996,13 @@ object Embeddings {
                             ORDER BY pdot / (pa.pnrm * pb.pnrm) DESC, cid) AS crnk
                    FROM pdots JOIN p2 pa ON qid = pa.vec_id JOIN p2 pb ON cid = pb.vec_id),
         cand AS (SELECT qid, cid FROM coarse WHERE crnk <= 30),
-        dots AS (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+        dots AS MATERIALIZED (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
                  FROM (SELECT cand.qid, cand.cid,
                               unnest(q.v) AS qx, unnest(c.v) AS cx
                        FROM cand JOIN base q ON cand.qid = q.vec_id
                                  JOIN base c ON cand.cid = c.vec_id)
                  GROUP BY 1, 2),
-        scored AS (SELECT qid AS query_id, cid AS neighbor_id,
+        scored AS MATERIALIZED (SELECT qid AS query_id, cid AS neighbor_id,
                           dot / (a.nrm * b.nrm) AS cosine,
                           row_number() OVER (PARTITION BY qid
                             ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS rnk

@@ -515,14 +515,9 @@ object Relational {
         FROM z GROUP BY 1 ORDER BY bucket"""))
   )
 
-  /** 8-bit × 8-bit Morton interleave as portable integer arithmetic:
-    * bit b of `x` lands at position 2b, bit b of `y` at 2b+1. `idiv` is
-    * the engine's integer-division token (`div` Spark, `//` DuckDB) —
-    * everything else is shared `%`/`*`/`+`, so the two rendered forms
-    * compute identically by construction. */
+  /** Shared with the write-side layout job ([[graft.plans.ZOrder]]): one
+    * generator renders both engines' forms, so query and writer cannot
+    * drift from each other or from the oracle. */
   private def zvalExpr(x: String, y: String, idiv: String): String =
-    (0 until 8).map { b =>
-      s"((($x) $idiv ${1 << b}) % 2) * ${1L << (2 * b)} + " +
-        s"((($y) $idiv ${1 << b}) % 2) * ${1L << (2 * b + 1)}"
-    }.mkString("(", " + ", ")")
+    graft.plans.ZOrder.zvalExpr(x, y, idiv)
 }
