@@ -501,6 +501,42 @@ object Documents {
         FROM tf JOIN df USING (term), n
         ORDER BY doc_id, term""")),
 
+    QueryDef("t09_unigram_xent",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Perplexity-style quality signal: per-doc cross-entropy against
+        // the corpus's own unigram LM (mean -ln p(term)), the classic
+        // corpus-filtering score (docs far from the corpus distribution
+        // are boilerplate or noise). Determinism: each TOKEN contributes
+        // ln(T/cnt) quantized to the 1e-9 grid as a BIGINT (t07's ln
+        // recipe) — exact integer sums are order-independent, and the
+        // mean is a floor division, so the oracle hash-matches.
+        // Scale: explode → shuffle on term (zipfian but df-bounded:
+        // it's one count per term) → regroup by doc_id; two data-sized
+        // shuffles, no window. With a small vocabulary the count table
+        // could broadcast and drop the first shuffle.
+        val toks = toked(s, dir).select($"doc_id", explode($"toks").as("term"))
+        val cnt = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+        val tot = toks.agg(count(lit(1)).cast("double").as("t"))
+        toks.join(cnt, "term")
+          .crossJoin(broadcast(tot))
+          .withColumn("c_e9", floor(log($"t" / $"cnt") * 1e9 + 0.5).cast("long"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum($"c_e9").as("s_e9"))
+          .withColumn("xent_e9", expr("s_e9 div n_toks"))
+          .select($"doc_id", $"n_toks", $"xent_e9")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS MATERIALIZED (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        cnt AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(CAST(SUM(CAST(FLOOR(ln(n.t / cnt) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS xent_e9
+        FROM toks JOIN cnt USING (term), n
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     QueryDef("t06_rolling_hash",
       (s: SparkSession, dir: String) => {
         import s.implicits._
