@@ -13,6 +13,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     in both engines;
   *   - every query ends in a TOTAL order (unique sort key);
   *   - counts are BIGINT in both engines (DuckDB SUM(int) is HUGEINT — cast).
+  *
+  * DuckDB-side (1.0) execution rules, learned the hard way in round 5:
+  *   - a CTE referenced more than once MUST be `AS MATERIALIZED` — plain
+  *     CTEs re-inline per reference, so chained definitions re-evaluate
+  *     combinatorially (v09's un-hinted Lloyd rounds: 199 s and
+  *     memory-flaky vs 0.46 s materialized, identical rows);
+  *   - no `WITH RECURSIVE` for constant tables — a recursive CTE leaves
+  *     connection buffers unreclaimed and the next heavy oracle dies with
+  *     a spurious out-of-memory; generate a VALUES literal from Scala
+  *     instead (d04's power table), which also keeps the constants single-
+  *     sourced with the kernel.
   */
 final case class QueryDef(
     name: String,
