@@ -512,7 +512,17 @@ object Relational {
         SELECT CAST(zval // 1024 AS BIGINT) AS bucket, COUNT(*) AS n,
                MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
                MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
-        FROM z GROUP BY 1 ORDER BY bucket"""))
+        FROM z GROUP BY 1 ORDER BY bucket""")),
+
+    QueryDef("q26_latest_order_lateral",
+      (s: SparkSession, dir: String) => {
+        // literal SQL-surface parity: both engines execute the SAME
+        // lateral text (see [[LateralSql]]); customers without orders
+        // drop out under inner-lateral semantics in both
+        graft.Catalog.registerViews(s, dir)
+        s.sql(LateralSql)
+      },
+      Some(LateralSql))
   )
 
   /** Shared with the write-side layout job ([[graft.plans.ZOrder]]): one
@@ -520,4 +530,22 @@ object Relational {
     * drift from each other or from the oracle. */
   private def zvalExpr(x: String, y: String, idiv: String): String =
     graft.plans.ZOrder.zvalExpr(x, y, idiv)
+
+  /** The LATERAL SQL text both engines run verbatim — top-1-per-key via a
+    * correlated ordered-limit subquery (SQL:2016 lateral), the idiomatic
+    * "latest row per entity" a warehouse user writes. Spark decorrelates
+    * it (DecorrelateInnerQuery) into a ranked join rather than executing
+    * a per-row subquery — the plan the optimizer SHOULD pick at scale —
+    * and the identical text is the DuckDB oracle, so the surface parity
+    * is literal. (lazy: declared after `entries`, which captures it
+    * during object init — a plain val would still be null there.) */
+  private lazy val LateralSql =
+    """SELECT c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS STRING) AS o_orderdate, o.o_totalprice
+       FROM customer c,
+       LATERAL (SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+                WHERE o_custkey = c.c_custkey
+                ORDER BY o_orderdate DESC, o_orderkey LIMIT 1) o
+       WHERE c.c_custkey < 100
+       ORDER BY c.c_custkey"""
 }

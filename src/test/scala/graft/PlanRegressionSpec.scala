@@ -86,6 +86,16 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"), p.take(3000))
   }
 
+  test("q26: the correlated LATERAL decorrelates to one ranked join") {
+    val p = planOf("q26_latest_order_lateral")
+    // DecorrelateInnerQuery must rewrite the per-customer ordered-limit
+    // subquery into a single join + partial WindowGroupLimit — a
+    // regression to nested-loop per-row execution would be quadratic
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "lateral must not plan a per-row nested loop")
+  }
+
   test("q25: lineitem scan reads only the two z-order key columns") {
     val p = planOf("q25_zorder_layout")
     assert(!p.contains("l_orderkey") && !p.contains("l_quantity") &&
