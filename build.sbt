@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default: r5's bench JVM ran 69 queries in 8g and end-of-run heap
+  // pressure inflated the late-alphabet/isolated numbers 10-20x (verified
+  // fresh-JVM d04 7.2s vs 68.2s official). The sandbox has 128 GiB; -Xmx
+  // is a cap, not a commitment, so tests are unaffected.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -10,6 +10,18 @@ package graft
   * per-query and make the process exit nonzero.
   */
 object Bench {
+  import scala.jdk.CollectionConverters._
+
+  /** Cumulative stop-the-world GC time across all collectors, in ms.
+    * Reported in the bench JSON so heap pressure is visible: r5's
+    * official numbers inflated the isolated dedup pass 10-20x purely
+    * from end-of-run JVM state in an 8 GiB heap, and nothing in the
+    * artifact could show it.
+    */
+  private def gcMs(): Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -43,6 +55,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
     var failures = List.empty[(String, String)]
+    val gcBeforeShared = gcMs()
     // shared-cache pass (the library's real session economics: retained
     // caches are populated once and reused). A query is "coupled" when it
     // touched the CacheRegistry while running (populate OR reuse —
@@ -76,9 +89,17 @@ object Bench {
       }
       (name, elapsed, coupled)
     }
+    val gcShared = gcMs() - gcBeforeShared
     // isolation pass: re-time each coupled query against a CLEARED
     // registry, so every number includes its own full cache build —
-    // independent of alphabetical run order
+    // independent of alphabetical run order. Start it from a compacted
+    // heap: drop every retained cache and force a full collection so
+    // the isolated numbers measure the queries, not 69 queries' worth
+    // of accumulated JVM state (the r5 failure mode).
+    CacheRegistry.unpersistAll(blocking = true)
+    spark.sharedState.cacheManager.clearCache()
+    System.gc()
+    val gcBeforeIso = gcMs()
     val isolated = results.collect { case (name, _, true) => name }.map { name =>
       CacheRegistry.unpersistAll(blocking = true)
       val t0 = System.nanoTime()
@@ -102,12 +123,16 @@ object Bench {
       else failures.reverse.map { case (k, m) =>
         util.Json.quote(k) + ":" + util.Json.quote(m.take(300))
       }.mkString(",\"errors\":{", ",", "}")
+    val gcIso = gcMs() - gcBeforeIso
+    val heapMaxMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
     val notes = util.Json.quote(
       "queries: shared-cache pass (alphabetically-first builder, d02, pays the " +
         "CacheRegistry shingle/pair build that later readers reuse); isolated: the " +
         "cache-coupled queries re-timed with the registry cleared before each, so " +
-        "those numbers are order-independent. total sums the shared pass only.")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$iso$errs,"notes":$notes,"sf":${util.Json.quote(sfDir)}}""")
+        "those numbers are order-independent. total sums the shared pass only. " +
+        "gc_ms_* = cumulative stop-the-world GC inside each pass; heap_max_mb is " +
+        "the JVM -Xmx cap (r5 ran at 8192 and GC pressure inflated late numbers).")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$iso$errs,"gc_ms_shared":$gcShared,"gc_ms_isolated":$gcIso,"heap_max_mb":$heapMaxMb,"notes":$notes,"sf":${util.Json.quote(sfDir)}}""")
     spark.stop()
     if (failures.nonEmpty) {
       failures.reverse.foreach { case (k, m) => System.err.println(s"[bench] $k FAILED: $m") }

@@ -25,7 +25,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * Arrays of unequal length reduce over the common prefix (the engine
   * only ever compares same-dimension vectors; `zip_with` would instead
   * null-pad and poison the sum — a divergence that cannot arise on
-  * equal-length inputs, pinned in FixedPointDotSpec).
+  * equal-length inputs, pinned in FixedPointDotSpec). A null ELEMENT in
+  * either array (accepted: parquet-sourced arrays are containsNull=true
+  * even when the data has no nulls) nulls the whole result, matching the
+  * HOF form's null propagation exactly (ADVICE r5).
   */
 case class FixedPointDot(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -41,17 +44,36 @@ case class FixedPointDot(left: Expression, right: Expression)
         s"${left.dataType.sql} and ${right.dataType.sql}")
   }
 
+  // a null ELEMENT nulls the whole sum (matching aggregate(zip_with(…)):
+  // null * x → null, acc + null → null) — so the result is nullable even
+  // over non-null array columns when their elements are nullable
+  override def nullable: Boolean =
+    super.nullable || (Seq(left.dataType, right.dataType) exists {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    })
+
   override def dataType: DataType = LongType
   override def prettyName: String = "fp_dot"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    FixedPointDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (FixedPointDot.hasNullSlot(x, y)) null else FixedPointDot.dot(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    // one static call, loop inlined JIT-side: keeps the generated method
-    // small (the repo's documented codegen-method-limit pitfall) while
-    // staying inside the whole-stage-generated row loop
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.FixedPointDot.dot($a, $b)")
+    // two static calls, loops inlined JIT-side: keeps the generated
+    // method small (the repo's documented codegen-method-limit pitfall)
+    // while staying inside the whole-stage-generated row loop. The null
+    // pre-scan is bit-tests only; the sum stays a primitive long (no
+    // per-row boxing on the hot path).
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if (graft.functions.FixedPointDot.hasNullSlot($a, $b)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.FixedPointDot.dot($a, $b);
+         |}""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FixedPointDot =
@@ -59,7 +81,24 @@ case class FixedPointDot(left: Expression, right: Expression)
 }
 
 object FixedPointDot {
-  /** Static helper shared by interpreted eval and generated code. */
+  /** True when any slot of the common prefix is NULL in either array —
+    * the whole dot product is then NULL, exactly as the
+    * `aggregate(zip_with(…))` HOF form propagates it (null·x → null,
+    * acc + null → null). Without this, `ArrayData.getDouble` would read
+    * a null slot as garbage/0 and silently diverge from the declarative
+    * form (ADVICE r5). */
+  def hasNullSlot(a: ArrayData, b: ArrayData): Boolean = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Static helper shared by interpreted eval and generated code.
+    * Callers must pre-screen with [[hasNullSlot]]. */
   def dot(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0L

@@ -1057,8 +1057,15 @@ object Embeddings {
         corpus.join(broadcast(queries), $"query_id" =!= $"neighbor_id")
           .withColumn("dot_q8", expr(
             "aggregate(zip_with(qq, cq, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, p) -> acc + p)"))
+          // GREATEST(nn, 1): an all-zero code vector (tiny vector vs the
+          // per-dim max) would give nn=0 and dot/sqrt(0) — NaN/Inf in
+          // Spark but engine-setting-dependent in DuckDB, so the hash
+          // agreement would be fixture luck. Clamping makes the ranking
+          // expression total in both engines: a zero-code vector scores
+          // cosine 0 (its dot is 0 too) instead of NaN (ADVICE r5).
           .withColumn("cos_q8",
-            $"dot_q8".cast("double") / sqrt(($"qn" * $"cn").cast("double")))
+            $"dot_q8".cast("double") /
+              sqrt((greatest($"qn", lit(1L)) * greatest($"cn", lit(1L))).cast("double")))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter($"rnk" <= 10)
           .select($"query_id", $"rnk", $"neighbor_id", $"dot_q8", $"cos_q8")
@@ -1076,9 +1083,11 @@ object Embeddings {
                  FROM q a JOIN q b ON a.pos = b.pos AND a.vec_id <> b.vec_id
                  WHERE a.vec_id < 10 GROUP BY 1, 2),
         scored AS (SELECT query_id, neighbor_id, dot_q8,
-                          CAST(dot_q8 AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) AS cos_q8,
+                          CAST(dot_q8 AS DOUBLE)
+                            / sqrt(CAST(GREATEST(na.nn, 1) * GREATEST(nb.nn, 1) AS DOUBLE)) AS cos_q8,
                           row_number() OVER (PARTITION BY query_id
-                            ORDER BY CAST(dot_q8 AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) DESC,
+                            ORDER BY CAST(dot_q8 AS DOUBLE)
+                              / sqrt(CAST(GREATEST(na.nn, 1) * GREATEST(nb.nn, 1) AS DOUBLE)) DESC,
                                      neighbor_id) AS rnk
                    FROM dots JOIN n2 na ON query_id = na.vec_id
                              JOIN n2 nb ON neighbor_id = nb.vec_id)

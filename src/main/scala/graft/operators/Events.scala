@@ -315,8 +315,14 @@ object Events {
         // 100 TB the window shuffle is the only data-sized stage, and
         // it reuses the partitioning any per-user analysis already
         // needs. Row-conditional probabilities are emitted as 1e-12
-        // fixed-point BIGINTs via integer floor-division (exact and
-        // identical cross-engine; a DOUBLE ratio would hash-diverge).
+        // fixed-point BIGINTs via integer floor-division, staged as two
+        // exact 1e6 hops: floor(t·1e12/s) = h·1e6 + floor(r·1e6/s) with
+        // h = (t·1e6) div s, r = (t·1e6) mod s. The single-multiply
+        // form t·1e12 overflows i64 once t > ~9.2e6 (ADVICE r5);
+        // staging keeps every intermediate ≤ s·1e6, moving the bound to
+        // s ≤ ~9.2e12 transitions per prev_type — above any plausible
+        // 100 TB per-cell count — while staying exact and identical
+        // cross-engine (a DOUBLE ratio would hash-diverge).
         val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
         val rowTot = Window.partitionBy($"prev_type")
         eventsTbl(s, dir)
@@ -325,8 +331,10 @@ object Events {
           .filter($"prev_type".isNotNull)
           .groupBy($"prev_type", $"event_type")
           .agg(count(lit(1)).as("transitions"))
-          .withColumn("prob_fp",
-            expr("transitions * 1000000000000 div sum(transitions) over (partition by prev_type)"))
+          .withColumn("row_total", sum($"transitions").over(rowTot))
+          .withColumn("prob_fp", expr(
+            "(transitions * 1000000 div row_total) * 1000000 + " +
+              "(transitions * 1000000 % row_total) * 1000000 div row_total"))
           .select($"prev_type", $"event_type", $"transitions", $"prob_fp")
           .orderBy($"prev_type", $"event_type")
       },
@@ -335,10 +343,13 @@ object Events {
                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
           FROM events),
         tr AS (SELECT prev_type, event_type, COUNT(*) AS transitions
-               FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+               FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT prev_type, event_type, transitions,
+                       CAST(SUM(transitions) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total
+                FROM tr)
         SELECT prev_type, event_type, transitions,
-               CAST((transitions * 1000000000000)
-                 // CAST(SUM(transitions) OVER (PARTITION BY prev_type) AS BIGINT) AS BIGINT) AS prob_fp
-        FROM tr ORDER BY prev_type, event_type"""))
+               CAST(((transitions * 1000000) // row_total) * 1000000
+                 + (((transitions * 1000000) % row_total) * 1000000) // row_total AS BIGINT) AS prob_fp
+        FROM tot ORDER BY prev_type, event_type"""))
   )
 }

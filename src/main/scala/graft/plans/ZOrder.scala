@@ -33,12 +33,26 @@ object ZOrder {
     * `numFiles` is the target file count — at cluster scale pick
     * `tableBytes / targetFileBytes`. The range exchange samples the
     * z-distribution, so files are balanced even when the key space is
-    * occupied unevenly (a fixed bit-prefix bucketing would not be). */
+    * occupied unevenly (a fixed bit-prefix bucketing would not be).
+    *
+    * Keys outside 0..255 fail the WRITE loudly (`raise_error` inside the
+    * task): the 8-bit interleave would silently drop their high bits,
+    * aliasing distant keys into the same z-range and invisibly
+    * destroying the min/max file-skipping property this API exists to
+    * provide (ADVICE r5). The guard is a map-side scalar predicate —
+    * free relative to the range exchange it precedes. */
   def writeClustered(df: DataFrame, xExpr: String, yExpr: String,
       path: String, numFiles: Int): Unit =
-    df.withColumn("_z", expr(zvalExpr(xExpr, yExpr, "div")))
+    df.withColumn("_zx", expr(s"CAST(($xExpr) AS BIGINT)"))
+      .withColumn("_zy", expr(s"CAST(($yExpr) AS BIGINT)"))
+      .withColumn("_z", expr(
+        "IF(_zx BETWEEN 0 AND 255 AND _zy BETWEEN 0 AND 255, " +
+          zvalExpr("_zx", "_zy", "div") +
+          ", raise_error(CONCAT('ZOrder.writeClustered: key out of 0..255 range: (', " +
+          "CAST(_zx AS STRING), ', ', CAST(_zy AS STRING), " +
+          "') — pre-scale both key expressions')))"))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
-      .drop("_z")
+      .drop("_z", "_zx", "_zy")
       .write.mode("overwrite").parquet(path)
 }
