@@ -9,24 +9,41 @@ import graft.{Catalog, SparkSpec}
 class EventsApproxSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
-  test("e10 approx percentiles honor the sketch's RANK guarantee (±2% rank)") {
-    import org.apache.spark.sql.functions._
-    val approx = Catalog.byName("e10_approx_value_percentiles").run(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
-    // percentile_approx guarantees rank accuracy, not value accuracy —
-    // assert each approx value sits between the exact quantiles ±2% rank
-    val exact = graft.QueryHelpers.eventsTbl(spark, sf)
-      .groupBy(col("event_type"))
-      .agg(
-        expr("percentile(value, 0.48)").as("p48"), expr("percentile(value, 0.52)").as("p52"),
-        expr("percentile(value, 0.93)").as("p93"), expr("percentile(value, 0.97)").as("p97"))
+  test("e10b exact disc percentiles replay driver-side; e10 sketch rank error vs e10b within ±2%") {
+    // independent driver-side replay of the ceil(p*n) disc selection —
+    // catches a rank-arithmetic slip in BOTH the catalog query and its
+    // DuckDB oracle (which share the integer-rank formula)
+    val vals = graft.QueryHelpers.eventsTbl(spark, sf)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (k, rows) => k -> rows.map(_.getDouble(1)).sorted }
+    val exact = Catalog.byName("e10b_value_percentiles").run(spark, sf)
       .collect().map(r => r.getString(0) ->
-        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, (p48, p52, p93, p97)) =>
-      val (a50, a95) = approx(k)
-      assert(a50 >= p48 && a50 <= p52, s"$k p50 $a50 outside [$p48, $p52]")
-      assert(a95 >= p93 && a95 <= p97, s"$k p95 $a95 outside [$p93, $p97]")
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(exact.keySet == vals.keySet)
+    vals.foreach { case (k, sorted) =>
+      val n = sorted.length
+      val (en, p50, p95, p99) = exact(k)
+      assert(en == n, s"$k n")
+      assert(p50 == sorted((n + 1) / 2 - 1), s"$k p50")
+      assert(p95 == sorted((19 * n + 19) / 20 - 1), s"$k p95")
+      assert(p99 == sorted((99 * n + 99) / 100 - 1), s"$k p99")
+    }
+    // percentile_approx guarantees RANK accuracy, not value accuracy:
+    // the rank interval the sketch's value occupies in the exact sorted
+    // data must overlap [p*n - 2%n, p*n + 2%n] (the r5 verdict asked for
+    // the sketch's error to be measured against the exact dual per round)
+    val approx = Catalog.byName("e10_approx_value_percentiles").run(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        Seq(0.50 -> r.getDouble(2), 0.95 -> r.getDouble(3), 0.99 -> r.getDouble(4))).toMap
+    assert(approx.keySet == vals.keySet)
+    for ((k, sorted) <- vals; (p, av) <- approx(k)) {
+      val n = sorted.length
+      val lo = sorted.count(_ < av) + 1  // 1-based rank interval of av
+      val hi = sorted.count(_ <= av)
+      val target = p * n
+      val tol = 0.02 * n
+      assert(hi >= target - tol && lo <= target + tol,
+        s"$k p=$p approx=$av occupies ranks [$lo,$hi], target $target +- $tol of n=$n")
     }
   }
 
