@@ -395,6 +395,102 @@ object Embeddings {
       .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
   }
 
+  /** SemDeDup-shaped semantic dedup over a `(vec_id, v)` frame: cluster
+    * with the deterministic [[kMeansModel]], then prune embedding
+    * near-duplicates ONLY within each cell — the standard third leg of
+    * LLM-corpus dedup after exact (d01) and lexical near-dup (d02–d05),
+    * per the public SemDeDup recipe (cluster the embedding space, keep
+    * one representative per within-cluster epsilon-ball). The keep rule
+    * is deterministic pairwise keep-first: a vector is dropped when a
+    * SMALLER-id vector in the SAME cell has fixed-point cosine ≥
+    * `threshold` (no RNG, SQL-expressible, so the d07 oracle replays it
+    * exactly on top of v09's trainer replay).
+    *
+    * Scale shape: training is [[kMeansModel]] (broadcast model, no
+    * vector shuffle); assignment is one map pass against the broadcast
+    * model; candidate generation is v04's block self-join kernel
+    * RE-KEYED BY (cell, block-pair) — quadratic work happens within
+    * cells only, never across the corpus, and each cell further splits
+    * into B(B+1)/2 block tasks so per-task memory stays two blocks of
+    * ONE cell. Cross-cell pairs are structurally impossible (the group
+    * key carries the cell id; pinned in EmbeddingsSpec). At 100 TB raise
+    * `cells` toward √n — cells bound the quadratic term — and `blocks`
+    * with cell size. Returns survivors as (vec_id, cell).
+    */
+  def semanticDedup(vectors: DataFrame, cells: Int = 8, iters: Int = 3,
+      threshold: Double = 0.45, blocks: Int = 4): DataFrame = {
+    require(blocks > 0, s"blocks must be positive, got $blocks")
+    val session = vectors.sparkSession
+    import session.implicits._
+    val model = kMeansModel(vectors, cells, iters)
+    if (model.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("vec_id", "cell")
+    val bc = session.sparkContext.broadcast(model)
+    val base = vectors.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
+    // same argmax arithmetic and (cosine desc, cell asc) ordering as the
+    // trainer's assignment step — so the cells equal v09's `corp` CTE
+    val assigned = base.mapPartitions { rows =>
+      val cs = bc.value
+      rows.map { case (id, v) =>
+        val nrm = fpNorm(v)
+        var bestCell = Long.MinValue; var bestC = Double.NegativeInfinity; var any = false
+        var ci = 0
+        while (ci < cs.length) {
+          val c = fpCos(v, cs(ci)._2, nrm, cs(ci)._3)
+          if (!any || sqlGt(c, bestC)) { bestC = c; bestCell = cs(ci)._1; any = true }
+          ci += 1
+        }
+        (id, bestCell, v, nrm)
+      }
+    }
+    val B = blocks
+    val t = threshold
+    val tagged = assigned.flatMap { case (id, cell, v, nrm) =>
+      val b = java.lang.Math.floorMod(id, B.toLong).toInt
+      (0 until B).iterator.map { c2 =>
+        // group key = cell * B² + unordered block pair: a pair of rows
+        // can only meet inside their shared cell's groups
+        (cell * (B * B).toLong + (math.min(b, c2) * B + math.max(b, c2)), b, id, v, nrm)
+      }
+    }
+    val dropped = tagged.groupByKey(_._1).flatMapGroups { (key, iter) =>
+      val pairIdx = (key % (B * B).toLong).toInt
+      val lo = pairIdx / B
+      val hi = pairIdx % B
+      val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+      val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+      iter.foreach { case (_, b, id, v, n) =>
+        if (b == lo) left += ((id, v, n)) else right += ((id, v, n))
+      }
+      val out = scala.collection.mutable.HashSet.empty[Long]
+      def emit(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Unit = {
+        val c = fpCos(a._2, b._2, a._3, b._3)
+        // NaN (zero-norm) counts as a dup, matching SQL's NaN-ranks-high
+        // comparison in both engines (cosineNearDupPairs' convention)
+        if (c >= t || c.isNaN) out += math.max(a._1, b._1)
+      }
+      if (lo == hi) {
+        var i = 0
+        while (i < left.length) {
+          var j = i + 1
+          while (j < left.length) { emit(left(i), left(j)); j += 1 }
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < left.length) {
+          var j = 0
+          while (j < right.length) { emit(left(i), right(j)); j += 1 }
+          i += 1
+        }
+      }
+      out.iterator
+    }.toDF("vec_id").distinct()
+    assigned.toDF("vec_id", "cell", "v", "nrm")
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** v02's deterministic sign-LSH bucket (bit 8 = sign of dim 0 … bit 1 =
     * sign of dim 3) as a column expression — the index build and any
     * cross-engine oracle reconstruct it identically. */
@@ -467,6 +563,93 @@ object Embeddings {
         }
       }.toDF("query_id", "rnk", "neighbor_id", "bucket", "cosine")
   }
+
+  /** Shared DuckDB oracle prolog for v09 and d07: replays
+    * [[kMeansModel]] round for round (Knuth-hash seeding, three
+    * unrolled Lloyd iterations, exact DECIMAL means) and ends at
+    * `corp` = the final-model assignment (cid, cell) of EVERY vector
+    * — the same cells the Spark side computes, so both consumers'
+    * oracles cannot drift from each other. Every CTE MATERIALIZED:
+    * DuckDB 1.0 re-inlines plain CTEs per reference and the chained
+    * rounds re-evaluate combinatorially otherwise (measured 199 s vs
+    * 0.46 s, memory-flaky).  */
+  private val KMeansOracleProlog: String =
+    """WITH base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n2 AS MATERIALIZED (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        -- seeding: k smallest Knuth multiplicative hashes of vec_id, ties by id;
+        -- cell = position in that order (kMeansModel's zipWithIndex)
+        seeds AS MATERIALIZED (SELECT vec_id, v,
+                         row_number() OVER (ORDER BY
+                           ((vec_id % 1048573 + 1048573) % 1048573) * 2654435761 % 1000000007,
+                           vec_id) AS rn
+                  FROM base),
+        m0v AS MATERIALIZED (SELECT CAST(rn - 1 AS BIGINT) AS cell, v AS cv FROM seeds WHERE rn <= 8),
+        m0n AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
+                FROM (SELECT cell, unnest(cv) AS e FROM m0v) GROUP BY cell),
+        m0 AS MATERIALIZED (SELECT v.cell, v.cv, n.cn FROM m0v v JOIN m0n n ON v.cell = n.cell),
+        -- Lloyd round 1: argmax fixed-point cosine (NaN ranks first, ties
+        -- keep the smallest cell), exact DECIMAL(38,12) per-(cell,dim)
+        -- mean, empty cells carry the previous centroid
+        d1 AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+               FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
+                     FROM base b, m0 m) GROUP BY 1, 2),
+        a1 AS MATERIALIZED (SELECT vid, cell FROM (
+                 SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
+                          ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
+                 FROM d1 d JOIN n2 ON d.vid = n2.vec_id JOIN m0 m ON d.cell = m.cell)
+               WHERE rn = 1),
+        g1 AS MATERIALIZED (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
+               FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
+                     FROM base b JOIN a1 a ON b.vec_id = a.vid) GROUP BY 1, 2),
+        u1 AS MATERIALIZED (SELECT cell, list(mn ORDER BY pos) AS cv FROM g1 GROUP BY cell),
+        w1 AS MATERIALIZED (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m0 p LEFT JOIN u1 u ON p.cell = u.cell),
+        x1 AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
+               FROM (SELECT cell, unnest(cv) AS e FROM w1) GROUP BY cell),
+        m1 AS MATERIALIZED (SELECT w.cell, w.cv, x.cn FROM w1 w JOIN x1 x ON w.cell = x.cell),
+        -- Lloyd round 2
+        d2 AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+               FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
+                     FROM base b, m1 m) GROUP BY 1, 2),
+        a2 AS MATERIALIZED (SELECT vid, cell FROM (
+                 SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
+                          ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
+                 FROM d2 d JOIN n2 ON d.vid = n2.vec_id JOIN m1 m ON d.cell = m.cell)
+               WHERE rn = 1),
+        g2 AS MATERIALIZED (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
+               FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
+                     FROM base b JOIN a2 a ON b.vec_id = a.vid) GROUP BY 1, 2),
+        u2 AS MATERIALIZED (SELECT cell, list(mn ORDER BY pos) AS cv FROM g2 GROUP BY cell),
+        w2 AS MATERIALIZED (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m1 p LEFT JOIN u2 u ON p.cell = u.cell),
+        x2 AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
+               FROM (SELECT cell, unnest(cv) AS e FROM w2) GROUP BY cell),
+        m2 AS MATERIALIZED (SELECT w.cell, w.cv, x.cn FROM w2 w JOIN x2 x ON w.cell = x.cell),
+        -- Lloyd round 3
+        d3 AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+               FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
+                     FROM base b, m2 m) GROUP BY 1, 2),
+        a3 AS MATERIALIZED (SELECT vid, cell FROM (
+                 SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
+                          ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
+                 FROM d3 d JOIN n2 ON d.vid = n2.vec_id JOIN m2 m ON d.cell = m.cell)
+               WHERE rn = 1),
+        g3 AS MATERIALIZED (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
+               FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
+                     FROM base b JOIN a3 a ON b.vec_id = a.vid) GROUP BY 1, 2),
+        u3 AS MATERIALIZED (SELECT cell, list(mn ORDER BY pos) AS cv FROM g3 GROUP BY cell),
+        w3 AS MATERIALIZED (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m2 p LEFT JOIN u3 u ON p.cell = u.cell),
+        x3 AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
+               FROM (SELECT cell, unnest(cv) AS e FROM w3) GROUP BY cell),
+        m3 AS MATERIALIZED (SELECT w.cell, w.cv, x.cn FROM w3 w JOIN x3 x ON w.cell = x.cell),
+        -- search: probe ranks under the final model; corpus lives in its
+        -- nearest cell, queries probe their 2 nearest
+        pd AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+               FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
+                     FROM base b, m3 m) GROUP BY 1, 2),
+        pr AS MATERIALIZED (SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
+                        ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
+               FROM pd d JOIN n2 ON d.vid = n2.vec_id JOIN m3 m ON d.cell = m.cell),
+        corp AS MATERIALIZED (SELECT vid AS cid, cell FROM pr WHERE rn = 1)"""
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -809,82 +992,7 @@ object Embeddings {
           .filter($"query_id" < 10)
           .orderBy($"query_id", $"rnk")
       },
-      Some("""WITH base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        n2 AS MATERIALIZED (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
-               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
-        -- seeding: k smallest Knuth multiplicative hashes of vec_id, ties by id;
-        -- cell = position in that order (kMeansModel's zipWithIndex)
-        seeds AS MATERIALIZED (SELECT vec_id, v,
-                         row_number() OVER (ORDER BY
-                           ((vec_id % 1048573 + 1048573) % 1048573) * 2654435761 % 1000000007,
-                           vec_id) AS rn
-                  FROM base),
-        m0v AS MATERIALIZED (SELECT CAST(rn - 1 AS BIGINT) AS cell, v AS cv FROM seeds WHERE rn <= 8),
-        m0n AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
-                FROM (SELECT cell, unnest(cv) AS e FROM m0v) GROUP BY cell),
-        m0 AS MATERIALIZED (SELECT v.cell, v.cv, n.cn FROM m0v v JOIN m0n n ON v.cell = n.cell),
-        -- Lloyd round 1: argmax fixed-point cosine (NaN ranks first, ties
-        -- keep the smallest cell), exact DECIMAL(38,12) per-(cell,dim)
-        -- mean, empty cells carry the previous centroid
-        d1 AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
-               FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
-                     FROM base b, m0 m) GROUP BY 1, 2),
-        a1 AS MATERIALIZED (SELECT vid, cell FROM (
-                 SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
-                          ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
-                 FROM d1 d JOIN n2 ON d.vid = n2.vec_id JOIN m0 m ON d.cell = m.cell)
-               WHERE rn = 1),
-        g1 AS MATERIALIZED (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
-               FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
-                     FROM base b JOIN a1 a ON b.vec_id = a.vid) GROUP BY 1, 2),
-        u1 AS MATERIALIZED (SELECT cell, list(mn ORDER BY pos) AS cv FROM g1 GROUP BY cell),
-        w1 AS MATERIALIZED (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m0 p LEFT JOIN u1 u ON p.cell = u.cell),
-        x1 AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
-               FROM (SELECT cell, unnest(cv) AS e FROM w1) GROUP BY cell),
-        m1 AS MATERIALIZED (SELECT w.cell, w.cv, x.cn FROM w1 w JOIN x1 x ON w.cell = x.cell),
-        -- Lloyd round 2
-        d2 AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
-               FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
-                     FROM base b, m1 m) GROUP BY 1, 2),
-        a2 AS MATERIALIZED (SELECT vid, cell FROM (
-                 SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
-                          ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
-                 FROM d2 d JOIN n2 ON d.vid = n2.vec_id JOIN m1 m ON d.cell = m.cell)
-               WHERE rn = 1),
-        g2 AS MATERIALIZED (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
-               FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
-                     FROM base b JOIN a2 a ON b.vec_id = a.vid) GROUP BY 1, 2),
-        u2 AS MATERIALIZED (SELECT cell, list(mn ORDER BY pos) AS cv FROM g2 GROUP BY cell),
-        w2 AS MATERIALIZED (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m1 p LEFT JOIN u2 u ON p.cell = u.cell),
-        x2 AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
-               FROM (SELECT cell, unnest(cv) AS e FROM w2) GROUP BY cell),
-        m2 AS MATERIALIZED (SELECT w.cell, w.cv, x.cn FROM w2 w JOIN x2 x ON w.cell = x.cell),
-        -- Lloyd round 3
-        d3 AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
-               FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
-                     FROM base b, m2 m) GROUP BY 1, 2),
-        a3 AS MATERIALIZED (SELECT vid, cell FROM (
-                 SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
-                          ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
-                 FROM d3 d JOIN n2 ON d.vid = n2.vec_id JOIN m2 m ON d.cell = m.cell)
-               WHERE rn = 1),
-        g3 AS MATERIALIZED (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
-               FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
-                     FROM base b JOIN a3 a ON b.vec_id = a.vid) GROUP BY 1, 2),
-        u3 AS MATERIALIZED (SELECT cell, list(mn ORDER BY pos) AS cv FROM g3 GROUP BY cell),
-        w3 AS MATERIALIZED (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m2 p LEFT JOIN u3 u ON p.cell = u.cell),
-        x3 AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
-               FROM (SELECT cell, unnest(cv) AS e FROM w3) GROUP BY cell),
-        m3 AS MATERIALIZED (SELECT w.cell, w.cv, x.cn FROM w3 w JOIN x3 x ON w.cell = x.cell),
-        -- search: probe ranks under the final model; corpus lives in its
-        -- nearest cell, queries probe their 2 nearest
-        pd AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
-               FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
-                     FROM base b, m3 m) GROUP BY 1, 2),
-        pr AS MATERIALIZED (SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
-                        ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
-               FROM pd d JOIN n2 ON d.vid = n2.vec_id JOIN m3 m ON d.cell = m.cell),
-        corp AS MATERIALIZED (SELECT vid AS cid, cell FROM pr WHERE rn = 1),
+      Some(KMeansOracleProlog + """,
         qp AS MATERIALIZED (SELECT vid AS qid, cell FROM pr WHERE rn <= 2 AND vid < 10),
         dots AS MATERIALIZED (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
                  FROM (SELECT q.qid, c.cid, unnest(qb.v) AS qx, unnest(cb.v) AS cx
@@ -899,6 +1007,36 @@ object Embeddings {
                    FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
         SELECT query_id, rnk, neighbor_id, cosine FROM scored
         WHERE rnk <= 3 ORDER BY query_id, rnk""")),
+
+    QueryDef("d07_semantic_dedup",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // SemDeDup composition under the hash gate (r5 verdict #4):
+        // [[kMeansModel]] cells + within-cell keep-first cosine pruning
+        // via [[semanticDedup]] — the oracle reuses v09's trainer-replay
+        // prolog (same `corp` assignment) and adds the within-cell pair
+        // prune, so the cluster AND prune semantics are both DuckDB-
+        // verified. cells=8/iters=3 match v09 (bounds the oracle's 8·n
+        // assignment cross-join); threshold matches v04's 0.45 so the
+        // within-cell prune is exercised by the same near-dup
+        // population v04 finds corpus-wide.
+        Embeddings.semanticDedup(based(s, dir),
+            cells = 8, iters = 3, threshold = 0.45, blocks = 4)
+          .orderBy($"vec_id")
+      },
+      Some(KMeansOracleProlog + """,
+        pairs AS MATERIALIZED (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+                 FROM (SELECT q.cid AS qid, c.cid AS cid, unnest(qb.v) AS qx, unnest(cb.v) AS cx
+                       FROM corp q JOIN corp c ON q.cell = c.cell AND q.cid < c.cid
+                       JOIN base qb ON q.cid = qb.vec_id
+                       JOIN base cb ON c.cid = cb.vec_id)
+                 GROUP BY 1, 2),
+        dropped AS MATERIALIZED (SELECT DISTINCT p.cid AS vec_id
+                 FROM pairs p JOIN n2 a ON p.qid = a.vec_id JOIN n2 b ON p.cid = b.vec_id
+                 WHERE p.dot / (a.nrm * b.nrm) >= 0.45)
+        SELECT g.cid AS vec_id, g.cell FROM corp g
+        LEFT JOIN dropped d ON g.cid = d.vec_id
+        WHERE d.vec_id IS NULL ORDER BY vec_id""")),
 
     QueryDef("v03_label_centroid_sim",
       (s: SparkSession, dir: String) => {

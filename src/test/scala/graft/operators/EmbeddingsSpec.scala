@@ -285,4 +285,49 @@ class EmbeddingsSpec extends SparkSpec {
     }.sum
     assert(hits >= 70, s"int8 recall vs exact top-10: ${hits / 100.0}")
   }
+
+  test("d07 semanticDedup == driver-side SemDeDup replay; prunes within cells ONLY") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    val all = vecs.as[(Long, Array[Double])].collect().sortBy(_._1)
+    val vmap = all.toMap
+    val norms = all.map { case (id, v) => id -> Embeddings.fpNorm(v) }.toMap
+    // spec params differ from the catalog's (cells=4, t=0.25) so the
+    // prune is non-trivial at sf0.001 AND cross-cell near-dup pairs
+    // exist to witness the within-cell-only property
+    val t = 0.25
+    val model = Embeddings.kMeansModel(vecs, k = 4, iters = 2)
+    def cellOf(id: Long): Long = {
+      var best = -1L; var bc = Double.NegativeInfinity; var any = false
+      model.foreach { case (cell, cv, cn) =>
+        val c = Embeddings.fpCos(vmap(id), cv, norms(id), cn)
+        if (!any || Embeddings.sqlGt(c, bc)) { bc = c; best = cell; any = true }
+      }
+      best
+    }
+    val cellsMap = all.map { case (id, _) => id -> cellOf(id) }.toMap
+    def near(a: Long, b: Long): Boolean = {
+      val c = Embeddings.fpCos(vmap(a), vmap(b), norms(a), norms(b))
+      c >= t || c.isNaN
+    }
+    val droppedWant = all.map(_._1).filter { id =>
+      all.exists { case (o, _) => o < id && cellsMap(o) == cellsMap(id) && near(o, id) }
+    }.toSet
+    val want = all.map(_._1).filterNot(droppedWant).map(id => (id, cellsMap(id))).toSeq
+    val got = Embeddings.semanticDedup(vecs, cells = 4, iters = 2, threshold = t, blocks = 3)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"survivors diverged: got ${got.size}, want ${want.size}")
+    assert(droppedWant.nonEmpty, "prune must be non-trivial on the fixture")
+    // within-cell-only witness: some cross-cell near-dup pair exists
+    // whose larger member survives — if the operator generated cross-
+    // cell pairs, that member would have been dropped
+    val crossPairLargerIds = for {
+      (a, _) <- all; (b, _) <- all
+      if a < b && cellsMap(a) != cellsMap(b) && near(a, b)
+    } yield b
+    assert(crossPairLargerIds.nonEmpty, "fixture must contain cross-cell near-dups")
+    assert(crossPairLargerIds.exists(b => !droppedWant(b) && got.exists(_._1 == b)),
+      "a cross-cell near-dup's larger member must survive (within-cell-only pruning)")
+  }
 }
