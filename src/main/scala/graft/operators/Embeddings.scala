@@ -573,6 +573,35 @@ object Embeddings {
     * DuckDB 1.0 re-inlines plain CTEs per reference and the chained
     * rounds re-evaluate combinatorially otherwise (measured 199 s vs
     * 0.46 s, memory-flaky).  */
+  /** Shared DuckDB oracle for v08 and v11: reconstructs the sign-LSH
+    * index (bucket codes + norms) from scratch over the FULL corpus and
+    * serves top-3 per query. v08 gates build-then-query; v11 gates
+    * build-on-subset + append-then-query — both must equal this full
+    * reconstruction, which is exactly the append-invisibility claim. */
+  private val SignIndexOracleSql: String =
+    """WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 CAST(CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+                    + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+          FROM embeddings),
+        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        dots AS (SELECT qid, cid, bkt, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+                 FROM (SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket AS bkt,
+                              unnest(q.v) AS qx, unnest(c.v) AS cx
+                       FROM base q, base c
+                       WHERE q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+                 GROUP BY 1, 2, 3),
+        scored AS (SELECT qid AS query_id, cid AS neighbor_id, bkt AS bucket,
+                          dot / (a.nrm * b.nrm) AS cosine,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS rnk
+                   FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
+        SELECT query_id, rnk, neighbor_id, bucket, cosine FROM scored
+        WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
   private val KMeansOracleProlog: String =
     """WITH base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         n2 AS MATERIALIZED (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
@@ -944,28 +973,30 @@ object Embeddings {
         Embeddings.queryIndex(s, "graft_index", table)
           .orderBy($"query_id", $"rnk")
       },
-      Some("""WITH base AS (
-          SELECT vec_id, embedding::DOUBLE[] AS v,
-                 CAST(CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
-                    + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
-                    + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
-                    + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
-          FROM embeddings),
-        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
-               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
-        dots AS (SELECT qid, cid, bkt, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
-                 FROM (SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket AS bkt,
-                              unnest(q.v) AS qx, unnest(c.v) AS cx
-                       FROM base q, base c
-                       WHERE q.bucket = c.bucket AND q.vec_id <> c.vec_id)
-                 GROUP BY 1, 2, 3),
-        scored AS (SELECT qid AS query_id, cid AS neighbor_id, bkt AS bucket,
-                          dot / (a.nrm * b.nrm) AS cosine,
-                          row_number() OVER (PARTITION BY qid
-                            ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS rnk
-                   FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
-        SELECT query_id, rnk, neighbor_id, bucket, cosine FROM scored
-        WHERE rnk <= 3 ORDER BY query_id, rnk""")),
+      Some(SignIndexOracleSql)),
+
+    QueryDef("v11_ann_index_append",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // incremental index maintenance under the hash gate (r5 verdict
+        // #5): build the persisted sign-LSH index on ~2/3 of the corpus,
+        // [[appendToIndex]] the remaining third, then serve top-k from
+        // the combined table. The oracle is IDENTICAL to v08's full-
+        // corpus reconstruction — append-then-query must be
+        // indistinguishable from a full rebuild (the resident files are
+        // untouched by the append; file-listing diff pinned in
+        // EmbeddingsSpec). The % 3 split is deterministic and leaves
+        // both sides non-empty at every SF. buildIndex's full-replace
+        // semantics keep the entry idempotent within and across JVMs
+        // (same stale-warehouse discipline as v08).
+        val table = "v11_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+        val all = based(s, dir)
+        Embeddings.buildIndex(all.filter($"vec_id" % 3 =!= 0), "graft_index", table)
+        Embeddings.appendToIndex(all.filter($"vec_id" % 3 === 0), "graft_index", table)
+        Embeddings.queryIndex(s, "graft_index", table)
+          .orderBy($"query_id", $"rnk")
+      },
+      Some(SignIndexOracleSql)),
 
     QueryDef("v09_ann_kmeans_ivf",
       (s: SparkSession, dir: String) => {

@@ -201,7 +201,32 @@ class EmbeddingsSpec extends SparkSpec {
     val head = vecs.filter(col("vec_id") < 250)
     val tail = vecs.filter(col("vec_id") >= 250)
     Embeddings.buildIndex(head, "graft_index", "v08incr")
+    // file-listing diff across the append: every resident file must
+    // survive byte-identical (path, length, mtime) — the append may only
+    // ADD files. This is the claim that makes incremental maintenance
+    // cheaper than rebuild at 100 TB (v11 gates the equality; this pins
+    // the mechanism).
+    def listFiles(): Map[String, (Long, Long)] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.catalog.getDatabase("graft_index").locationUri, "v08incr")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(loc, true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        // the zero-byte _SUCCESS commit marker is re-touched per commit
+        // by design; only data files matter for the rewrite claim
+        if (f.getPath.getName != "_SUCCESS")
+          b += f.getPath.toString -> (f.getLen, f.getModificationTime)
+      }
+      b.result()
+    }
+    val before = listFiles()
     Embeddings.appendToIndex(tail, "graft_index", "v08incr")
+    val after = listFiles()
+    val touched = before.filter { case (p, meta) => after.get(p) != Some(meta) }
+    assert(touched.isEmpty, s"append modified resident files: ${touched.keys}")
+    assert(after.size > before.size, "append must add new files")
     Embeddings.buildIndex(vecs, "graft_index", "v08full")
     def rows(t: String) = Embeddings.queryIndex(spark, "graft_index", t).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
