@@ -122,6 +122,26 @@ object Documents {
       .drop("_lo", "_w", "_bkt", "_local", "_off", "_cum")
   }
 
+  /** Whitespace token count of `text` — the default tokenizer contract
+    * every existing packing oracle assumes. */
+  def wsTokenCount: Column = size(split(col("text"), " ")).cast("long")
+
+  /** BPE token count of `text` under [[graft.util.Bpe.DefaultMerges]] —
+    * the realistic token-budget alternative (t10's per-word arithmetic,
+    * summed per doc). Swapping this in changes only `n_toks`; the
+    * packing plan is identical. */
+  def bpeTokenCount: Column = expr(
+    "aggregate(" + graft.util.Bpe.normWordsSpark("text") +
+      ", CAST(0 AS BIGINT), (acc, w) -> acc + " +
+      graft.util.Bpe.wordCountSpark("w", graft.util.Bpe.DefaultMerges) + ")")
+
+  /** [[packSequences]] straight from documents with a pluggable
+    * `tokenizer` (any BIGINT token-count column over `text`; defaults
+    * to [[wsTokenCount]], keeping p01's oracle semantics unchanged). */
+  def packDocuments(docs: DataFrame, budget: Int, buckets: Int = 32,
+      tokenizer: Column = wsTokenCount): DataFrame =
+    packSequences(docs.withColumn("n_toks", tokenizer), budget, buckets)
+
   /** Shared DuckDB oracle for d02/d03: brute-force all-pairs exact Jaccard
     * is fine AS AN ORACLE at sf0.01 (500 docs); the Spark plans avoid it.
     * Shingling is index-aligned with the Spark side: DuckDB lists are
@@ -667,6 +687,48 @@ object Documents {
           GROUP BY doc_id)
         ORDER BY doc_id""")),
 
+    QueryDef("t10_bpe_token_stats",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Real subword tokenization for the token-budget operators (r5
+        // verdict #6): [[graft.util.Bpe]] — public BPE, deterministic
+        // trainer, fixed merge table — counted per document. The merge
+        // replay is a chain of plain `replace()` calls over a marker-
+        // prefixed symbol string, IDENTICAL expression text modulo each
+        // engine's regex syntax, so DuckDB replays the tokenizer merge
+        // for merge (the d04 generated-literal technique: the merge
+        // table is embedded in both expressions from one Seq). Map-only
+        // until the final ORDER BY: the HOF lambdas run interpreted
+        // (t01's repartition discipline applies — toked() spreads the
+        // single-split fixture), and at 100 TB this is an
+        // embarrassingly-parallel scan, the cheapest possible shape.
+        val m = graft.util.Bpe.DefaultMerges
+        toked(s, dir)
+          .withColumn("ws", expr(graft.util.Bpe.normWordsSpark("text")))
+          .select(
+            $"doc_id",
+            expr("size(ws)").cast("long").as("n_words"),
+            expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))").as("n_chars"),
+            expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + " +
+              graft.util.Bpe.wordCountSpark("w", m) + ")").as("n_bpe_tokens"))
+          .withColumn("chars_per_tok_fp",
+            when($"n_bpe_tokens" === 0L, lit(null).cast("long"))
+              .otherwise(expr("(n_chars * 1000000) div n_bpe_tokens")))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH nw AS (
+          SELECT doc_id, ${graft.util.Bpe.normWordsDuck("text")} AS ws FROM documents),
+        st AS (SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT) AS n_chars,
+          CAST(COALESCE(list_sum(list_transform(ws,
+            w -> ${graft.util.Bpe.wordCountDuck("w", graft.util.Bpe.DefaultMerges)})), 0) AS BIGINT) AS n_bpe_tokens
+          FROM nw)
+        SELECT doc_id, n_words, n_chars, n_bpe_tokens,
+          CASE WHEN n_bpe_tokens = 0 THEN NULL
+               ELSE (n_chars * 1000000) // n_bpe_tokens END AS chars_per_tok_fp
+        FROM st ORDER BY doc_id""")),
+
     QueryDef("p01_sequence_pack",
       (s: SparkSession, dir: String) => {
         import s.implicits._
@@ -680,10 +742,8 @@ object Documents {
         // the output, and hence the oracle, is bit-identical to the
         // single-window form).
         val budget = 512
-        packSequences(
-          toked(s, dir)
-            .withColumn("n_toks", size($"toks").cast("long"))
-            .select($"lang", $"doc_id", $"n_toks"),
+        packDocuments(
+          toked(s, dir).select($"lang", $"doc_id", $"text"),
           budget)
           .select($"lang", $"doc_id", $"n_toks", $"seq_id", $"seq_off")
           .orderBy($"lang", $"doc_id")
