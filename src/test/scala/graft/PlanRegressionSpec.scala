@@ -96,6 +96,35 @@ class PlanRegressionSpec extends SparkSpec {
       "lateral must not plan a per-row nested loop")
   }
 
+  test("q17: star dims broadcast; the wide agg combines map-side") {
+    // r5 flagged a q17 "regression" that r6 root-caused to bench-harness
+    // state (codegen-cache thrash; steady-state == r4's 1.6 s). This pin
+    // makes a REAL plan drift visible: nation/region must broadcast and
+    // the (r_name, priority) aggregation must have a partial phase so
+    // only 25 groups cross the final exchange at any scale.
+    val p = planOf("q17_star_wide")
+    assert(p.contains("BroadcastExchange"), "nation/region must broadcast")
+    assert(p.contains("partial_count") || p.contains("Partial"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q17 must stay an equi-join star")
+  }
+
+  test("e10b: one exchange feeds both windows; rank selection combines map-side") {
+    // exact percentiles need ONE per-key sort; a second exchange (e.g.
+    // from mismatched window specs) would double the data-sized shuffle
+    val p = planOf("e10b_value_percentiles")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"rank + agg should share the event_type exchange:\n${p.take(3000)}")
+  }
+
+  test("d07: within-cell prune plans the grouped kernel, not a join explosion") {
+    val p = planOf("d07_semantic_dedup")
+    assert(p.contains("FlatMapGroups") || p.contains("MapGroups"),
+      "cell-block kernel missing from the plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "d07 must never plan an all-pairs join")
+  }
+
   test("q25: lineitem scan reads only the two z-order key columns") {
     val p = planOf("q25_zorder_layout")
     assert(!p.contains("l_orderkey") && !p.contains("l_quantity") &&
