@@ -649,6 +649,64 @@ object Documents {
         WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
         GROUP BY c.doc_id ORDER BY c.doc_id""")),
 
+    QueryDef("d08_duplicate_spans",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Substring-level dedup signal (the public exact-span recipe
+        // from Lee et al., "Deduplicating Training Data Makes Language
+        // Models Better"): doc pairs sharing an identical 8-TOKEN span,
+        // with the count of distinct shared spans. Unlike d02-d05's
+        // whole-document similarity, this catches a copied paragraph
+        // inside otherwise-different documents — the common web-corpus
+        // contamination the suffix-array approach targets, here as the
+        // distributed shape: per-token polynomial hash (t06's charfold)
+        // → rolling 8-gram span hash → inverted-index self-join keyed
+        // on (span_hash, span). The 64-bit-ish hash is the shuffle-key
+        // workhorse; grouping also on the span TEXT is the exact-verify
+        // step (hash collisions cannot create a false pair). At 100 TB:
+        // span df follows the same zipfian hazard as d02's shingles —
+        // boilerplate spans go hot — so the production path applies
+        // NearDup.pairs' df-cap discipline to the span index; per-doc
+        // distinct spans bound Σdf² by true duplication.
+        val k = 8
+        val spans = toked(s, dir)
+          .filter(size($"toks") >= k)
+          .withColumn("th", expr(
+            "transform(toks, t -> aggregate(transform(split(t, ''), " +
+              "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), " +
+              "(acc, c) -> (acc * 31 + c) % 1000000007))"))
+          .withColumn("spans", expr(
+            s"transform(sequence(1, size(toks) - ${k - 1}), i -> struct(" +
+              s"aggregate(slice(th, i, $k), CAST(0 AS BIGINT), " +
+              "(acc, x) -> (acc * 131 + x) % 998244353) AS sh, " +
+              s"array_join(slice(toks, i, $k), ' ') AS sp))"))
+          .select($"doc_id", explode($"spans").as("s"))
+          .select($"doc_id", $"s.sh".as("sh"), $"s.sp".as("sp"))
+          .distinct()
+        spans.as("a").join(spans.as("b"),
+            col("a.sh") === col("b.sh") && col("a.sp") === col("b.sp") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_spans"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+        th AS (SELECT doc_id, toks,
+                 list_transform(toks, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007)) AS h
+               FROM tk WHERE len(toks) >= 8),
+        spans AS (SELECT DISTINCT doc_id,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(h, i, i + 7)),
+                      (acc, x) -> (acc * 131 + x) % 998244353) AS sh,
+                    array_to_string(list_slice(toks, i, i + 7), ' ') AS sp
+                  FROM (SELECT doc_id, toks, h, unnest(range(1, len(toks) - 6)) AS i FROM th))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_spans
+        FROM spans a JOIN spans b
+          ON a.sh = b.sh AND a.sp = b.sp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY doc_a, doc_b""")),
+
     QueryDef("t08_repetition",
       (s: SparkSession, dir: String) => {
         import s.implicits._
@@ -792,6 +850,44 @@ object Documents {
                 ((((doc_id % 1048573) + 1048573) % 1048573) * 2654435761) % 1000 <
                   CAST(100 + 50 * (CAST(substr(source, 4, 10) AS INT) % 5) AS BIGINT) AS keep
               FROM documents)
-        GROUP BY source, frac_pm ORDER BY source"""))
+        GROUP BY source, frac_pm ORDER BY source""")),
+
+    QueryDef("p03_quality_mix",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Quality-aware (curriculum) mixing: p02's deterministic hash
+        // sampling with the keep-fraction driven by a QUALITY bucket
+        // instead of the source — the standard data-mix move of
+        // upsampling high-quality documents. The bucket is t02's
+        // unique-token ratio in pure INTEGER form (n_uniq*10 div n_toks,
+        // 0..10) so the bucket boundary cannot drift between engines the
+        // way a double threshold could; keep-fractions rise linearly
+        // with the bucket (200‰ + 80‰/bucket, topping out at 1000‰).
+        // Same 100 TB shape as p02: pure function of (doc_id, text) —
+        // re-runs and appends sample identically — and the whole
+        // predicate is a scan-level map-only filter; the only shuffle
+        // here is the 11-group reporting aggregate.
+        toked(s, dir)
+          .withColumn("n_toks", size($"toks").cast("long"))
+          .withColumn("n_uniq", size(array_distinct($"toks")).cast("long"))
+          .withColumn("q_bucket", expr("n_uniq * 10 div n_toks"))
+          .withColumn("frac_pm", (lit(200L) + lit(80L) * $"q_bucket").cast("long"))
+          .withColumn("keep",
+            (pmod($"doc_id", lit(1048573L)) * lit(2654435761L)) % 1000 < $"frac_pm")
+          .groupBy($"q_bucket", $"frac_pm")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"keep", 1L).otherwise(0L)).as("n_sampled"))
+          .orderBy($"q_bucket")
+      },
+      Some("""SELECT q_bucket, frac_pm, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM (SELECT q_bucket, CAST(200 + 80 * q_bucket AS BIGINT) AS frac_pm,
+                ((((doc_id % 1048573) + 1048573) % 1048573) * 2654435761) % 1000 <
+                  CAST(200 + 80 * q_bucket AS BIGINT) AS keep
+              FROM (SELECT doc_id,
+                      (CAST(len(list_distinct(toks)) AS BIGINT) * 10)
+                        // CAST(len(toks) AS BIGINT) AS q_bucket
+                    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))
+        GROUP BY q_bucket, frac_pm ORDER BY q_bucket"""))
   )
 }

@@ -156,4 +156,46 @@ class DocumentsSpec extends SparkSpec {
         s"$src sampled $got of docs, target $want")
     }
   }
+
+  test("d08 duplicate spans == driver-side sliding-window replay") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val spanSets = texts.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(8).filter(_.length == 8)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val want = (for {
+      (a, sa) <- spanSets.toSeq; (b, sb) <- spanSets.toSeq if a < b
+      n = sa.intersect(sb).size if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    val got = Catalog.byName("d08_duplicate_spans").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty, "fixture must contain shared spans")
+  }
+
+  test("p03 quality mix: keep decisions replay the integer hash exactly") {
+    val rows = Catalog.byName("p03_quality_mix").run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val want = texts.groupBy { case (_, t) =>
+      val toks = t.split(" ", -1)
+      toks.distinct.length.toLong * 10 / toks.length
+    }.map { case (bucket, ds) =>
+      val frac = 200L + 80L * bucket
+      val sampled = ds.count { case (id, _) =>
+        (((id % 1048573 + 1048573) % 1048573) * 2654435761L) % 1000 < frac
+      }
+      bucket -> (frac, ds.length.toLong, sampled.toLong)
+    }
+    assert(rows.toMap == want, s"got ${rows.toMap}, want $want")
+    // upsampling must be visible: the top occupied bucket keeps a higher
+    // fraction than the bottom one
+    val fracs = rows.map { case (b, (_, n, s)) => b -> (s.toDouble / n) }.sortBy(_._1)
+    assert(fracs.last._2 > fracs.head._2,
+      s"quality upsampling not visible: $fracs")
+  }
 }
