@@ -522,7 +522,31 @@ object Relational {
         graft.Catalog.registerViews(s, dir)
         s.sql(LateralSql)
       },
-      Some(LateralSql))
+      Some(LateralSql)),
+
+    QueryDef("q27_price_distribution_ranks",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // distribution window functions (percent_rank, cume_dist) —
+        // the remaining SQL window family the catalog didn't yet gate.
+        // Both are RANK-based ((rank-1)/(n-1), peers-inclusive count/n):
+        // tie groups share a value, so the output is deterministic
+        // however the engine orders tied rows, and the single integer/
+        // integer IEEE division matches bit-for-bit cross-engine. One
+        // exchange on o_orderpriority feeds both functions (shared
+        // window frame) — same partitioned-sort scale shape as q19's
+        // ntile; nothing global.
+        val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+        tbl(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+          percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pct_rank,
+          cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cume
+        FROM orders ORDER BY o_orderkey"""))
   )
 
   /** Shared with the write-side layout job ([[graft.plans.ZOrder]]): one

@@ -85,6 +85,31 @@ object Curation {
 
     Splits.assign(deduped, "doc_id", weights)
   }
+
+  /** [[curate]] plus the SemDeDup stage (the standard third leg of LLM
+    * dedup after exact and lexical near-dup): after quality gating and
+    * lexical dedup, drop documents whose EMBEDDING is a within-cell
+    * semantic near-dup of a surviving smaller-id document.
+    * `vectors` is the corpus embedding table keyed by `vec_id` ==
+    * `doc_id`; it is filtered to the lexical survivors BEFORE training
+    * so the k-means cells reflect the corpus that actually remains
+    * (d07's operator semantics, [[graft.operators.Embeddings
+    * .semanticDedup]] — within-cell pruning only, never all-pairs; see
+    * its scaladoc for the 100 TB argument). Split assignment is a pure
+    * per-doc hash, so filtering after [[curate]] cannot skew the
+    * train/valid/test proportions beyond the docs removed.
+    */
+  def curateSemantic(docs: DataFrame, vectors: DataFrame,
+      cells: Int = 8, iters: Int = 3, threshold: Double = 0.45,
+      minTokens: Int = 5, minUniqRatio: Double = 0.1,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+      : DataFrame = {
+    val survivors = curate(docs, minTokens, minUniqRatio, weights)
+    val vecs = vectors.join(
+      survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val kept = graft.operators.Embeddings.semanticDedup(vecs, cells, iters, threshold)
+    survivors.join(kept.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+  }
 }
 
 /** Near-dup machinery over any (doc_id, text) frame — the engine behind

@@ -47,6 +47,26 @@ class CurationSpec extends SparkSpec {
     assert(NearDup.pairs(curated).count() == 0)
   }
 
+  test("curateSemantic == curate ∩ semanticDedup over the lexical survivors") {
+    val vectors = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    // threshold low enough that the semantic stage bites on the fixture
+    val got = Curation.curateSemantic(docs, vectors,
+        cells = 4, iters = 2, threshold = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // replay the composition from its two published pieces: the wiring
+    // under test is the id bridge and semi-join direction
+    val lexical = Curation.curate(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    val vecsKept = graft.operators.Embeddings.semanticDedup(
+        vectors.join(lexical.toSeq.toDF("vec_id"), Seq("vec_id"), "left_semi"),
+        cells = 4, iters = 2, threshold = 0.25)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = lexical.intersect(vecsKept)
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+    assert(got.size < lexical.size,
+      "the semantic stage must drop docs beyond lexical dedup on the fixture")
+  }
+
   test("exactDedup picks a content-deterministic survivor when doc_ids tie") {
     // at-least-once sources / non-unique foreign ids: same doc_id, same
     // text, different payload column — the survivor must not depend on
