@@ -668,21 +668,40 @@ object Documents {
         // boilerplate spans go hot — so the production path applies
         // NearDup.pairs' df-cap discipline to the span index; per-doc
         // distinct spans bound Σdf² by true duplication.
+        // Span construction is a primitive flatMap kernel (per-token
+        // charfold, rolling 8-token hash, per-doc distinct) — the same
+        // arithmetic the DuckDB oracle spells declaratively; the nested
+        // interpreted-HOF form (aggregate-over-slice inside transform)
+        // measured 19.8 s at sf0.1 vs ~1.5 s for the kernel, and the
+        // hash gate cross-checks the two every round.
         val k = 8
         val spans = toked(s, dir)
           .filter(size($"toks") >= k)
-          .withColumn("th", expr(
-            "transform(toks, t -> aggregate(transform(split(t, ''), " +
-              "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), " +
-              "(acc, c) -> (acc * 31 + c) % 1000000007))"))
-          .withColumn("spans", expr(
-            s"transform(sequence(1, size(toks) - ${k - 1}), i -> struct(" +
-              s"aggregate(slice(th, i, $k), CAST(0 AS BIGINT), " +
-              "(acc, x) -> (acc * 131 + x) % 998244353) AS sh, " +
-              s"array_join(slice(toks, i, $k), ' ') AS sp))"))
-          .select($"doc_id", explode($"spans").as("s"))
-          .select($"doc_id", $"s.sh".as("sh"), $"s.sp".as("sp"))
-          .distinct()
+          .select($"doc_id", $"toks").as[(Long, Seq[String])]
+          .flatMap { case (id, toksSeq) =>
+            val toks = toksSeq.toArray
+            val th = new Array[Long](toks.length)
+            var ti = 0
+            while (ti < toks.length) {
+              var acc = 0L
+              val w = toks(ti)
+              var ci = 0
+              while (ci < w.length) { acc = (acc * 31 + w.charAt(ci).toInt) % 1000000007L; ci += 1 }
+              th(ti) = acc
+              ti += 1
+            }
+            val seen = scala.collection.mutable.HashSet.empty[(Long, String)]
+            var i = 0
+            while (i + k <= toks.length) {
+              var acc = 0L
+              var j = i
+              while (j < i + k) { acc = (acc * 131 + th(j)) % 998244353L; j += 1 }
+              seen += ((acc, toks.slice(i, i + k).mkString(" ")))
+              i += 1
+            }
+            seen.iterator.map { case (h, sp) => (id, h, sp) }
+          }
+          .toDF("doc_id", "sh", "sp")
         spans.as("a").join(spans.as("b"),
             col("a.sh") === col("b.sh") && col("a.sp") === col("b.sp") &&
               col("a.doc_id") < col("b.doc_id"))
@@ -756,19 +775,38 @@ object Documents {
         // engine's regex syntax, so DuckDB replays the tokenizer merge
         // for merge (the d04 generated-literal technique: the merge
         // table is embedded in both expressions from one Seq). Map-only
-        // until the final ORDER BY: the HOF lambdas run interpreted
-        // (t01's repartition discipline applies — toked() spreads the
-        // single-split fixture), and at 100 TB this is an
-        // embarrassingly-parallel scan, the cheapest possible shape.
+        // until the final ORDER BY — at 100 TB an embarrassingly-
+        // parallel scan, the cheapest possible shape.
+        //
+        // The Spark side runs a PRIMITIVE mapPartitions kernel over
+        // [[graft.util.Bpe.applyMerges]] with a per-partition word memo
+        // (corpus vocabularies are zipfian — most words repeat, and the
+        // memo pays each distinct word once per task). The declarative
+        // replace-chain form ([[graft.util.Bpe.wordCountSpark]], still
+        // the packDocuments tokenizer) evaluates 32 interpreted
+        // replace() lambdas per word — measured 44.7 s at sf0.1 vs
+        // ~1 s for this kernel; BpeSpec pins kernel == chain == oracle
+        // on the adversarial panel, and the DuckDB oracle replays the
+        // chain, so the hash gate cross-checks the kernel every round.
         val m = graft.util.Bpe.DefaultMerges
         toked(s, dir)
-          .withColumn("ws", expr(graft.util.Bpe.normWordsSpark("text")))
-          .select(
-            $"doc_id",
-            expr("size(ws)").cast("long").as("n_words"),
-            expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))").as("n_chars"),
-            expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + " +
-              graft.util.Bpe.wordCountSpark("w", m) + ")").as("n_bpe_tokens"))
+          .select($"doc_id", $"toks").as[(Long, Seq[String])]
+          .mapPartitions { rows =>
+            val memo = scala.collection.mutable.HashMap.empty[String, (Int, Int)]
+            rows.map { case (id, toks) =>
+              var nw = 0L; var nc = 0L; var nb = 0L
+              toks.foreach { w =>
+                val (c, b) = memo.getOrElseUpdate(w, {
+                  val norm = w.toLowerCase.replaceAll("[^a-z0-9]", "")
+                  if (norm.isEmpty) (0, 0)
+                  else (norm.length, graft.util.Bpe.applyMerges(w, m).length)
+                })
+                if (c > 0) { nw += 1; nc += c; nb += b }
+              }
+              (id, nw, nc, nb)
+            }
+          }
+          .toDF("doc_id", "n_words", "n_chars", "n_bpe_tokens")
           .withColumn("chars_per_tok_fp",
             when($"n_bpe_tokens" === 0L, lit(null).cast("long"))
               .otherwise(expr("(n_chars * 1000000) div n_bpe_tokens")))
