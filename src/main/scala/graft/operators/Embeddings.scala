@@ -564,15 +564,6 @@ object Embeddings {
       }.toDF("query_id", "rnk", "neighbor_id", "bucket", "cosine")
   }
 
-  /** Shared DuckDB oracle prolog for v09 and d07: replays
-    * [[kMeansModel]] round for round (Knuth-hash seeding, three
-    * unrolled Lloyd iterations, exact DECIMAL means) and ends at
-    * `corp` = the final-model assignment (cid, cell) of EVERY vector
-    * — the same cells the Spark side computes, so both consumers'
-    * oracles cannot drift from each other. Every CTE MATERIALIZED:
-    * DuckDB 1.0 re-inlines plain CTEs per reference and the chained
-    * rounds re-evaluate combinatorially otherwise (measured 199 s vs
-    * 0.46 s, memory-flaky).  */
   /** Shared DuckDB oracle for v08 and v11: reconstructs the sign-LSH
     * index (bucket codes + norms) from scratch over the FULL corpus and
     * serves top-3 per query. v08 gates build-then-query; v11 gates
@@ -602,8 +593,11 @@ object Embeddings {
         SELECT query_id, rnk, neighbor_id, bucket, cosine FROM scored
         WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
-  private val KMeansOracleProlog: String =
-    """WITH base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** Template for [[kMeansPrologSql]]: the trainer-replay CTE chain
+    * (no leading WITH) with `__BASE__` = the (vec_id, v) source select
+    * and `__K__` = the cell count. */
+  private val KMeansPrologTemplate: String =
+    """base AS MATERIALIZED (__BASE__),
         n2 AS MATERIALIZED (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
                FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
         -- seeding: k smallest Knuth multiplicative hashes of vec_id, ties by id;
@@ -613,7 +607,7 @@ object Embeddings {
                            ((vec_id % 1048573 + 1048573) % 1048573) * 2654435761 % 1000000007,
                            vec_id) AS rn
                   FROM base),
-        m0v AS MATERIALIZED (SELECT CAST(rn - 1 AS BIGINT) AS cell, v AS cv FROM seeds WHERE rn <= 8),
+        m0v AS MATERIALIZED (SELECT CAST(rn - 1 AS BIGINT) AS cell, v AS cv FROM seeds WHERE rn <= __K__),
         m0n AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
                 FROM (SELECT cell, unnest(cv) AS e FROM m0v) GROUP BY cell),
         m0 AS MATERIALIZED (SELECT v.cell, v.cv, n.cn FROM m0v v JOIN m0n n ON v.cell = n.cell),
@@ -679,6 +673,37 @@ object Embeddings {
                         ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
                FROM pd d JOIN n2 ON d.vid = n2.vec_id JOIN m3 m ON d.cell = m.cell),
         corp AS MATERIALIZED (SELECT vid AS cid, cell FROM pr WHERE rn = 1)"""
+
+  /** CTE names the template defines, longest-first so suffixing via
+    * word-boundary replace cannot clip a longer name (m0v before m0). */
+  private val KMeansCteNames: Seq[String] = Seq(
+    "base", "n2", "seeds", "m0v", "m0n", "m0",
+    "d1", "a1", "g1", "u1", "w1", "x1", "m1",
+    "d2", "a2", "g2", "u2", "w2", "x2", "m2",
+    "d3", "a3", "g3", "u3", "w3", "x3", "m3",
+    "pd", "pr", "corp").sortBy(-_.length)
+
+  /** DuckDB replay of [[kMeansModel]] (3 unrolled Lloyd rounds) plus
+    * the final-model assignment `corp<suffix>` = (cid, cell) for every
+    * vector of `baseSelect`. Emitted WITHOUT the leading WITH so
+    * callers can compose several trainers (v12 runs four, one per PQ
+    * subspace, distinguished by `suffix`) in one WITH clause. Every
+    * CTE MATERIALIZED — DuckDB 1.0 re-inlines plain CTEs per reference
+    * and the chained rounds re-evaluate combinatorially otherwise
+    * (measured 199 s vs 0.46 s, memory-flaky). */
+  private def kMeansPrologSql(suffix: String, cells: Int, baseSelect: String): String = {
+    val body = KMeansPrologTemplate
+      .replace("__BASE__", baseSelect)
+      .replace("__K__", cells.toString)
+    if (suffix.isEmpty) body
+    else KMeansCteNames.foldLeft(body)((acc, n) =>
+      acc.replaceAll("\\b" + n + "\\b", n + suffix))
+  }
+
+  private val KMeansOracleProlog: String =
+    "WITH " + kMeansPrologSql("", 8,
+      "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
+
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -997,6 +1022,110 @@ object Embeddings {
           .orderBy($"query_id", $"rnk")
       },
       Some(SignIndexOracleSql)),
+
+    QueryDef("v12_ann_pq",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Product quantization (Jégou, Douze & Schmid 2011, "Product
+        // Quantization for Nearest Neighbor Search") — THE memory-bound
+        // 100 TB retrieval form: the 64-dim vector space factors into 4
+        // independent 16-dim subspaces, each with its own deterministic
+        // [[kMeansModel]] codebook (16 centroids), and every vector
+        // stores only its 4 centroid ids — 4 bytes/vector, a 128×
+        // compression of the float64 corpus. Search is asymmetric
+        // distance computation (ADC): per query, a 4×16 table of exact
+        // fixed-point dot products query-subvector × centroid (a MODEL-
+        // sized driver computation over the broadcast codebooks — the
+        // corpus is never touched), and each candidate's score is 4
+        // table lookups summed — map-side join + partial agg, no
+        // full-vector arithmetic against the corpus at all. Everything
+        // is deterministic (4 Lloyd replays + integer ADC sums), so the
+        // DuckDB oracle replays training, encoding, and search: the
+        // trainer prolog is [[kMeansPrologSql]] instantiated once per
+        // subspace over the sliced base. Approximation quality is
+        // spec-gated (recall vs exact dot top-10) like v02/v06.
+        val S = 4; val D = 16; val K = 16
+        val base = based(s, dir)
+        val models: Seq[Array[(Long, Array[Double], Double)]] =
+          (0 until S).map { si =>
+            kMeansModel(base.select($"vec_id", slice($"v", si * D + 1, D).as("v")), K, 3)
+          }
+        val bc = s.sparkContext.broadcast(models.map(_.toArray).toArray)
+        val codes = base.as[(Long, Array[Double])].mapPartitions { rows =>
+          val ms = bc.value
+          rows.map { case (id, v) =>
+            val ks = new Array[Long](4)
+            var si = 0
+            while (si < 4) {
+              val sub = java.util.Arrays.copyOfRange(v, si * 16, si * 16 + 16)
+              val nrm = fpNorm(sub)
+              var best = Long.MinValue; var bestC = Double.NegativeInfinity; var any = false
+              val cs = ms(si)
+              var ci = 0
+              while (ci < cs.length) {
+                val c = fpCos(sub, cs(ci)._2, nrm, cs(ci)._3)
+                if (!any || sqlGt(c, bestC)) { bestC = c; best = cs(ci)._1; any = true }
+                ci += 1
+              }
+              ks(si) = best; si += 1
+            }
+            (id, ks(0), ks(1), ks(2), ks(3))
+          }
+        }.toDF("vec_id", "k0", "k1", "k2", "k3")
+        // ADC tables: 10 queries × 4 subspaces × 16 cells of exact
+        // fixed-point dots — O(S·K) per query, computed on the driver
+        // from the already-collected codebooks (model-sized, like v10's
+        // scales), broadcast to the scoring join
+        val queryRows = base.filter($"vec_id" < 10).as[(Long, Array[Double])].collect()
+        val dt = for {
+          (qid, qv) <- queryRows.toSeq
+          si <- 0 until S
+          (cell, cv, _) <- models(si)
+        } yield (qid, si, cell, fpDot(java.util.Arrays.copyOfRange(qv, si * D, si * D + D), cv))
+        val dtDF = broadcast(dt.toDF("query_id", "s", "cell", "d"))
+        val w = Window.partitionBy($"query_id").orderBy($"adc_fp".desc, $"neighbor_id")
+        codes
+          .select($"vec_id".as("neighbor_id"),
+            posexplode(array($"k0", $"k1", $"k2", $"k3")).as(Seq("s", "cell")))
+          .join(dtDF, Seq("s", "cell"))
+          .filter($"query_id" =!= $"neighbor_id")
+          .groupBy($"query_id", $"neighbor_id")
+          .agg(sum($"d").as("adc_fp"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 10)
+          .select($"query_id", $"rnk", $"neighbor_id", $"adc_fp")
+          .orderBy($"query_id", $"rnk")
+      },
+      Some {
+        val prologs = (0 until 4).map { si =>
+          kMeansPrologSql(s"_s$si", 16,
+            s"SELECT vec_id, list_slice(embedding::DOUBLE[], ${si * 16 + 1}, ${si * 16 + 16}) AS v FROM embeddings")
+        }
+        val dts = (0 until 4).map { si =>
+          s"""dt$si AS MATERIALIZED (SELECT vid AS qid, cell,
+                CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS d
+              FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
+                    FROM base_s$si b, m3_s$si m WHERE b.vec_id < 10) GROUP BY 1, 2)"""
+        }
+        "WITH " + (prologs ++ Seq(
+          """codes AS MATERIALIZED (SELECT c0.cid AS nid, c0.cell AS k0, c1.cell AS k1, c2.cell AS k2, c3.cell AS k3
+              FROM corp_s0 c0 JOIN corp_s1 c1 ON c0.cid = c1.cid
+              JOIN corp_s2 c2 ON c0.cid = c2.cid JOIN corp_s3 c3 ON c0.cid = c3.cid)""") ++ dts ++ Seq(
+          """sc AS MATERIALIZED (SELECT d0.qid, c.nid,
+                d0.d + d1.d + d2.d + d3.d AS adc_fp
+              FROM codes c
+              JOIN dt0 d0 ON d0.cell = c.k0
+              JOIN dt1 d1 ON d1.qid = d0.qid AND d1.cell = c.k1
+              JOIN dt2 d2 ON d2.qid = d0.qid AND d2.cell = c.k2
+              JOIN dt3 d3 ON d3.qid = d0.qid AND d3.cell = c.k3
+              WHERE d0.qid <> c.nid)""")).mkString(",\n        ") + """
+        SELECT qid AS query_id, rnk, nid AS neighbor_id, adc_fp FROM (
+          SELECT qid, nid, adc_fp,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY adc_fp DESC, nid) AS BIGINT) AS rnk
+          FROM sc)
+        WHERE rnk <= 10 ORDER BY query_id, rnk"""
+      }),
 
     QueryDef("v09_ann_kmeans_ivf",
       (s: SparkSession, dir: String) => {
