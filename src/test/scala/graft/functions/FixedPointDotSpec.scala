@@ -43,4 +43,25 @@ class FixedPointDotSpec extends SparkSpec {
     assert(got(2L).contains(0L), "zero vectors fold to 0")
     assert(got(3L).isEmpty, "null input propagates null")
   }
+
+  test("fp_dot null ELEMENTS null the whole sum, matching the HOF form (ADVICE r5)") {
+    import spark.implicits._
+    FixedPointDot.install(spark)
+    // element-nullable arrays via sql literals: the HOF form propagates
+    // null through the sum; fp_dot must agree instead of reading the
+    // null slot as garbage
+    val df = spark.sql(
+      """SELECT fp_dot(a, b) AS native,
+                aggregate(zip_with(a, b, (x, y) -> x*y), CAST(0 AS BIGINT),
+                  (acc, p) -> acc + CAST(FLOOR(p * 1000000000000.0 + 0.5) AS BIGINT)) AS hof
+         FROM VALUES
+           (array(1.0D, CAST(NULL AS DOUBLE), 3.0D), array(1.0D, 1.0D, 1.0D)),
+           (array(1.0D, 2.0D), array(CAST(NULL AS DOUBLE), 1.0D)),
+           (array(1.0D, 2.0D), array(3.0D, 4.0D)) AS t(a, b)""")
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1), "null element in a -> NULL, both forms")
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1), "null element in b -> NULL, both forms")
+    assert(!rows(2).isNullAt(0) && rows(2).getLong(0) == rows(2).getLong(1),
+      "non-null rows still agree with the HOF form")
+  }
 }

@@ -27,4 +27,25 @@ class EventsSequenceSpec extends SparkSpec {
         s"prev_type $p prob mass $s outside truncation window")
     }
   }
+
+  test("e13 staged fixed-point division is exact beyond the old i64 overflow bound (ADVICE r5)") {
+    // the single-multiply form t*1e12 overflows i64 once t > ~9.2e6;
+    // the staged form must stay exact up to s ≈ 9.2e12. Verify against
+    // BigInt on cells far past the old bound.
+    val cases = Seq(
+      (50000000L, 90000000L),              // t = 5e7: old form overflows
+      (9000000000000L, 9100000000000L),    // near the new bound
+      (1L, 9100000000000L),                // tiny numerator, huge total
+      (7L, 7L))                            // exact 1.0
+    val values = cases.map { case (t, s) =>
+      s"(CAST($t AS BIGINT), CAST($s AS BIGINT))"
+    }.mkString(", ")
+    val got = spark.sql(
+      s"""SELECT (t * 1000000 div s) * 1000000 + (t * 1000000 % s) * 1000000 div s AS fp
+          FROM VALUES $values AS v(t, s)""").collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((t, s), g) =>
+      val want = (BigInt(t) * BigInt(10).pow(12) / BigInt(s)).toLong
+      assert(g == want, s"t=$t s=$s: staged $g != BigInt $want")
+    }
+  }
 }

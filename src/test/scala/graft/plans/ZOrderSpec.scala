@@ -49,4 +49,24 @@ class ZOrderSpec extends SparkSpec {
     // and the clustered write loses no rows
     assert(spark.read.parquet(dir).count() == li.count())
   }
+
+  test("writeClustered fails LOUDLY on keys outside 0..255 (ADVICE r5)") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 300L)).toDF("x", "y") // y=300 out of range
+    val dir = Files.createTempDirectory("zorder-bad").toString + "/out"
+    // raise_error surfaces as SparkRuntimeException (USER_RAISED_EXCEPTION),
+    // possibly wrapped in a task-failure SparkException — match either
+    val e = intercept[Exception] {
+      ZOrder.writeClustered(df, "x", "y", dir, numFiles = 2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("ZOrder.writeClustered")),
+      s"expected the range-guard raise_error, got: ${messages(e).mkString(" | ")}")
+    // in-range keys still write
+    val okDir = Files.createTempDirectory("zorder-ok").toString + "/out"
+    ZOrder.writeClustered(Seq((1L, 10L), (2L, 255L)).toDF("x", "y"), "x", "y", okDir, 1)
+    assert(spark.read.parquet(okDir).count() == 2)
+  }
 }
