@@ -311,6 +311,20 @@ class EmbeddingsSpec extends SparkSpec {
     assert(hits >= 70, s"int8 recall vs exact top-10: ${hits / 100.0}")
   }
 
+  test("v10 zero-norm clamp keeps the ranking expression total (ADVICE r5)") {
+    // an all-zero code vector (tiny vector vs the per-dim max) gives
+    // nn=0; the clamped form must score cosine 0 — never NaN/Inf, whose
+    // handling is engine-setting-dependent in the oracle
+    val rows = spark.sql(
+      """SELECT CAST(dot AS DOUBLE)
+                  / sqrt(CAST(GREATEST(qn, 1) * GREATEST(cn, 1) AS DOUBLE)) AS cos_q8
+         FROM VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1000 AS BIGINT)),
+                     (CAST(50 AS BIGINT), CAST(100 AS BIGINT), CAST(100 AS BIGINT))
+              AS t(dot, qn, cn)""").collect()
+    assert(rows(0).getDouble(0) == 0.0, "zero-norm code must score 0, not NaN/Inf")
+    assert(math.abs(rows(1).getDouble(0) - 0.5) < 1e-12, "clamp is identity off the zero case")
+  }
+
   test("v12 PQ: ADC top-10 recalls the exact dot-product top-10 well above chance") {
     // the oracle hash-gates the full train/encode/search replay; this
     // pins the APPROXIMATION quality — 4-byte codes must preserve the
