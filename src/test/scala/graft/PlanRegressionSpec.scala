@@ -125,6 +125,21 @@ class PlanRegressionSpec extends SparkSpec {
       "d07 must never plan an all-pairs join")
   }
 
+  test("d08: span builder is the primitive kernel; join is equi, not nested-loop") {
+    val p = planOf("d08_duplicate_spans")
+    assert(p.contains("SerializeFromObject") || p.contains("MapPartitions"),
+      "span kernel missing — a regression to the interpreted HOF form costs 10x")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span self-join must stay an equi-join on (hash, span)")
+  }
+
+  test("t10: BPE counting is the mapPartitions kernel, no per-word explode") {
+    val p = planOf("t10_bpe_token_stats")
+    assert(p.contains("SerializeFromObject") || p.contains("MapPartitions"),
+      "BPE kernel missing — a regression to the replace-chain form costs 60x")
+    assert(!p.contains("Generate explode"), "t10 must not explode words")
+  }
+
   test("q25: lineitem scan reads only the two z-order key columns") {
     val p = planOf("q25_zorder_layout")
     assert(!p.contains("l_orderkey") && !p.contains("l_quantity") &&
