@@ -395,6 +395,45 @@ object Events {
         SELECT prev_type, event_type, transitions,
                CAST(((transitions * 1000000) // row_total) * 1000000
                  + (((transitions * 1000000) % row_total) * 1000000) // row_total AS BIGINT) AS prob_fp
-        FROM tot ORDER BY prev_type, event_type"""))
+        FROM tot ORDER BY prev_type, event_type""")),
+
+    QueryDef("e14_top_paths",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Top-20 most common 3-step event PATHS — the sequence-mining
+        // extension of e13's first-order matrix (funnel DISCOVERY:
+        // which journeys actually happen, vs e11 which measures one
+        // prescribed journey). Same single user-keyed window shuffle as
+        // e13/e04 (two lags ride the same sort), then the path space is
+        // a tiny |types|³-bounded aggregate with map-side partials; the
+        // global top-20 ranks ≤125 candidate rows. Ties break on path
+        // text so the cut is deterministic cross-engine.
+        val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        eventsTbl(s, dir)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("p1", lag($"event_type", 2).over(byUser))
+          .withColumn("p2", lag($"event_type", 1).over(byUser))
+          .filter($"p1".isNotNull)
+          .select(concat_ws(" > ", $"p1", $"p2", $"event_type").as("path"))
+          .groupBy($"path")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy($"n".desc, $"path")).cast("long"))
+          .filter($"rnk" <= 20)
+          .select($"rnk", $"path", $"n")
+          .orderBy($"rnk")
+      },
+      Some("""WITH seq AS (
+          SELECT event_type,
+                 lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+                 lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+          FROM events),
+        paths AS (SELECT p1 || ' > ' || p2 || ' > ' || event_type AS path, COUNT(*) AS n
+                  FROM seq WHERE p1 IS NOT NULL GROUP BY 1)
+        SELECT rnk, path, n FROM (
+          SELECT path, n,
+                 CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rnk
+          FROM paths)
+        WHERE rnk <= 20 ORDER BY rnk"""))
   )
 }
