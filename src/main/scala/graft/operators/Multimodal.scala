@@ -234,6 +234,45 @@ object Multimodal {
         SELECT g.kind, CAST(g.bucket AS BIGINT) AS bucket,
                CAST(COALESCE(st, 0) AS DOUBLE) / 1e6 AS sum_density
         FROM grid g LEFT JOIN sums s ON g.kind = s.kind AND g.bucket = s.bucket
-        ORDER BY g.kind, g.bucket"""))
+        ORDER BY g.kind, g.bucket""")),
+
+    QueryDef("m04_resize_stats",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the RESIZE stage under the hash gate (previously spec-only —
+        // this completes the mandated decode/feature-extract/resize/
+        // frame-sample quartet with oracled rows): encode → decode →
+        // resize to 8×4 (stub re-encode: truncate/pad to w·h bytes,
+        // stamp dims) → per-kind aggregate. Narrow until the 3-group
+        // agg, like m01-m03; byte sums are exact integers. The oracle
+        // replays the container arithmetic: resized payload = the first
+        // min(32, n) 7-bit code points, zero-padded (pads add nothing
+        // to the sum; truncation = LEAST in the oracle).
+        val media = decode(fromDocuments(tbl(s, dir, "documents")))
+        resize(media, w = 8, h = 4)
+          .map(r => (r.meta.kind, r.meta.nBytes,
+            { var sv = 0L; r.payload.foreach(b => sv += (b & 0xFF).toLong); sv }))
+          .toDF("kind", "n_bytes", "sv")
+          .groupBy($"kind")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"n_bytes").as("sum_bytes"),
+            sum($"sv").as("sum_byte_values"))
+          .orderBy($"kind")
+      },
+      Some("""WITH docs2 AS (SELECT doc_id,
+               CASE CAST(((doc_id % 3) + 3) % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               text FROM documents),
+          ch AS (SELECT doc_id, kind,
+                        unnest(generate_series(1, LEAST(length(text), 32))) AS i, text
+                 FROM docs2),
+          per AS (SELECT doc_id, SUM(ascii(substr(text, i, 1)) % 128) AS sv
+                  FROM ch GROUP BY doc_id)
+        SELECT d.kind, COUNT(*) AS n,
+               CAST(COUNT(*) * 32 AS BIGINT) AS sum_bytes,
+               CAST(SUM(COALESCE(p.sv, 0)) AS BIGINT) AS sum_byte_values
+        FROM docs2 d LEFT JOIN per p ON d.doc_id = p.doc_id
+        GROUP BY d.kind ORDER BY kind"""))
   )
 }
