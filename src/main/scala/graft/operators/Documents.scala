@@ -235,6 +235,83 @@ object Documents {
          SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
          FROM walk GROUP BY id ORDER BY doc_id""")),
 
+    QueryDef("d09_canonical_pick",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // survivor SELECTION for near-dup clusters: real LLM pipelines
+        // keep the BEST-QUALITY member of each duplicate group, not the
+        // min-id one (the dup of a clean page is often boilerplate-padded
+        // or truncated). Composes d05's components with t02's quality
+        // score: one window over cluster_id picks argmax(score), doc_id
+        // tie-break. Comparisons are on the bit-identical score doubles
+        // both engines compute (t02 hash-matches), so the pick is
+        // engine-independent. Scale shape: clusters() is the bounded CC
+        // loop, the join + window shuffle on cluster_id — cluster count
+        // << corpus size, and no per-cluster data beyond its members
+        // ever co-locates.
+        val docs = tbl(s, dir, "documents")
+        val cl = graft.pipeline.NearDup.clusters(docs)
+        val qual = toked(s, dir)
+          .withColumn("n_toks", size($"toks").cast("long"))
+          .withColumn("n_uniq", size(array_distinct($"toks")).cast("long"))
+          .withColumn("n_stop",
+            expr("size(filter(toks, x -> x IN ('the', 'a')))").cast("long"))
+          .select($"doc_id",
+            (($"n_uniq" / $"n_toks") * 0.6 +
+              (lit(1.0) - $"n_stop" / $"n_toks") * 0.4).as("score"))
+        val w = Window.partitionBy($"cluster_id").orderBy($"score".desc, $"doc_id")
+        cl.join(qual, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy($"cluster_id")))
+          .filter($"rn" === 1)
+          .select($"cluster_id", $"doc_id".as("kept_doc"),
+            $"score".as("kept_score"), $"n_members")
+          .orderBy($"cluster_id")
+      },
+      // oracle: d05's reachability CTE for the clusters, t02's score
+      // expression for quality, same window pick
+      Some("""WITH RECURSIVE sh AS MATERIALIZED (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(toks)-1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           WHERE len(toks) >= 3),
+         pairs AS MATERIALIZED (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+                    / CAST(len(a.shingles) + len(b.shingles)
+                           - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS jaccard
+             FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.5),
+         edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         walk(id, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id),
+         clusters AS MATERIALIZED (
+           SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+           FROM walk GROUP BY id),
+         qual AS MATERIALIZED (
+           SELECT doc_id,
+                  ((n_uniq / n_toks) * 0.6) + ((1.0 - (n_stop / n_toks)) * 0.4) AS score
+           FROM (SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_toks,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+                   CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+         ranked AS (
+           SELECT c.cluster_id, c.doc_id, q.score,
+                  ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                    ORDER BY q.score DESC, c.doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+           FROM clusters c JOIN qual q USING (doc_id))
+         SELECT cluster_id, doc_id AS kept_doc, score AS kept_score,
+                CAST(n_members AS BIGINT) AS n_members
+         FROM ranked WHERE rn = 1 ORDER BY cluster_id""")),
+
     QueryDef("d03_neardup_minhash",
       (s: SparkSession, dir: String) => {
         import s.implicits._

@@ -546,7 +546,36 @@ object Relational {
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
           percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pct_rank,
           cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cume
-        FROM orders ORDER BY o_orderkey"""))
+        FROM orders ORDER BY o_orderkey""")),
+
+    QueryDef("q28_salted_supplier_revenue",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the skew-mitigation path under the hash gate: the EXECUTION is
+        // [[graft.plans.Salting.saltedJoin]] (every lineitem row salted by
+        // l_orderkey into 8 buckets, supplier replicated once per bucket,
+        // join key = (suppkey, salt)) while the ORACLE is the plain join —
+        // identical results is the operator's contract, now checked per
+        // round instead of only in ScaleSpec. At 100 TB a handful of hot
+        // suppliers would pin single reducers; salting spreads each hot
+        // key across 8, at the fixed cost of an 8x replication of the
+        // (small) build side. Aggregation happens AFTER the salted join
+        // on the natural key, partial map-side as usual.
+        val big = tbl(s, dir, "lineitem")
+          .select($"l_suppkey", $"l_orderkey", $"l_extendedprice", $"l_discount")
+        val small = tbl(s, dir, "supplier")
+          .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+        graft.plans.Salting.saltedJoin(big, small, "l_suppkey", "l_orderkey", 8)
+          .groupBy($"s_nationkey")
+          .agg(sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"s_nationkey")
+      },
+      Some(s"""SELECT s_nationkey,
+        ${sumExactSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        COUNT(*) AS n_items
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey ORDER BY s_nationkey"""))
   )
 
   /** Shared with the write-side layout job ([[graft.plans.ZOrder]]): one

@@ -72,6 +72,29 @@ class DocumentsSpec extends SparkSpec {
       s"benchmark join should be a broadcast hash join:\n$plan")
   }
 
+  test("d09 canonical pick: keeps the best-quality member, doc_id on ties") {
+    // cluster {1,2}: shingle sets {abg,bgd,"gamma delta the"} vs
+    // {abg,bgd,"gamma delta zed"} -> jaccard 2/4 = 0.5 (just in); doc 1
+    // carries the stopword 'the' (score 0.92) while doc 2 is clean
+    // (score 1.0) -> the pick must be 2, NOT the min-id canonical d05
+    // reports. cluster {7,8}: identical texts, equal scores -> tie falls
+    // to min doc_id 7.
+    val dir = plantedDir(Seq(
+      1L -> "alpha beta gamma delta the",
+      2L -> "alpha beta gamma delta zed",
+      7L -> "one two three four",
+      8L -> "one two three four",
+      9L -> "lone unrelated document text"))
+    val out = Catalog.byName("d09_canonical_pick").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0, 2L), (7L, 7L, 1.0, 2L)), s"got ${out.toSeq}")
+    // and the min-id canonical (d05) disagrees on cluster 1 — the
+    // operator genuinely changes the survivor, it isn't d05 restated
+    val d05 = Catalog.byName("d05_neardup_clusters").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d05 == Set((1L, 1L), (2L, 1L), (7L, 7L), (8L, 7L)))
+  }
+
   test("t08 repetition: dup_frac and top_share on planted bigram counts") {
     // doc 1: bigrams (a b, b a, a b, b a, a b) -> 5 total, 2 distinct,
     // top count 3; doc 2: 2 distinct bigrams, no repeats; doc 3: a single

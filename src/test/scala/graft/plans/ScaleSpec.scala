@@ -49,4 +49,26 @@ class ScaleSpec extends SparkSpec {
     val s2 = plain.agg(sum($"o_totalprice")).collect()(0).getDouble(0)
     assert(math.abs(s1 - s2) < 1e-6)
   }
+
+  test("q28 executes the SALTED plan (its oracle is the plain join)") {
+    // the catalog query's value is that the skewed execution path sits
+    // under the per-round hash gate; guard that a refactor can't quietly
+    // swap it back to the plain join and keep the oracle green
+    val q28 = graft.Catalog.byName("q28_salted_supplier_revenue").run(spark, sf)
+    val plan = q28.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"salt column gone from the plan:\n$plan")
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      s"supplier replication (explode over salt buckets) gone:\n$plan")
+    // and it agrees with the plain in-JVM join, not just the DuckDB oracle
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    val supplier = spark.read.parquet(s"$sf/supplier.parquet")
+    val plain = lineitem.join(supplier, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey")
+      .agg(graft.QueryHelpers.sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"s_nationkey")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSeq
+    val got = q28.collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == plain)
+  }
 }
