@@ -38,11 +38,22 @@ object Verify {
     }
   }
 
+  /** args: sfDir outDir [comma-separated query names]. The optional third
+    * arg restricts the dump (and the emitted oracle_sql.json) to a subset
+    * — used for targeted re-validation (e.g. new queries at 10× the gate
+    * scale, where the full sweep is bounded by the brute-force oracles). */
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').map(_.trim).toSet) else None
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+    }
+    def keep(name: String) = only.forall(_.contains(name))
     val spark = Sessions.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    dump(spark, SparkEntry.queries, sfDir, outDir)
-    val json = SparkEntry.oracleSql
+    dump(spark, SparkEntry.queries.filter(kv => keep(kv._1)), sfDir, outDir)
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${util.Json.quote(k)}: ${util.Json.quote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
