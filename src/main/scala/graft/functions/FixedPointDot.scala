@@ -68,12 +68,21 @@ case class FixedPointDot(left: Expression, right: Expression)
     // while staying inside the whole-stage-generated row loop. The null
     // pre-scan is bit-tests only; the sum stays a primitive long (no
     // per-row boxing on the hot path).
+    //
+    // When `nullable` is false (non-nullable inputs, containsNull=false
+    // elements) no null slot can exist AND nullSafeCodeGen never declares
+    // `ev.isNull` (it is FalseLiteral) — writing to it would emit
+    // `false = true;` and fail Janino compilation, silently dropping the
+    // whole stage to interpreted execution. Emit the plain dot there.
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""if (graft.functions.FixedPointDot.hasNullSlot($a, $b)) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = graft.functions.FixedPointDot.dot($a, $b);
-         |}""".stripMargin)
+      if (nullable)
+        s"""if (graft.functions.FixedPointDot.hasNullSlot($a, $b)) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = graft.functions.FixedPointDot.dot($a, $b);
+           |}""".stripMargin
+      else
+        s"${ev.value} = graft.functions.FixedPointDot.dot($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FixedPointDot =

@@ -847,7 +847,7 @@ object Documents {
         // Real subword tokenization for the token-budget operators (r5
         // verdict #6): [[graft.util.Bpe]] — public BPE, deterministic
         // trainer, fixed merge table — counted per document. The merge
-        // replay is a chain of plain `replace()` calls over a marker-
+        // replay is a chain of plain `replace()` calls over a length-
         // prefixed symbol string, IDENTICAL expression text modulo each
         // engine's regex syntax, so DuckDB replays the tokenizer merge
         // for merge (the d04 generated-literal technique: the merge

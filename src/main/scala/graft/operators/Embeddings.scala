@@ -443,9 +443,18 @@ object Embeddings {
         (id, bestCell, v, nrm)
       }
     }
+    // the assignment pass (full-corpus scan + per-row argmax over the
+    // broadcast model) feeds BOTH the pair kernel and the final anti-
+    // join: retain it so one action doesn't pay the dominant map-side
+    // cost twice (same discipline as annTopK/ivfTopK's tagged frames;
+    // kernel-rooted plans never sameResult-match, so the registry keeps
+    // exactly one live copy per cell count)
+    val assignedDf = graft.CacheRegistry.retain(s"semdedup.assigned.c$cells",
+      assigned.toDF("vec_id", "cell", "v", "nrm"))
+    val assignedDs = assignedDf.as[(Long, Long, Array[Double], Double)]
     val B = blocks
     val t = threshold
-    val tagged = assigned.flatMap { case (id, cell, v, nrm) =>
+    val tagged = assignedDs.flatMap { case (id, cell, v, nrm) =>
       val b = java.lang.Math.floorMod(id, B.toLong).toInt
       (0 until B).iterator.map { c2 =>
         // group key = cell * B² + unordered block pair: a pair of rows
@@ -486,7 +495,7 @@ object Embeddings {
       }
       out.iterator
     }.toDF("vec_id").distinct()
-    assigned.toDF("vec_id", "cell", "v", "nrm")
+    assignedDf
       .join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
   }

@@ -108,7 +108,14 @@ object Curation {
     val vecs = vectors.join(
       survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     val kept = graft.operators.Embeddings.semanticDedup(vecs, cells, iters, threshold)
-    survivors.join(kept.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    // the semantic stage can only judge docs that HAVE an embedding row:
+    // a doc without one is no near-dup candidate and must pass through,
+    // so remove exactly the embedded-but-pruned set instead of semi-
+    // joining on `kept` (which would silently drop every uncovered doc —
+    // with an empty/mismatched vectors table, the whole corpus)
+    val dropped = vecs.select(col("vec_id").as("doc_id"))
+      .join(kept.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    survivors.join(dropped, Seq("doc_id"), "left_anti")
   }
 }
 

@@ -14,18 +14,25 @@ package graft.util
   *    corpus — the merge list is a compile-time constant, so the oracle
   *    SQL can carry it inline (d04's generated-literal technique);
   *  - application is a chain of plain `replace()` calls over a
-  *    MARKER-PREFIXED symbol string: word → `|h|e|l|l|o`, merge (l,l) →
-  *    `replace(s, '|l|l', '|ll')`. Both Spark and DuckDB implement
-  *    leftmost non-overlapping `replace`, and the leading marker pins
-  *    every match to a symbol BOUNDARY — the naive space-joined form
-  *    (`replace(s, 'a b', 'ab')`) silently merges across boundaries
-  *    when one symbol's suffix equals the merge's left side (symbols
-  *    `[ba, b]` contain the substring `a b`), and diverges from true
-  *    BPE on adjacent repeats (`a b a b` only merges once because the
-  *    replacement consumes the shared delimiter). With the marker,
-  *    `|b|a|b` does not contain `|a|b`, and `|a|b|a|b` merges twice —
-  *    exactly [[applyMerges]]' symbol-vector semantics (pinned, with
-  *    these adversarial cases, in BpeSpec).
+  *    LENGTH-PREFIXED symbol string: word → `|1:h|1:e|1:l|1:l|1:o`,
+  *    merge (l,l) → `replace(s, '|1:l|1:l', '|2:ll')`. Both Spark and
+  *    DuckDB implement leftmost non-overlapping `replace`, and the
+  *    `|<len>:` prefix pins every match to a symbol boundary AND to the
+  *    EXACT symbol — both boundaries, not just the left one. A bare
+  *    leading marker (`|l|l`) is not enough: `|c|a` also matches inside
+  *    `|c|at` (the next symbol merely STARTS with `a`), silently firing
+  *    the merge (c,a) on the symbol pair (c,at) — divergence from
+  *    [[applyMerges]] on any word where a merge's right side is a
+  *    strict prefix of the actual next symbol (`cat` with merges
+  *    (a,t),(c,a)). With the length field, `|1:a` cannot match `|2:at`
+  *    (`:` vs the second digit/char mismatches), the digits-then-colon
+  *    rendering parses uniquely (symbols are [a-z0-9] — no `|`/`:`),
+  *    and because the pattern consumes NO trailing delimiter, adjacent
+  *    repeats merge exactly like the reference: occurrences of
+  *    `|1:a|1:b` in `|1:a|1:b|1:a|1:b` are disjoint, so one leftmost
+  *    non-overlapping pass replaces both — precisely [[mergeSeq]]'s
+  *    left-to-right j+=2 sweep (pinned, with these adversarial cases,
+  *    in BpeSpec).
   *
   * Token counts read off the final string as (marker count) =
   * `size(split(s, '\|')) - 1` — one evaluation of the chain, no
@@ -33,9 +40,9 @@ package graft.util
   */
 object Bpe {
 
-  /** Marker prefixed to every symbol in the string representation.
-    * Words are normalized to [a-z0-9] before symbolization, so the
-    * marker can never occur inside a symbol. */
+  /** Boundary marker opening every `|<len>:<sym>` rendering. Words are
+    * normalized to [a-z0-9] before symbolization, so neither the marker
+    * nor the `:` length terminator can occur inside a symbol. */
   val Marker = "|"
 
   /** Frequency-weighted word list from a training corpus: lowercase,
@@ -102,22 +109,27 @@ object Bpe {
 
   // ---- SQL emission (per-word expressions usable inside HOF lambdas) --
 
+  /** One symbol's string rendering: `|<len>:<sym>` — see the scaladoc
+    * for why the length field is load-bearing (exact-symbol matching on
+    * BOTH sides of a merge, not just the left boundary). */
+  private def sym(s: String): String = Marker + s.length + ":" + s
+
   private def chain(symbolized: String, merges: Seq[(String, String)]): String =
     merges.foldLeft(symbolized) { case (acc, (a, b)) =>
-      "replace(" + acc + ", '" + Marker + a + Marker + b + "', '" + Marker + a + b + "')"
+      "replace(" + acc + ", '" + sym(a) + sym(b) + "', '" + sym(a + b) + "')"
     }
 
   /** Spark SQL: BPE token count of the (already-normalized, non-empty)
     * word expression `w`. Evaluates the replace chain once and counts
     * markers. */
   def wordCountSpark(w: String, merges: Seq[(String, String)]): String =
-    "(size(split(" + chain("regexp_replace(" + w + ", '(.)', '|$1')", merges) +
+    "(size(split(" + chain("regexp_replace(" + w + ", '(.)', '|1:$1')", merges) +
       ", '\\\\|')) - 1)"
 
   /** DuckDB SQL: same count, RE2 replacement syntax and plain-delimiter
     * string_split. */
   def wordCountDuck(w: String, merges: Seq[(String, String)]): String =
-    "(len(string_split(" + chain("regexp_replace(" + w + ", '(.)', '|\\1', 'g')", merges) +
+    "(len(string_split(" + chain("regexp_replace(" + w + ", '(.)', '|1:\\1', 'g')", merges) +
       ", '|')) - 1)"
 
   /** Spark SQL: normalized non-empty word array of a text expression —

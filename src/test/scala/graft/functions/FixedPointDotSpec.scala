@@ -44,6 +44,30 @@ class FixedPointDotSpec extends SparkSpec {
     assert(got(3L).isEmpty, "null input propagates null")
   }
 
+  test("fp_dot codegen compiles on NON-nullable containsNull=false inputs") {
+    import spark.implicits._
+    FixedPointDot.install(spark)
+    // array(...) over non-nullable id builds containsNull=false arrays on
+    // a non-nullable column, so fp_dot.nullable is FALSE and
+    // nullSafeCodeGen leaves ev.isNull undeclared (FalseLiteral): the
+    // generated branch must not write to it (`false = true;` fails Janino
+    // and silently drops the stage to interpreted). fallback=false makes
+    // that failure loud instead of a quiet 10x.
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val got = spark.range(3)
+        .select($"id", expr(
+          "fp_dot(array(CAST(id AS DOUBLE), 2.0D), array(3.0D, CAST(id AS DOUBLE)))").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0L until 3L).foreach { id =>
+        val want = math.floor(id * 3.0 * 1e12 + 0.5).toLong +
+          math.floor(2.0 * id * 1e12 + 0.5).toLong
+        assert(got(id) == want, s"id $id: ${got(id)} != $want")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("fp_dot null ELEMENTS null the whole sum, matching the HOF form (ADVICE r5)") {
     import spark.implicits._
     FixedPointDot.install(spark)

@@ -55,16 +55,40 @@ class CurationSpec extends SparkSpec {
         cells = 4, iters = 2, threshold = 0.25)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // replay the composition from its two published pieces: the wiring
-    // under test is the id bridge and semi-join direction
+    // under test is the id bridge and the drop-set direction (remove
+    // exactly the embedded-but-pruned docs; unembedded docs pass)
     val lexical = Curation.curate(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    val embedded = vectors.join(lexical.toSeq.toDF("vec_id"), Seq("vec_id"), "left_semi")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
     val vecsKept = graft.operators.Embeddings.semanticDedup(
         vectors.join(lexical.toSeq.toDF("vec_id"), Seq("vec_id"), "left_semi"),
         cells = 4, iters = 2, threshold = 0.25)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val want = lexical.intersect(vecsKept)
+    val want = lexical.diff(embedded.diff(vecsKept))
     assert(got == want, s"got ${got.size}, want ${want.size}")
     assert(got.size < lexical.size,
       "the semantic stage must drop docs beyond lexical dedup on the fixture")
+  }
+
+  test("curateSemantic keeps docs WITHOUT an embedding row (partial coverage)") {
+    // embedding jobs fail on subsets routinely: a doc with no vector is
+    // no semantic near-dup candidate and must survive the stage, and an
+    // EMPTY vectors table must be a no-op, not a corpus wipe
+    val vectors = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    val lexical = Curation.curate(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    // partial coverage: drop the vectors of half the lexical survivors
+    val half = vectors.filter($"vec_id" % 2 === 0)
+    val gotHalf = Curation.curateSemantic(docs, half, cells = 4, iters = 2, threshold = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val uncovered = lexical.filter(_ % 2 != 0)
+    assert(uncovered.subsetOf(gotHalf),
+      s"uncovered docs were dropped: ${uncovered.diff(gotHalf).take(5)}")
+    // empty vectors: the semantic stage judges nothing, survivors pass
+    val none = vectors.filter(lit(false))
+    val gotNone = Curation.curateSemantic(docs, none, cells = 4, iters = 2, threshold = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotNone == lexical, "empty vectors table must not change the lexical survivors")
   }
 
   test("exactDedup picks a content-deterministic survivor when doc_ids tie") {

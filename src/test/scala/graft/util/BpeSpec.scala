@@ -35,11 +35,42 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.applyMerges("x!", m) == Vector("x"), "normalization strips punctuation")
   }
 
+  test("chain must NOT fire a merge whose right side only PREFIXES the next symbol") {
+    // merges (a,t) then (c,a) on 'cat': after (a,t) the symbols are
+    // [c, at] — (c,a) must not fire because the next symbol is 'at',
+    // not 'a'. A left-marker-only chain ('|c|a' in '|c|at') matched
+    // here and produced 1 token instead of 2; the length-prefixed
+    // rendering ('|1:a' vs '|2:at') cannot.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val merges = Seq(("a", "t"), ("c", "a"))
+    assert(Bpe.applyMerges("cat", merges) == Vector("c", "at"))
+    val got = Seq("cat", "ca", "cata", "catcat").toDF("w")
+      .withColumn("n", expr(Bpe.wordCountSpark("w", merges)))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    Seq("cat", "ca", "cata", "catcat").foreach { w =>
+      assert(got(w) == Bpe.applyMerges(w, merges).length,
+        s"word '$w': SQL ${got(w)} vs reference ${Bpe.applyMerges(w, merges)}")
+    }
+    // repeat-run segmentation: leftmost pairs, leftover single trails
+    val run = Seq(("a", "a"))
+    val runs = Seq("aaa", "aaaa", "aaaaa", "aaaaaa").toDF("w")
+      .withColumn("n", expr(Bpe.wordCountSpark("w", run)))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    Seq("aaa" -> 2, "aaaa" -> 2, "aaaaa" -> 3, "aaaaaa" -> 3).foreach { case (w, n) =>
+      assert(Bpe.applyMerges(w, run).length == n)
+      assert(runs(w) == n, s"word '$w': SQL ${runs(w)} vs $n")
+    }
+  }
+
   test("Spark replace-chain emission == reference on adversarial + fixture words") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
     val words = Seq("bab", "abab", "aab", "abba", "the", "data", "table",
-      "stream", "scan", "partition", "broadcast", "x", "batchmergesort")
+      "stream", "scan", "partition", "broadcast", "x", "batchmergesort",
+      // right-prefix adversaries vs DefaultMerges (reviewer replication:
+      // these diverged under the left-marker-only chain)
+      "cat", "her", "pat", "cata", "america", "scat", "therm")
     for (merges <- Seq(Seq(("a", "b")), Bpe.DefaultMerges)) {
       val got = words.toDF("w")
         .withColumn("n", expr(Bpe.wordCountSpark("w", merges)))
