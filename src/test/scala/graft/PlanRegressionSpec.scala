@@ -140,6 +140,18 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("Generate explode"), "t10 must not explode words")
   }
 
+  test("d09: cluster⋈quality is an equi-join; windows share one cluster_id exchange") {
+    val p = planOf("d09_canonical_pick")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"survivor pick must never plan a pair explosion:\n${p.take(3000)}")
+    // row_number and the member count partition identically — a second
+    // hashpartitioning(cluster_id) exchange would mean the window specs
+    // drifted apart and the pick pays a redundant shuffle per run
+    val clusterExchanges = "hashpartitioning\\(cluster_id".r.findAllIn(p).size
+    assert(clusterExchanges <= 1,
+      s"windows must share the cluster_id exchange ($clusterExchanges):\n${p.take(3000)}")
+  }
+
   test("q25: lineitem scan reads only the two z-order key columns") {
     val p = planOf("q25_zorder_layout")
     assert(!p.contains("l_orderkey") && !p.contains("l_quantity") &&
