@@ -142,6 +142,46 @@ object Documents {
       tokenizer: Column = wsTokenCount): DataFrame =
     packSequences(docs.withColumn("n_toks", tokenizer), budget, buckets)
 
+  /** Misra-Gries frequent-items sketch over a token stream — the
+    * approximate heavy-hitters dual of t03's exact frequency table, the
+    * third sketch in the family (HLL distinct = e07, KLL percentiles =
+    * e10). At 100 TB the exact table shuffles the FULL vocabulary
+    * (token, count) — fine, but vocabulary-sized; this path keeps a
+    * fixed `counters`-entry map per partition (bounded memory however
+    * large the stream) and shuffles ≤ counters×partitions summary rows.
+    *
+    * Guarantee (Misra-Gries 1982; merge bound Agarwal et al. 2012,
+    * "Mergeable Summaries"): per partition the undercount of any token
+    * is ≤ n_p/(counters+1); summing summaries adds the bounds, so
+    * globally exact_count − est_count ≤ n_total/(counters+1), est never
+    * overcounts, and every token with exact_count > n_total/(counters+1)
+    * survives. DocumentsSpec asserts exactly this against t03.
+    */
+  def heavyHitters(toks: org.apache.spark.sql.Dataset[String], counters: Int): DataFrame = {
+    require(counters >= 1, s"counters must be >= 1, got $counters")
+    val session = toks.sparkSession
+    import session.implicits._
+    toks.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1L)
+          case None =>
+            if (m.size < counters) m.update(t, 1L)
+            else {
+              // classic MG step: decrement every counter, evict zeros —
+              // amortized O(1) per token (each decrement pays for one
+              // prior increment)
+              m.mapValuesInPlace((_, v) => v - 1L)
+              m.filterInPlace((_, v) => v > 0L)
+            }
+        }
+      }
+      m.iterator
+    }.toDF("tok", "est")
+      .groupBy(col("tok")).agg(sum(col("est")).as("est_count"))
+  }
+
   /** Shared DuckDB oracle for d02/d03: brute-force all-pairs exact Jaccard
     * is fine AS AN ORACLE at sf0.01 (500 docs); the Spark plans avoid it.
     * Shingling is index-aligned with the Spark side: DuckDB lists are
@@ -546,6 +586,20 @@ object Documents {
         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         GROUP BY tok ORDER BY n DESC, tok""")),
+
+    // sketch ≠ exact by construction (Misra-Gries undercounts within the
+    // documented bound), so the driver records a rows-only check like
+    // e07/e10; DocumentsSpec gates the guarantee against t03's exact
+    // counts every round.
+    QueryDef("t11_heavy_hitters",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val toks = toked(s, dir).select(explode($"toks").as("tok")).as[String]
+        heavyHitters(toks, 64)
+          .orderBy($"est_count".desc, $"tok")
+          .limit(20)
+      },
+      None),
 
     QueryDef("t04_fingerprint",
       (s: SparkSession, dir: String) => {

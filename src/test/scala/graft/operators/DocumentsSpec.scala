@@ -72,6 +72,32 @@ class DocumentsSpec extends SparkSpec {
       s"benchmark join should be a broadcast hash join:\n$plan")
   }
 
+  test("t11 heavy hitters: MG guarantee holds against t03's exact counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val C = 64
+    val exact = Catalog.byName("t03_token_frequency").run(spark, sf)
+      .select("tok", "n").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val bound = n / (C + 1)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(split($"text", " ")).as("tok")).as[String]
+    val est = graft.operators.Documents.heavyHitters(toks, C)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // never overcounts; undercount within the merged n/(C+1) bound
+    est.foreach { case (t, e) =>
+      assert(e <= exact(t), s"'$t' overcounted: $e > ${exact(t)}")
+      assert(exact(t) - e <= bound, s"'$t' undercount ${exact(t) - e} > $bound")
+    }
+    // every true heavy hitter survives the sketch
+    exact.filter(_._2 > bound).foreach { case (t, c) =>
+      assert(est.contains(t), s"heavy hitter '$t' (n=$c, bound=$bound) missing")
+    }
+    assert(est.nonEmpty && exact.exists(_._2 > bound),
+      "fixture must actually exercise the guarantee")
+  }
+
   test("d09 canonical pick: keeps the best-quality member, doc_id on ties") {
     // cluster {1,2}: shingle sets {abg,bgd,"gamma delta the"} vs
     // {abg,bgd,"gamma delta zed"} -> jaccard 2/4 = 0.5 (just in); doc 1
