@@ -104,7 +104,15 @@ object Curation {
       minTokens: Int = 5, minUniqRatio: Double = 0.1,
       weights: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
       : DataFrame = {
-    val survivors = curate(docs, minTokens, minUniqRatio, weights)
+    // the lexical survivor frame feeds THREE consumers (the vectors
+    // semi-join behind the assignment cache, the drop-set derivation,
+    // and the final anti-join): retain it so one action materializes the
+    // quality-gate → dedup → near-dup → split pipeline once, not three
+    // times (registry discipline as with the near-dup shingle/pair
+    // frames; curate's plan roots on the CC kernel, so same-name calls
+    // supersede — exactly one live copy)
+    val survivors = graft.CacheRegistry.retain("curation.semantic.survivors",
+      curate(docs, minTokens, minUniqRatio, weights))
     val vecs = vectors.join(
       survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     val kept = graft.operators.Embeddings.semanticDedup(vecs, cells, iters, threshold)
