@@ -575,7 +575,18 @@ object Relational {
         ${sumExactSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
         COUNT(*) AS n_items
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        GROUP BY s_nationkey ORDER BY s_nationkey"""))
+        GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    QueryDef("q29_grouping_sets",
+      (s: SparkSession, dir: String) => {
+        // literal SQL-surface parity, as q26: both engines execute the
+        // SAME grouping-sets text (see [[GroupingSetsSql]] for why this
+        // grouping surface is distinct from q13/q21 and the NULLS FIRST
+        // pin)
+        graft.Catalog.registerViews(s, dir)
+        s.sql(GroupingSetsSql)
+      },
+      Some(GroupingSetsSql))
   )
 
   /** Shared with the write-side layout job ([[graft.plans.ZOrder]]): one
@@ -601,4 +612,24 @@ object Relational {
                 ORDER BY o_orderdate DESC, o_orderkey LIMIT 1) o
        WHERE c.c_custkey < 100
        ORDER BY c.c_custkey"""
+
+  /** Arbitrary (non-hierarchical) GROUPING SETS — the grouping surface
+    * neither q13's ROLLUP (prefix hierarchies) nor q21's CUBE (all
+    * subsets) expresses: two independent one-column slices plus the
+    * grand total in ONE pass over orders. Both engines run this IDENTICAL
+    * text (q26's literal-parity technique). GROUPING() disambiguates the
+    * per-set NULLs from data NULLs and is cast to BIGINT on both sides;
+    * the ORDER BY pins NULLS FIRST because the engines' defaults differ
+    * (Spark: nulls first asc; DuckDB: nulls last). Scale shape: Spark
+    * plans one Expand (3 replicas) + one hash aggregate — partial
+    * map-side combine applies, no extra shuffle per set. */
+  private lazy val GroupingSetsSql =
+    s"""SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+       COUNT(*) AS n, ${sumExactSql("o_totalprice")} AS revenue
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+       ORDER BY g_pri, g_st,
+         o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""
 }

@@ -152,6 +152,17 @@ class PlanRegressionSpec extends SparkSpec {
       s"windows must share the cluster_id exchange ($clusterExchanges):\n${p.take(3000)}")
   }
 
+  test("q29: grouping sets plan one Expand + one agg exchange, columns pruned") {
+    val p = planOf("q29_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets should plan an Expand:\n${p.take(2000)}")
+    // one exchange for the grouped aggregate (+ the final sort's range
+    // exchange); a shuffle per grouping set would not scale
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"expected a single agg exchange ($hashEx):\n${p.take(3000)}")
+    assert(!p.contains("o_custkey") && !p.contains("o_comment"),
+      "orders scan must prune columns the grouping never uses")
+  }
+
   test("q25: lineitem scan reads only the two z-order key columns") {
     val p = planOf("q25_zorder_layout")
     assert(!p.contains("l_orderkey") && !p.contains("l_quantity") &&
