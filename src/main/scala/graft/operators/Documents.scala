@@ -157,28 +157,35 @@ object Documents {
     * overcounts, and every token with exact_count > n_total/(counters+1)
     * survives. DocumentsSpec asserts exactly this against t03.
     */
+  /** The per-stream MG fold — ONE definition shared by the batch
+    * operator below and the streaming summaries
+    * ([[graft.streaming.SketchStreams]]), so the two paths cannot drift
+    * on the sketch arithmetic. */
+  private[graft] def mgSummarize(it: Iterator[String], counters: Int)
+      : Iterator[(String, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      m.get(t) match {
+        case Some(c) => m.update(t, c + 1L)
+        case None =>
+          if (m.size < counters) m.update(t, 1L)
+          else {
+            // classic MG step: decrement every counter, evict zeros —
+            // amortized O(1) per token (each decrement pays for one
+            // prior increment)
+            m.mapValuesInPlace((_, v) => v - 1L)
+            m.filterInPlace((_, v) => v > 0L)
+          }
+      }
+    }
+    m.iterator
+  }
+
   def heavyHitters(toks: org.apache.spark.sql.Dataset[String], counters: Int): DataFrame = {
     require(counters >= 1, s"counters must be >= 1, got $counters")
     val session = toks.sparkSession
     import session.implicits._
-    toks.mapPartitions { it =>
-      val m = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { t =>
-        m.get(t) match {
-          case Some(c) => m.update(t, c + 1L)
-          case None =>
-            if (m.size < counters) m.update(t, 1L)
-            else {
-              // classic MG step: decrement every counter, evict zeros —
-              // amortized O(1) per token (each decrement pays for one
-              // prior increment)
-              m.mapValuesInPlace((_, v) => v - 1L)
-              m.filterInPlace((_, v) => v > 0L)
-            }
-        }
-      }
-      m.iterator
-    }.toDF("tok", "est")
+    toks.mapPartitions(mgSummarize(_, counters)).toDF("tok", "est")
       .groupBy(col("tok")).agg(sum(col("est")).as("est_count"))
   }
 
