@@ -748,6 +748,55 @@ object Embeddings {
         SELECT query_id, rnk, neighbor_id, cosine FROM scored
         WHERE rnk <= 10 ORDER BY query_id, rnk""")),
 
+    QueryDef("v13_filtered_topk",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // filtered ("hybrid") retrieval — the standard production search
+        // shape: top-k cosine among vectors whose companion DOCUMENT
+        // passes a metadata predicate. The predicate prunes the corpus
+        // BEFORE any vector arithmetic (left_semi against the pushed-
+        // down documents scan), which both does less work and keeps the
+        // k-guarantee — the naive alternative, post-filtering an
+        // unfiltered top-k, silently returns fewer than k when
+        // neighbors fail the predicate. Same broadcast-panel + partial
+        // WindowGroupLimit shape as v01 on the (smaller) filtered
+        // corpus; at 100 TB the predicate rides the parquet scan
+        // (PushedFilters, plan-pinned) so pruning costs no extra pass.
+        val base = based(s, dir).withColumn("nrm", expr(NormSql))
+        val meta = tbl(s, dir, "documents")
+          .filter($"lang" === "en" && $"n_chars" >= 200)
+          .select($"doc_id".as("vec_id"))
+        val queries = base.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val corpus = base.join(meta, Seq("vec_id"), "left_semi")
+          .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
+        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        corpus.join(broadcast(queries), $"query_id" =!= $"neighbor_id")
+          .withColumn("cosine", expr(DotSql) / ($"qn" * $"cn"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 5)
+          .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+          .orderBy($"query_id", $"rnk")
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        keep AS (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200),
+        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        dots AS (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+                 FROM (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                              unnest(q.v) AS qx, unnest(c.v) AS cx
+                       FROM base q, base c
+                       WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+                         AND c.vec_id IN (SELECT doc_id FROM keep))
+                 GROUP BY 1, 2),
+        scored AS (SELECT qid AS query_id, cid AS neighbor_id,
+                          dot / (a.nrm * b.nrm) AS cosine,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS rnk
+                   FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
+        SELECT query_id, rnk, neighbor_id, cosine FROM scored
+        WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+
     QueryDef("v02_ann_bucketed",
       (s: SparkSession, dir: String) => {
         import s.implicits._

@@ -152,6 +152,16 @@ class PlanRegressionSpec extends SparkSpec {
       s"windows must share the cluster_id exchange ($clusterExchanges):\n${p.take(3000)}")
   }
 
+  test("v13: metadata predicate rides the documents scan; filter precedes vector work") {
+    val p = planOf("v13_filtered_topk")
+    // the lang/n_chars predicate must reach the parquet scan — pruning
+    // costs no extra pass at scale
+    assert(p.contains("PushedFilters") && p.contains("lang"),
+      s"metadata predicate not pushed to the documents scan:\n${p.take(3000)}")
+    // and the text column is never read for a vec_id-only semi-join
+    assert(!p.contains("text"), "documents scan must prune the text column")
+  }
+
   test("q29: grouping sets plan one Expand + one agg exchange, columns pruned") {
     val p = planOf("q29_grouping_sets")
     assert(p.contains("Expand"), s"grouping sets should plan an Expand:\n${p.take(2000)}")

@@ -5,6 +5,27 @@ import graft.{Catalog, SparkSpec}
 class EmbeddingsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("v13 filtered top-k: PRE-filter semantics — full k, all neighbors qualify") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val keep = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"lang" === "en" && $"n_chars" >= 200)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val out = graft.Catalog.byName("v13_filtered_topk").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (_, _, n) => keep.contains(n) },
+      "every neighbor must pass the metadata predicate")
+    // pre-filter returns the full k for every query (enough qualify on
+    // the fixture) — post-filtering an unfiltered top-k would come up
+    // short whenever unfiltered neighbors fail the predicate
+    val perQuery = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perQuery.size == 10 && perQuery.values.forall(_ == 5), s"$perQuery")
+    val unfiltered = graft.Catalog.byName("v01_similarity_topk").run(spark, sf)
+      .filter($"rnk" <= 5).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out.exists { case (q, _, n) => !unfiltered.contains((q, n)) },
+      "the filter must actually change the neighbor set on the fixture")
+  }
+
   test("cosineNearDupPairs == brute force (negative ids, empty blocks, exact dup)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
