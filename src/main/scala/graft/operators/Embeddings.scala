@@ -762,13 +762,18 @@ object Embeddings {
         // WindowGroupLimit shape as v01 on the (smaller) filtered
         // corpus; at 100 TB the predicate rides the parquet scan
         // (PushedFilters, plan-pinned) so pruning costs no extra pass.
-        val base = based(s, dir).withColumn("nrm", expr(NormSql))
+        val base = based(s, dir)
         val meta = tbl(s, dir, "documents")
           .filter($"lang" === "en" && $"n_chars" >= 200)
           .select($"doc_id".as("vec_id"))
         val queries = base.filter($"vec_id" < 10)
+          .withColumn("nrm", expr(NormSql))
           .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+        // norm AFTER the semi-join: nrm is per-row, so the result is
+        // identical, but the 64-dim self-dot runs only on survivors —
+        // with a selective predicate the saving is proportional
         val corpus = base.join(meta, Seq("vec_id"), "left_semi")
+          .withColumn("nrm", expr(NormSql))
           .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
         val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
         corpus.join(broadcast(queries), $"query_id" =!= $"neighbor_id")

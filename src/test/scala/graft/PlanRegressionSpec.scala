@@ -154,12 +154,26 @@ class PlanRegressionSpec extends SparkSpec {
 
   test("v13: metadata predicate rides the documents scan; filter precedes vector work") {
     val p = planOf("v13_filtered_topk")
-    // the lang/n_chars predicate must reach the parquet scan — pruning
-    // costs no extra pass at scale
-    assert(p.contains("PushedFilters") && p.contains("lang"),
-      s"metadata predicate not pushed to the documents scan:\n${p.take(3000)}")
+    // the PUSHED predicate itself must appear (every FileScan prints a
+    // PushedFilters list, so checking for the header alone is vacuous —
+    // and a regressed plan would still mention 'lang' in a residual
+    // Filter node)
+    assert(p.contains("EqualTo(lang,en)"),
+      s"lang predicate not pushed to the documents scan:\n${p.take(3000)}")
+    assert(p.contains("GreaterThanOrEqual(n_chars,200)"),
+      s"n_chars predicate not pushed to the documents scan:\n${p.take(3000)}")
     // and the text column is never read for a vec_id-only semi-join
     assert(!p.contains("text"), "documents scan must prune the text column")
+    // norm AFTER the filter: the corpus norm projection must sit ABOVE
+    // the semi-join (parents print before children, so its fp_dot
+    // appears EARLIER in the string than the LeftSemi marker); in the
+    // full-corpus-pass plan the corpus side starts at LeftSemi and the
+    // first fp_dot only appears below it
+    val semiIdx = p.indexOf("LeftSemi")
+    val normIdx = p.indexOf("fp_dot(v")
+    assert(semiIdx >= 0, s"semi-join missing:\n${p.take(3000)}")
+    assert(normIdx >= 0 && normIdx < semiIdx,
+      s"corpus norm computed below the semi-join (full-corpus pass):\n${p.take(3000)}")
   }
 
   test("q29: grouping sets plan one Expand + one agg exchange, columns pruned") {
