@@ -177,6 +177,40 @@ object Events {
         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau, COUNT(*) AS n_events
         FROM events GROUP BY 1 ORDER BY day""")),
 
+    QueryDef("e15_rolling_wau",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // rolling 7-day active users — the WAU/MAU family. Genuinely
+        // hard in windowed SQL (COUNT(DISTINCT) OVER RANGE is
+        // unsupported in Spark); the scalable form dedups to (day,
+        // user) FIRST — event-count → active-pair-count reduction at
+        // the earliest aggregate — then EXPLODES each pair into the 7
+        // report days it contributes to: shuffle is 7× the deduped
+        // pairs, never 7× the raw events, and no per-day self-join of
+        // the event log. Output restricted to days that actually occur
+        // (semi-join with the tiny day list).
+        val ud = eventsTbl(s, dir)
+          .select(to_date(date_trunc("day", $"ts")).as("day"), $"user_id")
+          .distinct()
+        val days = ud.select($"day").distinct()
+        ud.withColumn("d", explode(expr("sequence(day, date_add(day, 6))")))
+          .join(days.withColumnRenamed("day", "d"), Seq("d"), "left_semi")
+          .groupBy($"d")
+          .agg(countDistinct($"user_id").as("wau"))
+          .select(date_format($"d", "yyyy-MM-dd").as("day"), $"wau")
+          .orderBy($"day")
+      },
+      // oracle: the equivalent day-range join over the deduped pairs
+      Some("""WITH ud AS MATERIALIZED (
+          SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+          FROM events),
+        days AS (SELECT DISTINCT day FROM ud)
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+        FROM days d JOIN ud u
+          ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day ORDER BY day""")),
+
     QueryDef("e04_sessionize",
       (s: SparkSession, dir: String) => {
         import s.implicits._

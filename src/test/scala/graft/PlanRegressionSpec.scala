@@ -187,6 +187,19 @@ class PlanRegressionSpec extends SparkSpec {
       "orders scan must prune columns the grouping never uses")
   }
 
+  test("e15: the 7-day explode fans out DEDUPED (day,user) pairs, not raw events") {
+    val p = planOf("e15_rolling_wau")
+    // parents print before children: the Generate (explode) must sit
+    // ABOVE the (day, user_id) dedup aggregate — fanning out raw events
+    // would multiply the event log by 7 before any reduction
+    val genIdx = p.indexOf("Generate explode")
+    assert(genIdx >= 0, s"explode missing:\n${p.take(3000)}")
+    val dedupBelow = p.substring(genIdx).linesIterator
+      .exists(l => l.contains("HashAggregate") && l.contains("keys=") && l.contains("user_id"))
+    assert(dedupBelow,
+      s"no (day,user) dedup aggregate below the explode — fan-out hits raw events:\n${p.take(3000)}")
+  }
+
   test("q25: lineitem scan reads only the two z-order key columns") {
     val p = planOf("q25_zorder_layout")
     assert(!p.contains("l_orderkey") && !p.contains("l_quantity") &&

@@ -9,6 +9,29 @@ import graft.{Catalog, SparkSpec}
 class EventsApproxSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("e15 rolling WAU: per-day bounds vs e03 and a driver-side window replay") {
+    val dau = Catalog.byName("e03_user_daily_active").run(spark, sf)
+      .select("day", "dau").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wau = Catalog.byName("e15_rolling_wau").run(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wau.keySet == dau.keySet, "one WAU row per active day")
+    // DAU ≤ WAU ≤ Σ window DAU; and the exact value matches a driver
+    // replay of the 7-day distinct union
+    val userDays = graft.QueryHelpers.eventsTbl(spark, sf)
+      .selectExpr("date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day", "user_id")
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    wau.foreach { case (day, w) =>
+      val d = java.time.LocalDate.parse(day, fmt)
+      val want = userDays.filter { case (ud, _) =>
+        val u = java.time.LocalDate.parse(ud, fmt)
+        !u.isAfter(d) && u.isAfter(d.minusDays(7))
+      }.map(_._2).distinct.length.toLong
+      assert(w == want, s"$day: wau $w != replay $want")
+      assert(w >= dau(day), s"$day: wau $w < dau ${dau(day)}")
+    }
+  }
+
   test("e10b exact disc percentiles replay driver-side; e10 sketch rank error vs e10b within ±2%") {
     // independent driver-side replay of the ceil(p*n) disc selection —
     // catches a rank-arithmetic slip in BOTH the catalog query and its
