@@ -273,6 +273,75 @@ object Multimodal {
                CAST(COUNT(*) * 32 AS BIGINT) AS sum_bytes,
                CAST(SUM(COALESCE(p.sv, 0)) AS BIGINT) AS sum_byte_values
         FROM docs2 d LEFT JOIN per p ON d.doc_id = p.doc_id
-        GROUP BY d.kind ORDER BY kind"""))
+        GROUP BY d.kind ORDER BY kind""")),
+
+    QueryDef("m05_phash_neardup",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // perceptual-hash near-dup for MEDIA — dedup extended across
+        // modalities (the text side has d01-d09; this is the image/
+        // audio/video analog). Classic average-hash: decode → resize to
+        // the 8×8 canonical grid (64 bytes) → bit i = value_i ≥ mean,
+        // computed as the INTEGER comparison v*64 ≥ sum so both engines
+        // agree exactly (no division). The 64-bit hash travels as two
+        // BIGINT halves (bit 63 would overflow signed); candidate pairs
+        // come from an 8×8-bit banded self-join — hamming ≤ 6 < 8 bands
+        // forces a shared band (pigeonhole, d04's argument), so the
+        // banded plan EQUALS the n² scan the oracle runs, without n²
+        // cost. Hamming verify = bit_count(xor) on the candidates only.
+        val media = decode(fromDocuments(tbl(s, dir, "documents")))
+        val hashed = resize(media, w = 8, h = 8).map { r =>
+          var sum = 0L
+          r.payload.foreach(b => sum += (b & 0xFF).toLong)
+          var h0 = 0L
+          var h1 = 0L
+          var i = 0
+          while (i < 64) {
+            if ((r.payload(i) & 0xFF).toLong * 64L >= sum) {
+              if (i < 32) h0 |= (1L << i) else h1 |= (1L << (i - 32))
+            }
+            i += 1
+          }
+          (r.doc_id, h0, h1)
+        }.toDF("doc_id", "h0", "h1")
+        val bands = hashed.select($"doc_id", $"h0", $"h1",
+          explode(array((0 until 8).map { b =>
+            val src = if (b < 4) "h0" else "h1"
+            struct(lit(b).as("bi"),
+              expr(s"shiftright($src, ${(b % 4) * 8}) & 255").as("bv"))
+          }: _*)).as("bd"))
+          .select($"doc_id", $"h0", $"h1", $"bd.bi".as("bi"), $"bd.bv".as("bv"))
+        bands.as("a").join(bands.as("b"),
+            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.h0").as("h0a"), col("a.h1").as("h1a"),
+            col("b.h0").as("h0b"), col("b.h1").as("h1b"))
+          .distinct()
+          .withColumn("hamming",
+            expr("bit_count(h0a ^ h0b) + bit_count(h1a ^ h1b)").cast("long"))
+          .filter($"hamming" <= 6)
+          .select($"doc_a", $"doc_b", $"hamming")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      // oracle: closed-form container arithmetic (code point % 128 = the
+      // decoded byte, zero-pad past the text) + the full n² hamming scan
+      Some("""WITH pos AS (SELECT unnest(generate_series(1, 64)) AS i),
+          ch AS (SELECT d.doc_id, p.i,
+                   CASE WHEN p.i <= length(d.text)
+                     THEN ascii(substr(d.text, p.i, 1)) % 128 ELSE 0 END AS v
+                 FROM documents d, pos p),
+          sums AS MATERIALIZED (SELECT doc_id, SUM(v) AS s FROM ch GROUP BY doc_id),
+          hs AS MATERIALIZED (SELECT c.doc_id,
+                   CAST(SUM(CASE WHEN c.i <= 32 AND c.v * 64 >= s.s
+                     THEN (CAST(1 AS BIGINT) << (c.i - 1)) ELSE 0 END) AS BIGINT) AS h0,
+                   CAST(SUM(CASE WHEN c.i > 32 AND c.v * 64 >= s.s
+                     THEN (CAST(1 AS BIGINT) << (c.i - 33)) ELSE 0 END) AS BIGINT) AS h1
+                 FROM ch c JOIN sums s USING (doc_id) GROUP BY c.doc_id)
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS BIGINT) AS hamming
+          FROM hs a, hs b WHERE a.doc_id < b.doc_id)
+        WHERE hamming <= 6 ORDER BY doc_a, doc_b"""))
   )
 }

@@ -80,4 +80,31 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() == 3)
     assert(frames.rdd.getNumPartitions == 3)
   }
+
+  test("m05 banded phash pairs == driver-side brute-force aHash (pigeonhole exhaustive)") {
+    val sf = "/root/testdata/sf0.001"
+    def ahash(text: String): (Long, Long) = {
+      // replay encode→resize(8,8)→aHash from the text alone
+      val cps = text.codePoints().toArray.map(_ & 0x7F)
+      val body = (cps ++ Array.fill(64)(0)).take(64)
+      val sum = body.map(_.toLong).sum
+      var h0 = 0L; var h1 = 0L
+      for (i <- 0 until 64) if (body(i).toLong * 64L >= sum) {
+        if (i < 32) h0 |= (1L << i) else h1 |= (1L << (i - 32))
+      }
+      (h0, h1)
+    }
+    val hs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ahash(r.getString(1)))
+    val brute = (for {
+      (a, (a0, a1)) <- hs; (b, (b0, b1)) <- hs if a < b
+      h = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+      if h <= 6
+    } yield (a, b, h.toLong)).toSet
+    val got = graft.Catalog.byName("m05_phash_neardup").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"banded ${got.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture must contain perceptually-close media")
+  }
 }
