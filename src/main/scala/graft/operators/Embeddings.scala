@@ -806,27 +806,35 @@ object Embeddings {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         // hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
-        // 2009) — the standard production combiner for lexical + vector
-        // search: each system ranks the SAME candidate universe, and
-        // fused = 1/(60+r_lex) + 1/(60+r_vec). Ranks are integers and
-        // the two IEEE divisions + one add evaluate identically in both
+        // 2009), the production combiner's ACTUAL list semantics: each
+        // system contributes its top-60 list over the SAME candidate
+        // universe (docs that have an embedding — both rankers are
+        // restricted to the id intersection, or partial embedding
+        // coverage would skew r_lex), candidates are the UNION of the
+        // lists, and a system that did not retrieve a doc contributes
+        // nothing: fused = Σ_present 1/(60+r). Ranks are integers and
+        // the IEEE divisions + add evaluate identically in both
         // engines, so the fusion is hash-gate exact with no recursion.
-        // Universe = docs that have an embedding (inner id join);
-        // lexical score = distinct-token overlap with the query doc,
-        // vector score = v01's fixed-point cosine. Scale shape: both
-        // rankers are broadcast-panel + partial WindowGroupLimit over
-        // the corpus; the fusion join is (query, doc)-keyed on two
-        // already-ranked (small) lists.
-        val docs = tbl(s, dir, "documents")
+        // Scale shape: the rank filters sit directly above row_number,
+        // so both rankers run as broadcast-panel + partial
+        // WindowGroupLimit (plan-pinned) and the fusion join sees two
+        // top-K lists, not corpus-sized rankings; the corpus norm is
+        // computed AFTER the universe semi-join (survivors only).
+        val K = 60
+        val docsAll = tbl(s, dir, "documents")
           .select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
-        val base = based(s, dir).withColumn("nrm", expr(NormSql))
-          .join(docs.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+        val base = based(s, dir)
+          .join(docsAll.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+          .withColumn("nrm", expr(NormSql))
+        val docs = docsAll
+          .join(base.select($"vec_id".as("doc_id")), Seq("doc_id"), "left_semi")
         val qtok = docs.filter($"doc_id" < 10)
           .select($"doc_id".as("query_id"), $"toks".as("qtoks"))
         val wl = Window.partitionBy($"query_id").orderBy($"overlap".desc, $"doc_id")
         val lex = docs.join(broadcast(qtok), $"query_id" =!= $"doc_id")
           .withColumn("overlap", size(array_intersect($"qtoks", $"toks")).cast("long"))
           .withColumn("r_lex", row_number().over(wl).cast("long"))
+          .filter($"r_lex" <= K)
           .select($"query_id", $"doc_id", $"r_lex")
         val qv = base.filter($"vec_id" < 10)
           .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
@@ -835,27 +843,32 @@ object Embeddings {
           .join(broadcast(qv), $"query_id" =!= $"doc_id")
           .withColumn("cosine", expr(DotSql) / ($"qn" * $"cn"))
           .withColumn("r_vec", row_number().over(wv).cast("long"))
+          .filter($"r_vec" <= K)
           .select($"query_id", $"doc_id", $"r_vec")
         val wf = Window.partitionBy($"query_id").orderBy($"fused".desc, $"doc_id")
-        lex.join(vec, Seq("query_id", "doc_id"))
+        lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
           .withColumn("fused",
-            lit(1.0) / (lit(60.0) + $"r_lex") + lit(1.0) / (lit(60.0) + $"r_vec"))
+            coalesce(lit(1.0) / (lit(60.0) + $"r_lex"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + $"r_vec"), lit(0.0)))
           .withColumn("rnk", row_number().over(wf).cast("long"))
           .filter($"rnk" <= 10)
           .select($"query_id", $"rnk", $"doc_id", $"fused", $"r_lex", $"r_vec")
           .orderBy($"query_id", $"rnk")
       },
-      Some("""WITH docs AS MATERIALIZED (
+      Some("""WITH docsall AS MATERIALIZED (
           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
         base AS MATERIALIZED (
           SELECT e.vec_id, e.embedding::DOUBLE[] AS v FROM embeddings e
-          WHERE e.vec_id IN (SELECT doc_id FROM docs)),
-        lex AS (
+          WHERE e.vec_id IN (SELECT doc_id FROM docsall)),
+        docs AS MATERIALIZED (
+          SELECT * FROM docsall WHERE doc_id IN (SELECT vec_id FROM base)),
+        lex AS (SELECT query_id, doc_id, r_lex FROM (
           SELECT q.doc_id AS query_id, d.doc_id,
                  row_number() OVER (PARTITION BY q.doc_id
                    ORDER BY CAST(len(list_intersect(q.toks, d.toks)) AS BIGINT) DESC,
                             d.doc_id) AS r_lex
-          FROM docs q, docs d WHERE q.doc_id < 10 AND q.doc_id <> d.doc_id),
+          FROM docs q, docs d WHERE q.doc_id < 10 AND q.doc_id <> d.doc_id)
+          WHERE r_lex <= 60),
         n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
                FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
         dots AS (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
@@ -863,19 +876,26 @@ object Embeddings {
                               unnest(q.v) AS qx, unnest(c.v) AS cx
                        FROM base q, base c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
                  GROUP BY 1, 2),
-        vec AS (SELECT qid AS query_id, cid AS doc_id,
-                       row_number() OVER (PARTITION BY qid
-                         ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS r_vec
-                FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id),
+        vec AS (SELECT query_id, doc_id, r_vec FROM (
+          SELECT qid AS query_id, cid AS doc_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS r_vec
+          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
+          WHERE r_vec <= 60),
         fused AS (
-          SELECT query_id, doc_id,
-                 1.0 / (60.0 + r_lex) + 1.0 / (60.0 + r_vec) AS fused, r_lex, r_vec,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY 1.0 / (60.0 + r_lex) + 1.0 / (60.0 + r_vec) DESC,
-                            doc_id) AS rnk
-          FROM lex JOIN vec USING (query_id, doc_id))
+          SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 COALESCE(1.0 / (60.0 + l.r_lex), 0.0)
+                   + COALESCE(1.0 / (60.0 + v.r_vec), 0.0) AS fused,
+                 l.r_lex, v.r_vec
+          FROM lex l FULL OUTER JOIN vec v
+            ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY fused DESC, doc_id) AS rnk
+          FROM fused)
         SELECT query_id, rnk, doc_id, fused, r_lex, r_vec
-        FROM fused WHERE rnk <= 10 ORDER BY query_id, rnk""")),
+        FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""")),
 
     QueryDef("v02_ann_bucketed",
       (s: SparkSession, dir: String) => {

@@ -290,20 +290,25 @@ object Multimodal {
         // banded plan EQUALS the n² scan the oracle runs, without n²
         // cost. Hamming verify = bit_count(xor) on the candidates only.
         val media = decode(fromDocuments(tbl(s, dir, "documents")))
-        val hashed = resize(media, w = 8, h = 8).map { r =>
-          var sum = 0L
-          r.payload.foreach(b => sum += (b & 0xFF).toLong)
-          var h0 = 0L
-          var h1 = 0L
-          var i = 0
-          while (i < 64) {
-            if ((r.payload(i) & 0xFF).toLong * 64L >= sum) {
-              if (i < 32) h0 |= (1L << i) else h1 |= (1L << (i - 32))
+        // retained: the banded self-join references the hash frame twice
+        // (same reason d04 retains `neardup.simhash`) — without it the
+        // encode-UDF + decode + resize + hash pipeline can execute once
+        // per join side whenever the planner doesn't reuse the exchange
+        val hashed = graft.CacheRegistry.retain("media.phash",
+          resize(media, w = 8, h = 8).map { r =>
+            var sum = 0L
+            r.payload.foreach(b => sum += (b & 0xFF).toLong)
+            var h0 = 0L
+            var h1 = 0L
+            var i = 0
+            while (i < 64) {
+              if ((r.payload(i) & 0xFF).toLong * 64L >= sum) {
+                if (i < 32) h0 |= (1L << i) else h1 |= (1L << (i - 32))
+              }
+              i += 1
             }
-            i += 1
-          }
-          (r.doc_id, h0, h1)
-        }.toDF("doc_id", "h0", "h1")
+            (r.doc_id, h0, h1)
+          }.toDF("doc_id", "h0", "h1"))
         val bands = hashed.select($"doc_id", $"h0", $"h1",
           explode(array((0 until 8).map { b =>
             val src = if (b < 4) "h0" else "h1"

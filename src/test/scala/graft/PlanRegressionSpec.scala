@@ -187,6 +187,25 @@ class PlanRegressionSpec extends SparkSpec {
       "orders scan must prune columns the grouping never uses")
   }
 
+  test("v14: rank filters enable WindowGroupLimit; corpus norm above the semi-join") {
+    val p = planOf("v14_rrf_fusion")
+    // the r_lex/r_vec <= 60 filters sit directly above row_number, so
+    // the rankers must run as partial WindowGroupLimit — without them
+    // the fusion join would consume corpus-sized rankings
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filters lost the WindowGroupLimit shape:\n${p.take(3000)}")
+    // v13's discipline: the 64-dim self-dot runs on universe survivors
+    // only. v14 has TWO semi-joins (lex universe + vec universe), so
+    // compare LAST occurrences: every norm projection sits above its
+    // own LeftSemi child, hence the final fp_dot in print order still
+    // has a LeftSemi below (after) it; in the full-corpus-pass layout
+    // the last norm project is under the last LeftSemi instead
+    val semiIdx = p.lastIndexOf("LeftSemi")
+    val normIdx = p.lastIndexOf("fp_dot(v")
+    assert(semiIdx >= 0 && normIdx >= 0 && normIdx < semiIdx,
+      s"corpus norm computed below the semi-join:\n${p.take(3000)}")
+  }
+
   test("e15: the 7-day explode fans out DEDUPED (day,user) pairs, not raw events") {
     val p = planOf("e15_rolling_wau")
     // parents print before children: the Generate (explode) must sit

@@ -27,23 +27,27 @@ class EmbeddingsSpec extends SparkSpec {
   }
 
   test("v14 RRF fusion: monotone in both ranks and genuinely mixes the two systems") {
-    import org.apache.spark.sql.functions._
     val out = graft.Catalog.byName("v14_rrf_fusion").run(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getLong(4), r.getLong(5)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
     assert(out.groupBy(_._1).size == 10 && out.length == 100, "10 queries x top-10")
     out.foreach { case (_, _, _, fused, rl, rv) =>
-      val want = 1.0 / (60.0 + rl) + 1.0 / (60.0 + rv)
-      assert(fused == want, s"fused $fused != 1/(60+$rl) + 1/(60+$rv)")
+      // top-K-list RRF: a system that did not retrieve the doc
+      // contributes nothing
+      val want = rl.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        rv.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      assert(fused == want, s"fused $fused != rrf($rl, $rv)")
+      assert(rl.isDefined || rv.isDefined, "candidates come from the list union")
     }
     // the fused ordering must not be either single system's ordering —
     // otherwise the operator is a relabeled v01 / token-overlap top-k
     val byQuery = out.groupBy(_._1).values
     val fusedOrder = byQuery.map(_.sortBy(_._2).map(_._3).toSeq).toSet
-    val lexOrder = byQuery.map(_.sortBy(t => (t._5, t._3)).map(_._3).take(10).toSeq).toSet
-    val vecOrder = byQuery.map(_.sortBy(t => (t._6, t._3)).map(_._3).take(10).toSeq).toSet
-    assert(fusedOrder != lexOrder, "fusion must differ from the pure lexical ranking")
-    assert(fusedOrder != vecOrder, "fusion must differ from the pure vector ranking")
+    def sysOrder(rank: ((Long, Long, Long, Double, Option[Long], Option[Long])) => Option[Long]) =
+      byQuery.map(_.sortBy(t => (rank(t).getOrElse(Long.MaxValue), t._3)).map(_._3).take(10).toSeq).toSet
+    assert(fusedOrder != sysOrder(_._5), "fusion must differ from the pure lexical ranking")
+    assert(fusedOrder != sysOrder(_._6), "fusion must differ from the pure vector ranking")
   }
 
   test("cosineNearDupPairs == brute force (negative ids, empty blocks, exact dup)") {
