@@ -190,10 +190,12 @@ class PlanRegressionSpec extends SparkSpec {
   test("v14: rank filters enable WindowGroupLimit; corpus norm above the semi-join") {
     val p = planOf("v14_rrf_fusion")
     // the r_lex/r_vec <= 60 filters sit directly above row_number, so
-    // the rankers must run as partial WindowGroupLimit — without them
-    // the fusion join would consume corpus-sized rankings
-    assert(p.contains("WindowGroupLimit"),
-      s"rank filters lost the WindowGroupLimit shape:\n${p.take(3000)}")
+    // the RANKERS must run as partial WindowGroupLimit. Asserting the
+    // node name alone is vacuous — the fused rnk<=10 window plans its
+    // own WindowGroupLimit regardless — so pin the ranker limit value
+    // (row_number(), 60), which only those two filters produce
+    assert(p.contains("row_number(), 60"),
+      s"ranker rank filters lost the WindowGroupLimit shape:\n${p.take(3000)}")
     // v13's discipline: the 64-dim self-dot runs on universe survivors
     // only. v14 has TWO semi-joins (lex universe + vec universe), so
     // compare LAST occurrences: every norm projection sits above its
