@@ -132,6 +132,62 @@ object Events {
           MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
         FROM ranked GROUP BY event_type ORDER BY event_type""")),
 
+    QueryDef("e16_conversion_lag",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // time-to-convert distribution: per user, first 'view' → first
+        // 'purchase' lag, exact disc percentiles over converting users
+        // (e10b's integer-rank discipline). Timestamps are truncated to
+        // WHOLE SECONDS before any comparison or min() — Spark reads
+        // micros, DuckDB nanos, so sub-second semantics could diverge;
+        // min of truncated == truncated of min (monotone), making every
+        // derived value engine-identical. Scale shape: the heavy shuffle
+        // is the user-keyed first-event reduction (map-side partial
+        // min); the global percentile sort then runs over CONVERTING
+        // USERS only — if even that set is huge, e10's KLL sketch is
+        // the documented scale path for the selection step.
+        val secs = eventsTbl(s, dir)
+          .filter($"event_type".isin("view", "purchase"))
+          .select($"user_id", $"event_type",
+            date_trunc("second", $"ts").cast("long").as("sec"))
+        val firsts = secs.groupBy($"user_id").agg(
+          min(when($"event_type" === "view", $"sec")).as("v"),
+          min(when($"event_type" === "purchase", $"sec")).as("p"))
+        val lags = firsts
+          .filter($"v".isNotNull && $"p".isNotNull && $"p" > $"v")
+          .select(($"p" - $"v").as("lag_s"), lit(0).as("g"))
+        val wRank = Window.partitionBy($"g").orderBy($"lag_s")
+        val wAll = Window.partitionBy($"g")
+        lags
+          .withColumn("rn", row_number().over(wRank).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .groupBy($"g")
+          .agg(
+            max($"n").as("n_converted"),
+            max(when($"rn" === expr("(n + 1) div 2"), $"lag_s")).as("p50_s"),
+            max(when($"rn" === expr("(9 * n + 9) div 10"), $"lag_s")).as("p90_s"),
+            max(when($"rn" === expr("(99 * n + 99) div 100"), $"lag_s")).as("p99_s"))
+          .select($"n_converted", $"p50_s", $"p90_s", $"p99_s")
+      },
+      Some("""WITH base AS (
+          SELECT user_id,
+            MIN(CASE WHEN event_type = 'view'
+              THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END) AS v,
+            MIN(CASE WHEN event_type = 'purchase'
+              THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END) AS p
+          FROM events WHERE event_type IN ('view', 'purchase') GROUP BY user_id),
+        lags AS (SELECT p - v AS lag_s FROM base
+                 WHERE v IS NOT NULL AND p IS NOT NULL AND p > v),
+        ranked AS (SELECT lag_s,
+            CAST(row_number() OVER (ORDER BY lag_s) AS BIGINT) AS rn,
+            CAST(COUNT(*) OVER () AS BIGINT) AS n
+          FROM lags)
+        SELECT MAX(n) AS n_converted,
+          MAX(CASE WHEN rn = (n + 1) // 2 THEN lag_s END) AS p50_s,
+          MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_s END) AS p90_s,
+          MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN lag_s END) AS p99_s
+        FROM ranked""")),
+
     // HyperLogLog++ approximate distinct — the scale path for e03's
     // count-distinct at 100 TB (no per-key shuffle of raw user_ids; HLL
     // sketches merge map-side). No SQL oracle: DuckDB's approx sketch

@@ -9,6 +9,26 @@ import graft.{Catalog, SparkSpec}
 class EventsApproxSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("e16 conversion lag: driver-side first-view→first-purchase replay") {
+    val rows = graft.QueryHelpers.eventsTbl(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type").isin("view", "purchase"))
+      .selectExpr("user_id", "event_type", "CAST(date_trunc('second', ts) AS LONG) AS sec")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val lags = rows.groupBy(_._1).values.flatMap { evs =>
+      val v = evs.filter(_._2 == "view").map(_._3).minOption
+      val p = evs.filter(_._2 == "purchase").map(_._3).minOption
+      for (vv <- v; pp <- p if pp > vv) yield pp - vv
+    }.toSeq.sorted
+    val n = lags.length.toLong
+    def disc(num: Long): Long = lags(((num - 1).max(0)).toInt)
+    val got = Catalog.byName("e16_conversion_lag").run(spark, sf).collect()(0)
+    assert(got.getLong(0) == n, s"n_converted ${got.getLong(0)} != $n")
+    assert(got.getLong(1) == disc((n + 1) / 2), "p50 mismatch")
+    assert(got.getLong(2) == disc((9 * n + 9) / 10), "p90 mismatch")
+    assert(got.getLong(3) == disc((99 * n + 99) / 100), "p99 mismatch")
+    assert(n >= 5, s"fixture must exercise the rank arithmetic (n=$n)")
+  }
+
   test("e15 rolling WAU: per-day bounds vs e03 and a driver-side window replay") {
     val dau = Catalog.byName("e03_user_daily_active").run(spark, sf)
       .select("day", "dau").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
