@@ -137,25 +137,26 @@ object Events {
         import s.implicits._
         // time-to-convert distribution: per user, first 'view' → first
         // 'purchase' lag, exact disc percentiles over converting users
-        // (e10b's integer-rank discipline). Timestamps are truncated to
-        // WHOLE SECONDS before any comparison or min() — Spark reads
-        // micros, DuckDB nanos, so sub-second semantics could diverge;
-        // min of truncated == truncated of min (monotone), making every
-        // derived value engine-identical. Scale shape: the heavy shuffle
-        // is the user-keyed first-event reduction (map-side partial
-        // min); the global percentile sort then runs over CONVERTING
-        // USERS only — if even that set is huge, e10's KLL sketch is
-        // the documented scale path for the selection step.
-        val secs = eventsTbl(s, dir)
+        // (e10b's integer-rank discipline). Eligibility (p > v) is
+        // decided at MICROSECOND precision — the exact precision the
+        // engines share (Spark stores micros; the oracle floors nanos
+        // with epoch_ns//1000, the e08 convention), so same-second
+        // conversions are kept (lag 0) instead of censored, and nothing
+        // sub-micro can diverge. The reported lag is whole seconds
+        // (floor of each side). Scale shape: the heavy shuffle is the
+        // user-keyed first-event reduction (map-side partial min); the
+        // percentile sort then runs over CONVERTING USERS only — if
+        // even that set is huge, e10's KLL sketch is the documented
+        // scale path for the selection step.
+        val micros = eventsTbl(s, dir)
           .filter($"event_type".isin("view", "purchase"))
-          .select($"user_id", $"event_type",
-            date_trunc("second", $"ts").cast("long").as("sec"))
-        val firsts = secs.groupBy($"user_id").agg(
-          min(when($"event_type" === "view", $"sec")).as("v"),
-          min(when($"event_type" === "purchase", $"sec")).as("p"))
+          .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        val firsts = micros.groupBy($"user_id").agg(
+          min(when($"event_type" === "view", $"us")).as("v"),
+          min(when($"event_type" === "purchase", $"us")).as("p"))
         val lags = firsts
           .filter($"v".isNotNull && $"p".isNotNull && $"p" > $"v")
-          .select(($"p" - $"v").as("lag_s"), lit(0).as("g"))
+          .select(expr("(p div 1000000) - (v div 1000000)").as("lag_s"), lit(0).as("g"))
         val wRank = Window.partitionBy($"g").orderBy($"lag_s")
         val wAll = Window.partitionBy($"g")
         lags
@@ -169,24 +170,27 @@ object Events {
             max(when($"rn" === expr("(99 * n + 99) div 100"), $"lag_s")).as("p99_s"))
           .select($"n_converted", $"p50_s", $"p90_s", $"p99_s")
       },
+      // the inner GROUP BY 1 over a constant mirrors the Spark side's
+      // dummy-key groupBy: with NO converting users both engines return
+      // ZERO rows (a bare global aggregate would emit one all-NULL row
+      // and diverge exactly on the empty case)
       Some("""WITH base AS (
           SELECT user_id,
-            MIN(CASE WHEN event_type = 'view'
-              THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END) AS v,
-            MIN(CASE WHEN event_type = 'purchase'
-              THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END) AS p
+            MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS v,
+            MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS p
           FROM events WHERE event_type IN ('view', 'purchase') GROUP BY user_id),
-        lags AS (SELECT p - v AS lag_s FROM base
+        lags AS (SELECT (p // 1000000) - (v // 1000000) AS lag_s FROM base
                  WHERE v IS NOT NULL AND p IS NOT NULL AND p > v),
         ranked AS (SELECT lag_s,
             CAST(row_number() OVER (ORDER BY lag_s) AS BIGINT) AS rn,
             CAST(COUNT(*) OVER () AS BIGINT) AS n
           FROM lags)
-        SELECT MAX(n) AS n_converted,
-          MAX(CASE WHEN rn = (n + 1) // 2 THEN lag_s END) AS p50_s,
-          MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_s END) AS p90_s,
-          MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN lag_s END) AS p99_s
-        FROM ranked""")),
+        SELECT n_converted, p50_s, p90_s, p99_s FROM (
+          SELECT 0 AS g, MAX(n) AS n_converted,
+            MAX(CASE WHEN rn = (n + 1) // 2 THEN lag_s END) AS p50_s,
+            MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_s END) AS p90_s,
+            MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN lag_s END) AS p99_s
+          FROM ranked GROUP BY 1)""")),
 
     // HyperLogLog++ approximate distinct — the scale path for e03's
     // count-distinct at 100 TB (no per-key shuffle of raw user_ids; HLL

@@ -12,21 +12,23 @@ class EventsApproxSpec extends SparkSpec {
   test("e16 conversion lag: driver-side first-view→first-purchase replay") {
     val rows = graft.QueryHelpers.eventsTbl(spark, sf)
       .filter(org.apache.spark.sql.functions.col("event_type").isin("view", "purchase"))
-      .selectExpr("user_id", "event_type", "CAST(date_trunc('second', ts) AS LONG) AS sec")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val lags = rows.groupBy(_._1).values.flatMap { evs =>
+      // micro-precision eligibility, whole-second floors — the query's
+      // stated convention
       val v = evs.filter(_._2 == "view").map(_._3).minOption
       val p = evs.filter(_._2 == "purchase").map(_._3).minOption
-      for (vv <- v; pp <- p if pp > vv) yield pp - vv
+      for (vv <- v; pp <- p if pp > vv) yield pp / 1000000L - vv / 1000000L
     }.toSeq.sorted
     val n = lags.length.toLong
+    assert(n >= 5, s"fixture must exercise the rank arithmetic (n=$n)")
     def disc(num: Long): Long = lags(((num - 1).max(0)).toInt)
     val got = Catalog.byName("e16_conversion_lag").run(spark, sf).collect()(0)
     assert(got.getLong(0) == n, s"n_converted ${got.getLong(0)} != $n")
     assert(got.getLong(1) == disc((n + 1) / 2), "p50 mismatch")
     assert(got.getLong(2) == disc((9 * n + 9) / 10), "p90 mismatch")
     assert(got.getLong(3) == disc((99 * n + 99) / 100), "p99 mismatch")
-    assert(n >= 5, s"fixture must exercise the rank arithmetic (n=$n)")
   }
 
   test("e15 rolling WAU: per-day bounds vs e03 and a driver-side window replay") {
