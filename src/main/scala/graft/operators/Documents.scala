@@ -142,6 +142,26 @@ object Documents {
       tokenizer: Column = wsTokenCount): DataFrame =
     packSequences(docs.withColumn("n_toks", tokenizer), budget, buckets)
 
+  /** Per-source token-budget truncation (see p04's catalog scaladoc):
+    * keep docs in doc_id order while the tokens BEFORE them fit
+    * strictly under `cap`. Parameterized so specs can force the cap to
+    * bite on small fixtures. */
+  def capSources(docs: DataFrame, cap: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("source"), col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .withColumn("cum_before", sum(col("n_toks")).over(w) - col("n_toks"))
+      .withColumn("kept", col("cum_before") < lit(cap))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_toks")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Misra-Gries frequent-items sketch over a token stream — the
     * approximate heavy-hitters dual of t03's exact frequency table, the
     * third sketch in the family (HLL distinct = e07, KLL percentiles =
@@ -1064,6 +1084,33 @@ object Documents {
                       (CAST(len(list_distinct(toks)) AS BIGINT) * 10)
                         // CAST(len(toks) AS BIGINT) AS q_bucket
                     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))
-        GROUP BY q_bucket, frac_pm ORDER BY q_bucket"""))
+        GROUP BY q_bucket, frac_pm ORDER BY q_bucket""")),
+
+    QueryDef("p04_source_token_caps",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Per-source token-budget caps — the data-mix quota step p02/p03
+        // don't cover: each source contributes documents in doc_id order
+        // until its RUNNING token total would cross the cap, then stops
+        // (deterministic truncation, not sampling — the recipe when a
+        // mix spec says "at most N tokens from source X"). A doc is kept
+        // iff the tokens BEFORE it fit strictly under the cap, so one
+        // doc may straddle the boundary (consistent in both engines by
+        // construction). Scale shape: one window shuffle keyed by
+        // source; the per-source ordered cumsum is the same partitioned
+        // prefix-sum p01 scales with (finer hash-bucket sharding is
+        // p01's documented path if one source dominates the corpus).
+        capSources(toked(s, dir), cap = 3000L)
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN cum_before < 3000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN cum_before < 3000 THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+        FROM (SELECT source, doc_id, n_toks,
+                SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS cum_before
+              FROM (SELECT source, doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+                    FROM documents))
+        GROUP BY source ORDER BY source"""))
   )
 }

@@ -72,6 +72,39 @@ class DocumentsSpec extends SparkSpec {
       s"benchmark join should be a broadcast hash join:\n$plan")
   }
 
+  test("p04 source token caps: driver-side running-total replay, cap bites") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.groupBy(_._1).map { case (src, rows) =>
+      var cum = 0L; var kept = 0L; var keptToks = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n) =>
+        if (cum < 3000L) { kept += 1; keptToks += n }
+        cum += n
+      }
+      src -> (rows.length.toLong, kept, keptToks)
+    }
+    val got = Catalog.byName("p04_source_token_caps").run(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"got $got\nwant $want")
+    // sf0.001 sources stay under 3000 tokens, so force the bite with a
+    // small cap through the shared operator: the straddling doc is kept
+    // (cum_before < cap), everything after it is cut
+    val toked = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("toks", split(col("text"), " "))
+    val small = graft.operators.Documents.capSources(toked, cap = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(small.exists { case (_, n, k, _) => k < n },
+      "cap=100 must truncate at least one source")
+    small.foreach { case (src, _, k, keptToks) =>
+      assert(k >= 1, s"$src: the first doc always fits (cum_before = 0)")
+      val firstLen = docs.filter(_._1 == src).minBy(_._2)._3
+      assert(keptToks >= firstLen && (k > 1 || keptToks == firstLen), s"$src inconsistent")
+    }
+  }
+
   test("t11 heavy hitters: MG guarantee holds against t03's exact counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
