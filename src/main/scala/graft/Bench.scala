@@ -132,7 +132,17 @@ object Bench {
         "those numbers are order-independent. total sums the shared pass only. " +
         "gc_ms_* = cumulative stop-the-world GC inside each pass; heap_max_mb is " +
         "the JVM -Xmx cap (r5 ran at 8192 and GC pressure inflated late numbers).")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$iso$errs,"gc_ms_shared":$gcShared,"gc_ms_isolated":$gcIso,"heap_max_mb":$heapMaxMb,"notes":$notes,"sf":${util.Json.quote(sfDir)}}""")
+    // Field order is deliberate: the bulky per-query maps FIRST, the
+    // totals/GC/heap summary LAST. The driver's artifact capture keeps
+    // only the tail of stdout (BENCH_r06 lost q01-q21 and the total to a
+    // 2000-char cap), so whatever must always survive goes at the end of
+    // the line. The complete JSON is also written to BENCH_full.json in
+    // the repo so the official artifact never depends on capture size.
+    val line = s"""{"metric":"total","unit":"sec","queries":$qs$iso$errs,"notes":$notes,"sf":${util.Json.quote(sfDir)},"gc_ms_shared":$gcShared,"gc_ms_isolated":$gcIso,"heap_max_mb":$heapMaxMb,"value":$total}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] BENCH_full.json write failed: $e") }
+    println(line)
     spark.stop()
     if (failures.nonEmpty) {
       failures.reverse.foreach { case (k, m) => System.err.println(s"[bench] $k FAILED: $m") }

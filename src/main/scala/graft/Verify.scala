@@ -43,6 +43,7 @@ object Verify {
     * — used for targeted re-validation (e.g. new queries at 10× the gate
     * scale, where the full sweep is bounded by the brute-force oracles). */
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [comma-separated query names]")
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').map(_.trim).toSet) else None

@@ -621,7 +621,17 @@ object Documents {
     QueryDef("t11_heavy_hitters",
       (s: SparkSession, dir: String) => {
         import s.implicits._
-        val toks = toked(s, dir).select(explode($"toks").as("tok")).as[String]
+        // MG estimates depend on partition layout, and toked's roundRobin
+        // follows SPARK_GRAFT_CPUS — so the rows-only CORRECTNESS record
+        // would shift with core count (ADVICE r6). Hash-repartitioning by
+        // token value pins the layout: which partition a token lands in
+        // is a pure function of the token, independent of upstream split
+        // count or parallelism config, so est_count is reproducible under
+        // any SPARK_GRAFT_CPUS. (Co-locating duplicates also makes the
+        // per-partition sketch strictly more accurate; the Agarwal merge
+        // bound in DocumentsSpec is layout-agnostic and still gates it.)
+        val toks = toked(s, dir).select(explode($"toks").as("tok"))
+          .repartition(32, $"tok").as[String]
         heavyHitters(toks, 64)
           .orderBy($"est_count".desc, $"tok")
           .limit(20)

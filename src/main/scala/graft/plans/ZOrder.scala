@@ -42,7 +42,12 @@ object ZOrder {
     * provide (ADVICE r5). The guard is a map-side scalar predicate —
     * free relative to the range exchange it precedes. */
   def writeClustered(df: DataFrame, xExpr: String, yExpr: String,
-      path: String, numFiles: Int): Unit =
+      path: String, numFiles: Int): Unit = {
+    // the temp columns below would silently overwrite (and then drop)
+    // same-named user columns — data loss with no error (ADVICE r6)
+    val clash = df.columns.toSet.intersect(Set("_z", "_zx", "_zy"))
+    require(clash.isEmpty,
+      s"ZOrder.writeClustered: input already has reserved column(s) ${clash.mkString(", ")} — rename them before clustering")
     df.withColumn("_zx", expr(s"CAST(($xExpr) AS BIGINT)"))
       .withColumn("_zy", expr(s"CAST(($yExpr) AS BIGINT)"))
       .withColumn("_z", expr(
@@ -55,4 +60,5 @@ object ZOrder {
       .sortWithinPartitions("_z")
       .drop("_z", "_zx", "_zy")
       .write.mode("overwrite").parquet(path)
+  }
 }

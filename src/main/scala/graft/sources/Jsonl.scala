@@ -55,6 +55,10 @@ object Jsonl {
     * to fail on) — cache or write out the parsed frame before slicing
     * on the corrupt column alone. */
   def readQuarantine(s: SparkSession, path: String, schema: StructType): DataFrame = {
+    // schema.add would happily create a duplicate column and the read
+    // fails later with a confusing analysis error (ADVICE r6)
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "readQuarantine: caller schema must not already define _corrupt_record — it is reserved for the quarantine column")
     val withCorrupt = schema.add("_corrupt_record", "string")
     s.read.schema(withCorrupt)
       .option("mode", "PERMISSIVE")
