@@ -573,6 +573,232 @@ object Embeddings {
       }.toDF("query_id", "rnk", "neighbor_id", "bucket", "cosine")
   }
 
+  // ---- Product quantization: shared kernels + persisted index ----
+  //
+  // PQ geometry (Jégou, Douze & Schmid 2011): the 64-dim space factors
+  // into 4 independent 16-dim subspaces, each with a 16-centroid
+  // codebook; a vector stores only its 4 centroid ids (4 bytes — a 128×
+  // compression of the float64 corpus). ONE set of kernels serves both
+  // the in-session form (v12: train+encode+score per call, the
+  // correctness-auditable shape the oracle replays) and the persisted
+  // index (v15: train/encode ONCE into warehouse tables, serve from
+  // them) — so the two paths cannot drift on the arithmetic.
+
+  private[operators] val PqS = 4
+  private[operators] val PqD = 16
+  private[operators] val PqK = 16
+
+  /** One deterministic [[kMeansModel]] codebook per subspace, trained on
+    * the sliced corpus. This is the EXPENSIVE step — PqS × iters full
+    * corpus passes — which is why the persisted path pays it once. */
+  private[operators] def pqTrain(base: DataFrame): Seq[Array[(Long, Array[Double], Double)]] =
+    (0 until PqS).map { si =>
+      kMeansModel(base.select(col("vec_id"), slice(col("v"), si * PqD + 1, PqD).as("v")), PqK, 3)
+    }
+
+  /** Encode every vector to its 4 nearest-centroid ids (one broadcast of
+    * the model-sized codebooks, one map over the corpus — no shuffle).
+    * Centroids are scanned in ascending-cell order, so equal-cosine ties
+    * keep the LOWEST cell — [[pqReadBooks]] restores exactly this order
+    * on read-back, which is what makes append-encode == build-encode. */
+  private[operators] def pqEncode(base: DataFrame,
+      models: Seq[Array[(Long, Array[Double], Double)]]): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val S = PqS; val D = PqD
+    val bc = s.sparkContext.broadcast(models.map(_.toArray).toArray)
+    base.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val ms = bc.value
+        rows.map { case (id, v) =>
+          val ks = new Array[Long](S)
+          var si = 0
+          while (si < S) {
+            val sub = java.util.Arrays.copyOfRange(v, si * D, si * D + D)
+            val nrm = fpNorm(sub)
+            var best = Long.MinValue; var bestC = Double.NegativeInfinity; var any = false
+            val cs = ms(si)
+            var ci = 0
+            while (ci < cs.length) {
+              val c = fpCos(sub, cs(ci)._2, nrm, cs(ci)._3)
+              if (!any || sqlGt(c, bestC)) { bestC = c; best = cs(ci)._1; any = true }
+              ci += 1
+            }
+            ks(si) = best; si += 1
+          }
+          (id, ks(0), ks(1), ks(2), ks(3))
+        }
+      }.toDF("vec_id", "k0", "k1", "k2", "k3")
+  }
+
+  /** Asymmetric-distance tables: per query × subspace × cell, the exact
+    * fixed-point dot of the query subvector against the centroid — an
+    * O(queries · PqS · PqK) DRIVER computation over already-collected
+    * codebooks (model-sized, like v10's scales); the corpus is never
+    * touched. */
+  private[operators] def pqAdc(queryRows: Array[(Long, Array[Double])],
+      models: Seq[Array[(Long, Array[Double], Double)]]): Seq[(Long, Int, Long, Long)] =
+    for {
+      (qid, qv) <- queryRows.toSeq
+      si <- 0 until PqS
+      (cell, cv, _) <- models(si)
+    } yield (qid, si, cell,
+      fpDot(java.util.Arrays.copyOfRange(qv, si * PqD, si * PqD + PqD), cv))
+
+  /** ADC scoring: each candidate's score is 4 broadcast-table lookups
+    * summed — map-side join + partial agg, no full-vector arithmetic
+    * against the corpus. Top-10 per query under (adc desc, id asc). */
+  private[operators] def pqScore(codes: DataFrame, dt: Seq[(Long, Int, Long, Long)]): DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
+    val dtDF = broadcast(dt.toDF("query_id", "s", "cell", "d"))
+    val w = Window.partitionBy($"query_id").orderBy($"adc_fp".desc, $"neighbor_id")
+    codes
+      .select($"vec_id".as("neighbor_id"),
+        posexplode(array($"k0", $"k1", $"k2", $"k3")).as(Seq("s", "cell")))
+      .join(dtDF, Seq("s", "cell"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(sum($"d").as("adc_fp"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 10)
+      .select($"query_id", $"rnk", $"neighbor_id", $"adc_fp")
+  }
+
+  /** Corpus fingerprint for the skip-retrain check: row count + XOR of
+    * per-row xxhash64(vec_id, v). XOR is order-independent and cannot
+    * overflow (rows are distinct — vec_id is part of the hash — so
+    * pairwise cancellation needs a 64-bit collision). One map-side pass
+    * over the corpus; at 100 TB this is the cheap "is the index still
+    * current?" probe that replaces 12 Lloyd passes. */
+  private def pqFingerprint(prepared: DataFrame): (Long, Long) = {
+    import prepared.sparkSession.implicits._
+    val (n, fp) = prepared
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id, v))"))
+      .as[(Long, Option[Long])].head()
+    (n, fp.getOrElse(0L))
+  }
+
+  /** Build-once PQ index: train the 4 codebooks and encode the corpus
+    * into THREE warehouse tables — `{table}_books` (s, cell, cv, cn:
+    * model-sized), `{table}_codes` (vec_id + 4 tinyint cell ids, bucketed
+    * on vec_id), `{table}_meta` (corpus fingerprint). If the stored
+    * fingerprint already matches the input, the build is SKIPPED entirely
+    * — "train rarely, encode once, serve from 4-byte codes" is the whole
+    * point of PQ at 100 TB, and the fingerprint probe is one map-side
+    * scan vs 12 full training passes. A mismatched or missing fingerprint
+    * (including the poison an [[appendToPqIndex]] leaves) always
+    * retrains. meta is dropped FIRST and rewritten LAST, so a crash
+    * mid-build can only leave a stale-fingerprint state that the next
+    * build repairs by retraining. */
+  def buildPqIndex(vectors: DataFrame, database: String, table: String): String = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val prepared = vectors.select(col("vec_id").cast("long").as("vec_id"), col("v"))
+    val (n, fp) = pqFingerprint(prepared)
+    // freshness is decided from the warehouse LOCATION, not the catalog:
+    // the in-memory catalog dies with the JVM while the files survive, and
+    // the skip must work across sessions (a per-JVM skip would retrain on
+    // every new session — measured 17.7 s vs 0.8 s at sf0.1)
+    val fresh =
+      try {
+        val meta = s.read.parquet(pqLoc(s, database, table, "_meta"))
+          .select($"n", $"fp").as[(Long, Long)].head()
+        val fs = new org.apache.hadoop.fs.Path(pqLoc(s, database, table, "_meta"))
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        meta == ((n, fp)) &&
+          fs.exists(new org.apache.hadoop.fs.Path(pqLoc(s, database, table, "_books"))) &&
+          fs.exists(new org.apache.hadoop.fs.Path(pqLoc(s, database, table, "_codes")))
+      } catch { case _: Exception => false }
+    if (!fresh) {
+      // physically invalidate meta FIRST (catalog drop alone leaves the
+      // files "valid" for a fresh JVM if this build crashes mid-rewrite)
+      graft.plans.CoLocated.clearTable(s, database, s"${table}_meta")
+      val models = pqTrain(prepared)
+      val books = models.zipWithIndex.flatMap { case (m, si) =>
+        m.map { case (cell, cv, cn) => (si, cell, cv.toSeq, cn) }
+      }
+      graft.plans.CoLocated.replaceTable(
+        books.toDF("s", "cell", "cv", "cn"), database, s"${table}_books")
+      graft.plans.CoLocated.writeBucketed(
+        pqCodeRows(pqEncode(prepared, models)), database, s"${table}_codes",
+        "vec_id", buckets = 16)
+      graft.plans.CoLocated.replaceTable(
+        Seq((n, fp)).toDF("n", "fp"), database, s"${table}_meta")
+    }
+    s"$database.$table"
+  }
+
+  /** The stored code row: 4 tinyint cell ids (cells are 0..15) — the
+    * 4-byte-per-vector representation that IS the PQ compression claim. */
+  private def pqCodeRows(codes: DataFrame): DataFrame =
+    codes.select(col("vec_id"),
+      col("k0").cast("tinyint").as("k0"), col("k1").cast("tinyint").as("k1"),
+      col("k2").cast("tinyint").as("k2"), col("k3").cast("tinyint").as("k3"))
+
+  /** Managed location of a PQ artifact table as a string path — the
+    * cross-JVM address of the persisted index (see [[graft.plans
+    * .CoLocated.tableLocation]]). */
+  private def pqLoc(s: SparkSession, database: String, table: String,
+      suffix: String): String =
+    graft.plans.CoLocated.tableLocation(s, database, table + suffix).toString
+
+  /** Read the persisted codebooks back into [[pqEncode]]/[[pqAdc]]'s
+    * model shape — sorted by cell within each subspace, restoring the
+    * exact tie-break order the build used. Reads by location so it works
+    * in sessions that never built the index. */
+  private[operators] def pqReadBooks(s: SparkSession, database: String,
+      table: String): Seq[Array[(Long, Array[Double], Double)]] = {
+    import s.implicits._
+    val rows = s.read.parquet(pqLoc(s, database, table, "_books"))
+      .select($"s", $"cell", $"cv", $"cn")
+      .as[(Int, Long, Array[Double], Double)].collect()
+    (0 until PqS).map { si =>
+      rows.filter(_._1 == si).sortBy(_._2).map { case (_, cell, cv, cn) => (cell, cv, cn) }
+    }
+  }
+
+  /** Encode NEW vectors with the PERSISTED codebooks (no retraining —
+    * that is the production ingest path: codebooks change rarely, codes
+    * append daily) and append them to the codes table without touching
+    * resident files ([[graft.plans.CoLocated.appendBucketed]]). The
+    * stored fingerprint is poisoned (n = -1 can never match a real
+    * count), so a later [[buildPqIndex]] retrains instead of wrongly
+    * skipping over a corpus the codebooks never saw. Appending needs the
+    * codes table in THIS session's catalog (appendBucketed is a catalog
+    * write) — same session-or-metastore caveat as [[appendToIndex]];
+    * reads ([[queryPqIndex]]) and the build's freshness skip are
+    * location-based and have no such constraint. */
+  def appendToPqIndex(vectors: DataFrame, database: String, table: String): String = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val prepared = vectors.select(col("vec_id").cast("long").as("vec_id"), col("v"))
+    val models = pqReadBooks(s, database, table)
+    graft.plans.CoLocated.appendBucketed(
+      pqCodeRows(pqEncode(prepared, models)), database, s"${table}_codes",
+      "vec_id", buckets = 16)
+    graft.plans.CoLocated.replaceTable(
+      Seq((-1L, 0L)).toDF("n", "fp"), database, s"${table}_meta")
+    s"$database.$table"
+  }
+
+  /** Serve top-10 per query from a [[buildPqIndex]] table. The plan
+    * contains NO training and never touches the raw corpus: codebooks
+    * are a model-sized collect, ADC tables are computed on the driver
+    * from them, and the only distributed input is the 4-byte code table
+    * (pinned in EmbeddingsSpec — the physical plan scans `{table}_codes`
+    * and no embeddings parquet). */
+  def queryPqIndex(s: SparkSession, queryRows: Array[(Long, Array[Double])],
+      database: String, table: String): DataFrame = {
+    import s.implicits._
+    val models = pqReadBooks(s, database, table)
+    val codes = s.read.parquet(pqLoc(s, database, table, "_codes"))
+      .select($"vec_id",
+        $"k0".cast("long").as("k0"), $"k1".cast("long").as("k1"),
+        $"k2".cast("long").as("k2"), $"k3".cast("long").as("k3"))
+    pqScore(codes, pqAdc(queryRows, models))
+  }
+
   /** Shared DuckDB oracle for v08 and v11: reconstructs the sign-LSH
     * index (bucket codes + norms) from scratch over the FULL corpus and
     * serves top-3 per query. v08 gates build-then-query; v11 gates
@@ -712,6 +938,44 @@ object Embeddings {
   private val KMeansOracleProlog: String =
     "WITH " + kMeansPrologSql("", 8,
       "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
+
+  /** Shared DuckDB oracle for v12 and v15: replays the 4 subspace
+    * trainers ([[kMeansPrologSql]] once per slice), the corpus encoding,
+    * the ADC tables, and the search. Everything is deterministic, so the
+    * persisted index (v15: train once into warehouse tables, serve from
+    * codes) must equal the in-session form (v12) must equal this
+    * replay — serving from the persisted artifacts is exactly as
+    * auditable as recomputing. */
+  private val PqOracleSql: String = {
+    val prologs = (0 until 4).map { si =>
+      kMeansPrologSql(s"_s$si", 16,
+        s"SELECT vec_id, list_slice(embedding::DOUBLE[], ${si * 16 + 1}, ${si * 16 + 16}) AS v FROM embeddings")
+    }
+    val dts = (0 until 4).map { si =>
+      s"""dt$si AS MATERIALIZED (SELECT vid AS qid, cell,
+            CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS d
+          FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
+                FROM base_s$si b, m3_s$si m WHERE b.vec_id < 10) GROUP BY 1, 2)"""
+    }
+    "WITH " + (prologs ++ Seq(
+      """codes AS MATERIALIZED (SELECT c0.cid AS nid, c0.cell AS k0, c1.cell AS k1, c2.cell AS k2, c3.cell AS k3
+          FROM corp_s0 c0 JOIN corp_s1 c1 ON c0.cid = c1.cid
+          JOIN corp_s2 c2 ON c0.cid = c2.cid JOIN corp_s3 c3 ON c0.cid = c3.cid)""") ++ dts ++ Seq(
+      """sc AS MATERIALIZED (SELECT d0.qid, c.nid,
+            d0.d + d1.d + d2.d + d3.d AS adc_fp
+          FROM codes c
+          JOIN dt0 d0 ON d0.cell = c.k0
+          JOIN dt1 d1 ON d1.qid = d0.qid AND d1.cell = c.k1
+          JOIN dt2 d2 ON d2.qid = d0.qid AND d2.cell = c.k2
+          JOIN dt3 d3 ON d3.qid = d0.qid AND d3.cell = c.k3
+          WHERE d0.qid <> c.nid)""")).mkString(",\n        ") + """
+    SELECT qid AS query_id, rnk, nid AS neighbor_id, adc_fp FROM (
+      SELECT qid, nid, adc_fp,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY adc_fp DESC, nid) AS BIGINT) AS rnk
+      FROM sc)
+    WHERE rnk <= 10 ORDER BY query_id, rnk"""
+  }
 
 
   val entries: Seq[QueryDef] = Seq(
@@ -1202,88 +1466,39 @@ object Embeddings {
         // trainer prolog is [[kMeansPrologSql]] instantiated once per
         // subspace over the sliced base. Approximation quality is
         // spec-gated (recall vs exact dot top-10) like v02/v06.
-        val S = 4; val D = 16; val K = 16
         val base = based(s, dir)
-        val models: Seq[Array[(Long, Array[Double], Double)]] =
-          (0 until S).map { si =>
-            kMeansModel(base.select($"vec_id", slice($"v", si * D + 1, D).as("v")), K, 3)
-          }
-        val bc = s.sparkContext.broadcast(models.map(_.toArray).toArray)
-        val codes = base.as[(Long, Array[Double])].mapPartitions { rows =>
-          val ms = bc.value
-          rows.map { case (id, v) =>
-            val ks = new Array[Long](4)
-            var si = 0
-            while (si < 4) {
-              val sub = java.util.Arrays.copyOfRange(v, si * 16, si * 16 + 16)
-              val nrm = fpNorm(sub)
-              var best = Long.MinValue; var bestC = Double.NegativeInfinity; var any = false
-              val cs = ms(si)
-              var ci = 0
-              while (ci < cs.length) {
-                val c = fpCos(sub, cs(ci)._2, nrm, cs(ci)._3)
-                if (!any || sqlGt(c, bestC)) { bestC = c; best = cs(ci)._1; any = true }
-                ci += 1
-              }
-              ks(si) = best; si += 1
-            }
-            (id, ks(0), ks(1), ks(2), ks(3))
-          }
-        }.toDF("vec_id", "k0", "k1", "k2", "k3")
-        // ADC tables: 10 queries × 4 subspaces × 16 cells of exact
-        // fixed-point dots — O(S·K) per query, computed on the driver
-        // from the already-collected codebooks (model-sized, like v10's
-        // scales), broadcast to the scoring join
+        val models = pqTrain(base)
         val queryRows = base.filter($"vec_id" < 10).as[(Long, Array[Double])].collect()
-        val dt = for {
-          (qid, qv) <- queryRows.toSeq
-          si <- 0 until S
-          (cell, cv, _) <- models(si)
-        } yield (qid, si, cell, fpDot(java.util.Arrays.copyOfRange(qv, si * D, si * D + D), cv))
-        val dtDF = broadcast(dt.toDF("query_id", "s", "cell", "d"))
-        val w = Window.partitionBy($"query_id").orderBy($"adc_fp".desc, $"neighbor_id")
-        codes
-          .select($"vec_id".as("neighbor_id"),
-            posexplode(array($"k0", $"k1", $"k2", $"k3")).as(Seq("s", "cell")))
-          .join(dtDF, Seq("s", "cell"))
-          .filter($"query_id" =!= $"neighbor_id")
-          .groupBy($"query_id", $"neighbor_id")
-          .agg(sum($"d").as("adc_fp"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter($"rnk" <= 10)
-          .select($"query_id", $"rnk", $"neighbor_id", $"adc_fp")
+        pqScore(pqEncode(base, models), pqAdc(queryRows, models))
           .orderBy($"query_id", $"rnk")
       },
-      Some {
-        val prologs = (0 until 4).map { si =>
-          kMeansPrologSql(s"_s$si", 16,
-            s"SELECT vec_id, list_slice(embedding::DOUBLE[], ${si * 16 + 1}, ${si * 16 + 16}) AS v FROM embeddings")
-        }
-        val dts = (0 until 4).map { si =>
-          s"""dt$si AS MATERIALIZED (SELECT vid AS qid, cell,
-                CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS d
-              FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
-                    FROM base_s$si b, m3_s$si m WHERE b.vec_id < 10) GROUP BY 1, 2)"""
-        }
-        "WITH " + (prologs ++ Seq(
-          """codes AS MATERIALIZED (SELECT c0.cid AS nid, c0.cell AS k0, c1.cell AS k1, c2.cell AS k2, c3.cell AS k3
-              FROM corp_s0 c0 JOIN corp_s1 c1 ON c0.cid = c1.cid
-              JOIN corp_s2 c2 ON c0.cid = c2.cid JOIN corp_s3 c3 ON c0.cid = c3.cid)""") ++ dts ++ Seq(
-          """sc AS MATERIALIZED (SELECT d0.qid, c.nid,
-                d0.d + d1.d + d2.d + d3.d AS adc_fp
-              FROM codes c
-              JOIN dt0 d0 ON d0.cell = c.k0
-              JOIN dt1 d1 ON d1.qid = d0.qid AND d1.cell = c.k1
-              JOIN dt2 d2 ON d2.qid = d0.qid AND d2.cell = c.k2
-              JOIN dt3 d3 ON d3.qid = d0.qid AND d3.cell = c.k3
-              WHERE d0.qid <> c.nid)""")).mkString(",\n        ") + """
-        SELECT qid AS query_id, rnk, nid AS neighbor_id, adc_fp FROM (
-          SELECT qid, nid, adc_fp,
-                 CAST(row_number() OVER (PARTITION BY qid
-                   ORDER BY adc_fp DESC, nid) AS BIGINT) AS rnk
-          FROM sc)
-        WHERE rnk <= 10 ORDER BY query_id, rnk"""
-      }),
+      Some(PqOracleSql)),
+
+    QueryDef("v15_ann_pq_persisted",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the PRODUCTION form of v12 (r6 verdict #1): "train rarely,
+        // encode once, serve from 4-byte codes". [[buildPqIndex]]
+        // persists codebooks + tinyint codes as warehouse tables — and
+        // SKIPS the 12-pass training entirely when the stored corpus
+        // fingerprint already matches, so repeat invocations (and every
+        // future query against an unchanged corpus) pay one map-side
+        // fingerprint scan instead of 12 Lloyd passes + a re-encode.
+        // [[queryPqIndex]] serves top-10 from the persisted artifacts:
+        // its plan scans ONLY the 4-byte code table (no training stage,
+        // no raw-corpus access — pinned in EmbeddingsSpec). The oracle is
+        // IDENTICAL to v12's full train+encode+search replay: serving
+        // from the persisted index must be indistinguishable from
+        // recomputing it. Table name from the sanitized dir (v08's
+        // discipline), so each SF keeps its own index.
+        val table = "v15_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+        val base = based(s, dir)
+        Embeddings.buildPqIndex(base, "graft_index", table)
+        val queryRows = base.filter($"vec_id" < 10).as[(Long, Array[Double])].collect()
+        Embeddings.queryPqIndex(s, queryRows, "graft_index", table)
+          .orderBy($"query_id", $"rnk")
+      },
+      Some(PqOracleSql)),
 
     QueryDef("v09_ann_kmeans_ivf",
       (s: SparkSession, dir: String) => {

@@ -23,19 +23,55 @@ object CoLocated {
     * the same name must always succeed (pinned in EmbeddingsSpec). */
   def writeBucketed(df: DataFrame, database: String, table: String,
       key: String, buckets: Int): String = {
-    val spark = df.sparkSession
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
-    spark.sql(s"DROP TABLE IF EXISTS `$database`.`$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.catalog.getDatabase(database).locationUri, table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    dropAndClear(df.sparkSession, database, table)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(s"`$database`.`$table`")
     s"$database.$table"
+  }
+
+  /** Full-replace a plain (unbucketed) managed table with the same
+    * cross-JVM idempotence discipline as [[writeBucketed]] — for
+    * model-sized artifacts (codebooks, metadata rows) that accompany a
+    * bucketed index and need no layout guarantee of their own. */
+  def replaceTable(df: DataFrame, database: String, table: String): String = {
+    dropAndClear(df.sparkSession, database, table)
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"`$database`.`$table`")
+    s"$database.$table"
+  }
+
+  /** Resolve the managed location of `database.table` (creating the
+    * database entry if this JVM has not seen it yet). Warehouse data
+    * OUTLIVES the in-memory catalog — a fresh JVM finds the files but no
+    * table entries — so cross-JVM consumers (e.g. the PQ index freshness
+    * probe) address artifacts by location, not by catalog name. */
+  def tableLocation(spark: SparkSession, database: String,
+      table: String): org.apache.hadoop.fs.Path = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    new org.apache.hadoop.fs.Path(
+      spark.catalog.getDatabase(database).locationUri, table.toLowerCase)
+  }
+
+  /** Drop the catalog entry AND delete the managed location — the public
+    * face of the replace prologue, for callers that must invalidate an
+    * artifact before starting a multi-table rewrite. */
+  def clearTable(spark: SparkSession, database: String, table: String): Unit =
+    dropAndClear(spark, database, table)
+
+  /** The shared prologue: drop the catalog entry AND any stale managed
+    * location a previous JVM left behind (SaveMode.Overwrite alone throws
+    * LOCATION_ALREADY_EXISTS on the orphaned directory — the r4 failure
+    * mode, pinned in EmbeddingsSpec). */
+  private def dropAndClear(spark: SparkSession, database: String, table: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    spark.sql(s"DROP TABLE IF EXISTS `$database`.`$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.catalog.getDatabase(database).locationUri, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** Append rows into an existing bucketed table with the SAME bucket

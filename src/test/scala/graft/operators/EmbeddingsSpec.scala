@@ -287,6 +287,117 @@ class EmbeddingsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_index.v08full")
   }
 
+  /** Every data file under the named graft_index tables, with (length,
+    * mtime) — the _SUCCESS commit marker is re-touched per commit by
+    * design and excluded. Shared by the PQ persistence tests below. */
+  private def pqListFiles(tables: Seq[String]): Map[String, (Long, Long)] = {
+    val db = spark.catalog.getDatabase("graft_index")
+    val b = Map.newBuilder[String, (Long, Long)]
+    tables.foreach { t =>
+      val loc = new org.apache.hadoop.fs.Path(db.locationUri, t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) {
+        val it = fs.listFiles(loc, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName != "_SUCCESS")
+            b += f.getPath.toString -> (f.getLen, f.getModificationTime)
+        }
+      }
+    }
+    b.result()
+  }
+
+  test("v15 persisted PQ: equals v12; serve plan reads only the code table; rebuild skips training") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the catalog entry builds (or fingerprint-skips) then serves
+    val v15 = Catalog.byName("v15_ann_pq_persisted").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val v12 = Catalog.byName("v12_ann_pq").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(v15 == v12,
+      "serving from the persisted PQ index must be indistinguishable from the in-session train+encode+search")
+    // serve plan: the ONLY distributed input is the persisted 4-byte code
+    // table — no raw-corpus scan, no training stage (training is 12
+    // Lloyd corpus passes; its jobs read embeddings.parquet, which this
+    // plan provably cannot)
+    val table = "v15_" + sf.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queryRows = vecs.filter(col("vec_id") < 10)
+      .as[(Long, Array[Double])].collect()
+    val serve = Embeddings.queryPqIndex(spark, queryRows, "graft_index", table)
+    // inspect the actual scan relations (the plan STRING truncates long
+    // file paths): every file scan in the serve plan must be the
+    // persisted code table — which simultaneously proves no raw-corpus
+    // access and no training stage (training jobs read embeddings.parquet)
+    val scans = serve.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(_.contains(s"${table}_codes")),
+      s"serve may scan ONLY the persisted code table, got: $scans")
+    // rebuild over an unchanged corpus is a fingerprint probe, not a
+    // retrain: every resident file of all three tables survives
+    // byte-identical (a retrain rewrites books/codes/meta)
+    val tables = Seq(s"${table}_books", s"${table}_codes", s"${table}_meta")
+    val before = pqListFiles(tables)
+    assert(before.nonEmpty)
+    Embeddings.buildPqIndex(vecs, "graft_index", table)
+    assert(pqListFiles(tables) == before,
+      "matching-fingerprint rebuild must not touch the persisted index")
+    // a CHANGED corpus must invalidate the skip and rewrite the index
+    Embeddings.buildPqIndex(vecs.filter(col("vec_id") % 2 === 0), "graft_index", table)
+    assert(pqListFiles(tables) != before,
+      "a different corpus must retrain — the fingerprint may not false-match")
+    // restore the full-corpus index for any later test/catalog run
+    Embeddings.buildPqIndex(vecs, "graft_index", table)
+  }
+
+  test("appendToPqIndex: encodes with the persisted codebooks, adds files only, poisons the fingerprint") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val head = vecs.filter(col("vec_id") % 3 =!= 0)
+    val tail = vecs.filter(col("vec_id") % 3 === 0)
+    Embeddings.buildPqIndex(head, "graft_index", "v15incr")
+    val tables = Seq("v15incr_books", "v15incr_codes")
+    val before = pqListFiles(tables)
+    Embeddings.appendToPqIndex(tail, "graft_index", "v15incr")
+    val after = pqListFiles(tables)
+    val touched = before.filter { case (p, meta) => after.get(p) != Some(meta) }
+    assert(touched.isEmpty, s"append modified resident files: ${touched.keys}")
+    assert(after.size > before.size, "append must add new code files")
+    // the appended codes must be what the HEAD-trained codebooks produce
+    // for the full corpus — append encodes with the persisted model, it
+    // never retrains (the production ingest contract)
+    val models = Embeddings.pqTrain(head)
+    val expected = Embeddings.pqEncode(vecs, models).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val stored = spark.table("graft_index.v15incr_codes")
+      .select(col("vec_id"), col("k0").cast("long"), col("k1").cast("long"),
+        col("k2").cast("long"), col("k3").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(stored == expected,
+      "append-then-read must equal encoding the full corpus with the head-trained codebooks")
+    // the append poisoned the fingerprint: a build over ANY corpus —
+    // including the head slice the fingerprint once matched — retrains
+    // rather than serving codes its books never saw
+    val poisoned = pqListFiles(Seq("v15incr_meta"))
+    Embeddings.buildPqIndex(head, "graft_index", "v15incr")
+    assert(pqListFiles(Seq("v15incr_meta")) != poisoned,
+      "post-append build must retrain (rewrite meta), not fingerprint-skip")
+    Seq("v15incr_books", "v15incr_codes", "v15incr_meta").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_index.$t"))
+  }
+
   test("v07 prefix rerank: reranked cosines are exact and recall vs v01 is high") {
     def top(name: String): Map[Long, Seq[(Long, Double)]] =
       Catalog.byName(name).run(spark, sf).collect()
