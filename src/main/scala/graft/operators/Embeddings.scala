@@ -1161,6 +1161,140 @@ object Embeddings {
         SELECT query_id, rnk, doc_id, fused, r_lex, r_vec
         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""")),
 
+    QueryDef("v16_bm25_hybrid",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // v14 with a REAL lexical leg (r6 verdict #3): BM25 (Robertson &
+        // Zaragoza 2009; k1=1.2, b=0.75, the robust +1 IDF) replaces the
+        // raw token-overlap count — production hybrid search is BM25 +
+        // vector, not intersection-count + vector. Oracle exactness
+        // follows t07's ln discipline: each (term, doc) contribution is
+        // quantized to a 1e-9 integer grid (per-row IEEE ops in the same
+        // association order in both engines), and the per-(query, doc)
+        // score is an exact BIGINT sum of those integers — order-
+        // independent, so partitioning cannot drift the hash. Scale
+        // shape: the term-doc score table is the inverted-index form
+        // (explode → tf/df aggregations — query-independent, computed
+        // once for ANY number of queries); the 10-query term panel is
+        // broadcast onto it map-side, partial aggs reduce to top-60
+        // lists under WindowGroupLimit, and the RRF combiner fuses two
+        // top-K lists exactly as v14. Universe discipline unchanged:
+        // both legs are restricted to docs∩embeddings BEFORE ranking,
+        // and docs sharing NO query term are absent from the BM25 list
+        // (true top-K-list semantics) rather than ranked at overlap 0.
+        val K = 60
+        val docsTok = tbl(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("toks"))
+        val base = based(s, dir)
+          .join(docsTok.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+          .withColumn("nrm", expr(NormSql))
+        val docs = docsTok
+          .join(base.select($"vec_id".as("doc_id")), Seq("doc_id"), "left_semi")
+        val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+          (sum(size($"toks").cast("long")).cast("double") / count(lit(1))).as("avgdl"))
+        val posting = docs
+          .select($"doc_id", size($"toks").cast("long").as("dl"), explode($"toks").as("term"))
+          .groupBy($"doc_id", $"term")
+          .agg(max($"dl").as("dl"), count(lit(1)).as("tf"))
+        val dfreq = posting.groupBy($"term").agg(count(lit(1)).as("df"))
+        val idf = log(((($"n_docs" - $"df") + lit(0.5)) / ($"df" + lit(0.5))) + lit(1.0))
+        val tfPart = ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / $"avgdl")))
+        val scored = posting.join(dfreq, "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("bm25_e9", floor((idf * tfPart) * lit(1e9) + lit(0.5)).cast("long"))
+          .select($"term", $"doc_id", $"bm25_e9")
+        val qterm = docs.filter($"doc_id" < 10)
+          .select($"doc_id".as("query_id"), explode(array_distinct($"toks")).as("term"))
+        val wb = Window.partitionBy($"query_id").orderBy($"bm25".desc, $"doc_id")
+        val lex = scored.join(broadcast(qterm), Seq("term"))
+          .filter($"query_id" =!= $"doc_id")
+          .groupBy($"query_id", $"doc_id")
+          .agg(sum($"bm25_e9").as("bm25"))
+          .withColumn("r_lex", row_number().over(wb).cast("long"))
+          .filter($"r_lex" <= K)
+          .select($"query_id", $"doc_id", $"r_lex")
+        val qv = base.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val wv = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"doc_id")
+        val vec = base.select($"vec_id".as("doc_id"), $"v".as("cv"), $"nrm".as("cn"))
+          .join(broadcast(qv), $"query_id" =!= $"doc_id")
+          .withColumn("cosine", expr(DotSql) / ($"qn" * $"cn"))
+          .withColumn("r_vec", row_number().over(wv).cast("long"))
+          .filter($"r_vec" <= K)
+          .select($"query_id", $"doc_id", $"r_vec")
+        val wf = Window.partitionBy($"query_id").orderBy($"fused".desc, $"doc_id")
+        lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("fused",
+            coalesce(lit(1.0) / (lit(60.0) + $"r_lex"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + $"r_vec"), lit(0.0)))
+          .withColumn("rnk", row_number().over(wf).cast("long"))
+          .filter($"rnk" <= 10)
+          .select($"query_id", $"rnk", $"doc_id", $"fused", $"r_lex", $"r_vec")
+          .orderBy($"query_id", $"rnk")
+      },
+      Some("""WITH docsall AS MATERIALIZED (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        base AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS v FROM embeddings e
+          WHERE e.vec_id IN (SELECT doc_id FROM docsall)),
+        docs AS MATERIALIZED (
+          SELECT * FROM docsall WHERE doc_id IN (SELECT vec_id FROM base)),
+        st AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM docs),
+        tfp AS MATERIALIZED (
+          SELECT doc_id, term, MAX(dl) AS dl, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM docs)
+          GROUP BY 1, 2),
+        dfp AS MATERIALIZED (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfp GROUP BY 1),
+        sc AS MATERIALIZED (
+          SELECT t.term, t.doc_id,
+                 CAST(FLOOR((ln((((st.n - d.df) + 0.5) / (d.df + 0.5)) + 1.0) *
+                   ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (t.dl / st.avgdl)))))
+                   * 1000000000.0 + 0.5) AS BIGINT) AS bm25_e9
+          FROM tfp t JOIN dfp d USING (term), st),
+        qt AS MATERIALIZED (
+          SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+          FROM docs WHERE doc_id < 10),
+        bm AS MATERIALIZED (
+          SELECT q.query_id, s.doc_id, CAST(SUM(s.bm25_e9) AS BIGINT) AS bm25
+          FROM qt q JOIN sc s USING (term) WHERE q.query_id <> s.doc_id
+          GROUP BY 1, 2),
+        lex AS (SELECT query_id, doc_id, r_lex FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY bm25 DESC, doc_id) AS r_lex
+          FROM bm) WHERE r_lex <= 60),
+        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        dots AS (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+                 FROM (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                              unnest(q.v) AS qx, unnest(c.v) AS cx
+                       FROM base q, base c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+                 GROUP BY 1, 2),
+        vec AS (SELECT query_id, doc_id, r_vec FROM (
+          SELECT qid AS query_id, cid AS doc_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS r_vec
+          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
+          WHERE r_vec <= 60),
+        fused AS (
+          SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 COALESCE(1.0 / (60.0 + l.r_lex), 0.0)
+                   + COALESCE(1.0 / (60.0 + v.r_vec), 0.0) AS fused,
+                 l.r_lex, v.r_vec
+          FROM lex l FULL OUTER JOIN vec v
+            ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY fused DESC, doc_id) AS rnk
+          FROM fused)
+        SELECT query_id, rnk, doc_id, fused, r_lex, r_vec
+        FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""")),
+
     QueryDef("v02_ann_bucketed",
       (s: SparkSession, dir: String) => {
         import s.implicits._

@@ -191,6 +191,33 @@ class EmbeddingsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("v16 BM25 hybrid: real BM25 leg — ordering differs from v14's raw overlap; fusion stays top-K-list RRF") {
+    val v16 = graft.Catalog.byName("v16_bm25_hybrid").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(v16.groupBy(_._1).size == 10, "10 query panels")
+    // the RRF contract carries over unchanged from v14: absent systems
+    // contribute nothing, present ones 1/(60+r)
+    v16.foreach { case (_, _, _, fused, rl, rv) =>
+      val want = rl.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        rv.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      assert(fused == want, s"fused $fused != rrf($rl, $rv)")
+    }
+    // BM25 must actually change the lexical ranking vs raw token-overlap
+    // (IDF discounts ubiquitous terms, doc-length norm penalizes long
+    // docs — if the two orderings coincided the BM25 leg would be dead
+    // weight): compare the (query, doc) -> r_lex assignments
+    val v14 = graft.Catalog.byName("v14_rrf_fusion").run(spark, sf)
+      .collect().flatMap(r => (if (r.isNullAt(4)) None else Some(r.getLong(4)))
+        .map(rl => (r.getLong(0), r.getLong(2)) -> rl)).toMap
+    val lex16 = v16.flatMap { case (q, _, d, _, rl, _) => rl.map((q, d) -> _) }.toMap
+    val shared = v14.keySet.intersect(lex16.keySet)
+    assert(shared.nonEmpty)
+    assert(shared.exists(k => v14(k) != lex16(k)) || v14.keySet != lex16.keySet,
+      "BM25 ordering must differ from the raw-overlap ordering on the fixture")
+  }
+
   test("v08 persisted index: read-back plan has no Exchange/recompute; equals v02 rebuild") {
     import org.apache.spark.sql.functions._
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
