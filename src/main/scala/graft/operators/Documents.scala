@@ -201,6 +201,42 @@ object Documents {
     m.iterator
   }
 
+  /** (doc_id, score): t02's quality heuristic — the survivor-selection
+    * criterion shared by d09 (text clusters) and m06 (media clusters).
+    * The score doubles are bit-identical across engines (integer counts,
+    * single IEEE ops in fixed order), so window picks on them are
+    * engine-independent. */
+  private[operators] def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    toked(s, dir)
+      .withColumn("n_toks", size($"toks").cast("long"))
+      .withColumn("n_uniq", size(array_distinct($"toks")).cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(toks, x -> x IN ('the', 'a')))").cast("long"))
+      .select($"doc_id",
+        (($"n_uniq" / $"n_toks") * 0.6 +
+          (lit(1.0) - $"n_stop" / $"n_toks") * 0.4).as("score"))
+  }
+
+  /** Best-quality survivor per cluster: one window over cluster_id picks
+    * argmax(score) with doc_id tie-break, plus the member count — shared
+    * by d09 and m06 so the pick semantics cannot drift between text and
+    * media dedup. Scale shape: clusters ⋈ scores then ONE cluster_id
+    * exchange feeding both window functions; cluster count << corpus and
+    * no per-cluster data beyond its members ever co-locates. */
+  private[operators] def canonicalPick(clusters: DataFrame, scores: DataFrame): DataFrame = {
+    val s = clusters.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"cluster_id").orderBy($"score".desc, $"doc_id")
+    clusters.join(scores, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .filter($"rn" === 1)
+      .select($"cluster_id", $"doc_id".as("kept_doc"),
+        $"score".as("kept_score"), $"n_members")
+  }
+
   def heavyHitters(toks: org.apache.spark.sql.Dataset[String], counters: Int): DataFrame = {
     require(counters >= 1, s"counters must be >= 1, got $counters")
     val session = toks.sparkSession
@@ -318,23 +354,7 @@ object Documents {
         // ever co-locates.
         val docs = tbl(s, dir, "documents")
         val cl = graft.pipeline.NearDup.clusters(docs)
-        val qual = toked(s, dir)
-          .withColumn("n_toks", size($"toks").cast("long"))
-          .withColumn("n_uniq", size(array_distinct($"toks")).cast("long"))
-          .withColumn("n_stop",
-            expr("size(filter(toks, x -> x IN ('the', 'a')))").cast("long"))
-          .select($"doc_id",
-            (($"n_uniq" / $"n_toks") * 0.6 +
-              (lit(1.0) - $"n_stop" / $"n_toks") * 0.4).as("score"))
-        val w = Window.partitionBy($"cluster_id").orderBy($"score".desc, $"doc_id")
-        cl.join(qual, "doc_id")
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n_members",
-            count(lit(1)).over(Window.partitionBy($"cluster_id")))
-          .filter($"rn" === 1)
-          .select($"cluster_id", $"doc_id".as("kept_doc"),
-            $"score".as("kept_score"), $"n_members")
-          .orderBy($"cluster_id")
+        canonicalPick(cl, qualityScore(s, dir)).orderBy($"cluster_id")
       },
       // oracle: d05's reachability CTE for the clusters, t02's score
       // expression for quality, same window pick

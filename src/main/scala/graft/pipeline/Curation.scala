@@ -323,14 +323,26 @@ object NearDup {
     new java.util.concurrent.atomic.AtomicReference[(DataFrame, DataFrame)]()
 
   def clusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val psRet = pairs(docs, threshold) // registry-owned, reference-stable
     val memo = clustersMemo.get()
     if (memo != null && (memo._1 eq psRet) &&
       graft.CacheRegistry.entries.contains("neardup.clusters"))
       return memo._2
-    val ps = psRet.select($"doc_a", $"doc_b")
+    val out = components(psRet, "neardup.clusters")
+    clustersMemo.set((psRet, out))
+    out
+  }
+
+  /** Generic bounded-round min-label-propagation connected components
+    * over an undirected verified pair set `(doc_a, doc_b)` — the kernel
+    * behind [[clusters]], reused verbatim for media near-dup clustering
+    * (m06), so text and media dedup cannot drift on the component
+    * semantics. Returns `(doc_id, cluster_id = min doc_id reachable)`,
+    * registry-retained under `cacheName`. */
+  def components(pairSet: DataFrame, cacheName: String): DataFrame = {
+    val spark = pairSet.sparkSession
+    import spark.implicits._
+    val ps = pairSet.select($"doc_a", $"doc_b")
     // co-partition the edge list by the propagation join key ONCE: the
     // cached layout already satisfies the per-round join's required
     // distribution, so each round shuffles only the (small) label frame
@@ -381,12 +393,11 @@ object NearDup {
     // walks the (linear) RDD lineage back through the propagation rounds
     // — consumers needing durability should write the frame out instead.
     val projected = labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
-    val out = graft.CacheRegistry.retain("neardup.clusters",
+    val out = graft.CacheRegistry.retain(cacheName,
       spark.createDataFrame(projected.rdd, projected.schema))
     out.count() // materialize through labels' still-live cache
     edges.unpersist(blocking = false)
     labels.unpersist(blocking = false)
-    clustersMemo.set((psRet, out))
     out
   }
 }

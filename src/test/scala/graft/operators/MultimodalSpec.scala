@@ -107,4 +107,43 @@ class MultimodalSpec extends SparkSpec {
     assert(got == brute, s"banded ${got.size} vs brute ${brute.size}")
     assert(brute.nonEmpty, "fixture must contain perceptually-close media")
   }
+
+  test("m06 media canonical == union-find + argmax-quality replay; one cluster_id exchange") {
+    val sf = "/root/testdata/sf0.001"
+    // driver-side replay: union-find over m05's (already spec'd exhaustive)
+    // pair set, then d09's pick rule — best score, doc_id tie-break
+    val pairs = graft.Catalog.byName("m05_phash_neardup").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).map { case (_, ms) => ms.min -> ms.sorted }
+    val scores = Documents.qualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = members.map { case (cid, ms) =>
+      val kept = ms.minBy(d => (-scores(d), d))
+      (cid, kept, scores(kept), ms.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val df = graft.Catalog.byName("m06_media_canonical").run(spark, sf)
+    val out = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(out == expected, s"got ${out.take(5)}... want ${expected.take(5)}...")
+    // plan pin: clusters ⋈ scores feeds BOTH window functions (rank pick
+    // + member count) off a single cluster_id exchange — a second
+    // hashpartitioning(cluster_id...) would mean the window stages
+    // re-shuffle what they already have
+    // AQE's plan string appends an "== Initial Plan ==" copy — count the
+    // final plan only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "hashpartitioning\\(cluster_id".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected one cluster_id exchange, got $exchanges:\n$plan")
+  }
 }
