@@ -71,4 +71,94 @@ class SketchStreamsSpec extends SparkSpec {
     deliverOnce(Files.createTempDirectory("tok-ckpt2").toString)
     assert(merged() == est, "ledger must absorb a from-scratch replay, not double-count")
   }
+
+  /** The events stream the HLL/KLL summary tests replay: day/user_id/
+    * event_type/value pre-projected to plain types (the raw parquet is
+    * TIMESTAMP(NANOS) — this mirrors what an ingest job would emit),
+    * written as 4 user-hash chunks. */
+  private def writeEventChunks(): (org.apache.spark.sql.DataFrame, String) = {
+    val ev = graft.QueryHelpers.eventsTbl(spark, sf)
+      .select(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"),
+        $"user_id", $"event_type", $"value")
+    val dir = Files.createTempDirectory("ev-replay").toString
+    (0 until 4).foreach { c =>
+      ev.filter(pmod(xxhash64($"user_id"), lit(4)) === c)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    (ev, dir)
+  }
+
+  private def deliverSummaries(src: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType, dir: String,
+      table: String, db: String, checkpoint: String): Unit = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = graft.sinks.StreamingDelivery.startToWarehouse(
+      src(stream), table, checkpoint, db, Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  test("streaming HLL DAU summaries merge to within 5% of exact; replay is a no-op") {
+    val (ev, dir) = writeEventChunks()
+    val db = "g_sketch"
+    val table = "dau_sigs"
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val ckpt = Files.createTempDirectory("dau-ckpt").toString
+    deliverSummaries(SketchStreams.dauSummaries(_), ev.schema, dir, table, db, ckpt)
+    // user-hash chunking puts every day in EVERY chunk — the merge must
+    // union partials across batches, not just concatenate disjoint days
+    val exact = ev.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def merged(): Map[String, Long] =
+      SketchStreams.mergedDau(spark, db, table)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = merged()
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (d, e) =>
+      val x = exact(d).toDouble
+      assert(math.abs(e - x) / x <= 0.05, s"day $d: hll $e vs exact $x drifts > 5%")
+    }
+    // committed-offset re-run, then from-scratch replay: both no-ops
+    deliverSummaries(SketchStreams.dauSummaries(_), ev.schema, dir, table, db, ckpt)
+    assert(merged() == est)
+    deliverSummaries(SketchStreams.dauSummaries(_), ev.schema, dir, table, db,
+      Files.createTempDirectory("dau-ckpt2").toString)
+    assert(merged() == est, "ledger must absorb a from-scratch replay, not double-count")
+  }
+
+  test("streaming KLL percentile summaries merge to ±2% rank error vs e10b's exact; replay is a no-op") {
+    val (ev, dir) = writeEventChunks()
+    val db = "g_sketch"
+    val table = "kll_sigs"
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val ckpt = Files.createTempDirectory("kll-ckpt").toString
+    deliverSummaries(SketchStreams.valuePercentileSummaries(_), ev.schema, dir, table, db, ckpt)
+    val vals = ev.select($"event_type", $"value").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    def merged(): Map[String, (Long, Double, Double, Double)] =
+      SketchStreams.mergedValuePercentiles(spark, db, table)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val est = merged()
+    assert(est.keySet == vals.keySet)
+    // the same rank-interval gate batch e10 is held to vs e10b (the
+    // exact dual): the sketch's value must occupy a rank within ±2% of
+    // the target percentile in the exact sorted data
+    for ((k, sorted) <- vals;
+         (p, av) <- Seq(0.50 -> est(k)._2, 0.95 -> est(k)._3, 0.99 -> est(k)._4)) {
+      val n = sorted.length
+      assert(est(k)._1 == n, s"$k merged n")
+      val lo = sorted.count(_ < av) + 1
+      val hi = sorted.count(_ <= av)
+      val target = p * n
+      val tol = 0.02 * n
+      assert(hi >= target - tol && lo <= target + tol,
+        s"$k p=$p kll=$av occupies ranks [$lo,$hi], target $target +- $tol of n=$n")
+    }
+    deliverSummaries(SketchStreams.valuePercentileSummaries(_), ev.schema, dir, table, db, ckpt)
+    assert(merged() == est)
+    deliverSummaries(SketchStreams.valuePercentileSummaries(_), ev.schema, dir, table, db,
+      Files.createTempDirectory("kll-ckpt2").toString)
+    assert(merged() == est, "ledger must absorb a from-scratch replay, not double-count")
+  }
 }
