@@ -149,7 +149,24 @@ object Multimodal {
     * hamming ≤ 6 < 8 bands forces a shared band (pigeonhole, d04's
     * argument), so the banded plan EQUALS the n² scan the oracle runs,
     * without n² cost. Hamming verify = bit_count(xor) on candidates. */
+  /** Warm-call memo for [[phashPairs]]: the hash frame is rooted on a
+    * map-closure, so the registry's plan matching can never reuse it
+    * across calls — without this every m05/m06 invocation re-paid the
+    * decode→resize→hash build AND the banded self-join (m06's first warm
+    * profile read ~13 s at sf0.1, mostly this re-pay plus the CC loop's).
+    * Object identity of the returned handle is the semantic key
+    * downstream (NearDup.components memoizes on it); invalidated when
+    * the registry entry is gone (Bench's isolation pass, Engine.close),
+    * the owning session stopped, or the data dir differs. */
+  private val phashPairsMemo =
+    new java.util.concurrent.atomic.AtomicReference[(String, SparkSession, DataFrame)]()
+
   private[operators] def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    val memo = phashPairsMemo.get()
+    if (memo != null && memo._1 == dir && (memo._2 eq s) &&
+      !s.sparkContext.isStopped &&
+      graft.CacheRegistry.entries.contains("media.pairs"))
+      return memo._3
     import s.implicits._
     val media = decode(fromDocuments(tbl(s, dir, "documents")))
     // retained: the banded self-join references the hash frame twice
@@ -178,7 +195,7 @@ object Multimodal {
           expr(s"shiftright($src, ${(b % 4) * 8}) & 255").as("bv"))
       }: _*)).as("bd"))
       .select($"doc_id", $"h0", $"h1", $"bd.bi".as("bi"), $"bd.bv".as("bv"))
-    bands.as("a").join(bands.as("b"),
+    val verified = bands.as("a").join(bands.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -189,6 +206,12 @@ object Multimodal {
         expr("bit_count(h0a ^ h0b) + bit_count(h1a ^ h1b)").cast("long"))
       .filter($"hamming" <= 6)
       .select($"doc_a", $"doc_b", $"hamming")
+    // retained: m05 orders this frame, m06 clusters it — the verified
+    // pair set is the shared product both re-read warm (pair count ≪
+    // corpus: 65 / 3660 rows at sf0.01 / sf0.1)
+    val out = graft.CacheRegistry.retain("media.pairs", verified)
+    phashPairsMemo.set((dir, s, out))
+    out
   }
 
   val entries: Seq[QueryDef] = Seq(

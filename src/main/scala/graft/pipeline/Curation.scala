@@ -308,41 +308,87 @@ object NearDup {
     * two label sets persisted at once (current + next, the superseded
     * one eagerly unpersisted).
     */
-  /** Warm-call memo for [[clusters]]: the loop's result frame is rooted
-    * on a LogicalRDD and can never plan-match a later call, so without
-    * this a second clusters() in the same session re-runs EVERY
-    * propagation round (measured 4.4 s at sf0.1) to rebuild an identical
-    * frame. The retained pairs handle is reference-stable across
-    * plan-matched calls (the registry returns the first object) and its
-    * plan encodes docs+threshold, so object identity is an exact
-    * semantic key. unpersistAll/Engine.close invalidates transitively:
-    * it drops the pairs entry too, so the next pairs() returns a fresh
-    * object and the memo misses. Plain reference ops under the JVM-global
-    * registry discipline; the loop itself runs outside any lock. */
-  private val clustersMemo =
-    new java.util.concurrent.atomic.AtomicReference[(DataFrame, DataFrame)]()
+  /** Warm-call memo for [[components]], one slot per cache name: the
+    * loop's result frame is rooted on a LogicalRDD and can never
+    * plan-match a later call, so without this a second components() in
+    * the same session re-runs EVERY propagation round (measured 4.4 s at
+    * sf0.1 for the text clusters; the same re-pay dominated m06's first
+    * warm profile) to rebuild an identical frame. The input pair handle
+    * must be reference-stable across calls (the registry returns the
+    * first object for plan-matched frames; closure-rooted pair sets like
+    * m06's memoize their own handle) and its plan encodes the pairing
+    * semantics, so object identity is an exact semantic key. Keyed by
+    * cache name so the text (d05/d09) and media (m06) cluster frames
+    * memoize independently. unpersistAll/Engine.close invalidates
+    * transitively: it drops the registry entry, and a stopped session is
+    * checked explicitly. Plain map ops under the JVM-global registry
+    * discipline; the loop itself runs outside any lock. */
+  private val componentsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
 
-  def clusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val psRet = pairs(docs, threshold) // registry-owned, reference-stable
-    val memo = clustersMemo.get()
-    if (memo != null && (memo._1 eq psRet) &&
-      graft.CacheRegistry.entries.contains("neardup.clusters"))
-      return memo._2
-    val out = components(psRet, "neardup.clusters")
-    clustersMemo.set((psRet, out))
-    out
-  }
+  def clusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    components(pairs(docs, threshold), "neardup.clusters")
+
+  /** Below this many verified pairs the component computation runs as a
+    * driver-side union-find over the collected edge list — the same
+    * size-gated local/distributed split Spark applies to joins
+    * (autoBroadcastJoinThreshold) and GraphFrames' connected components
+    * applies to its end-game. A verified near-dup pair set is METADATA
+    * next to the corpus it came from (pairs ≪ n²: 215 text / 3660 media
+    * rows at sf0.1; ≤ ~16 MB of ids at this cap), while the distributed
+    * loop pays rounds × 3 shuffle stages of fixed cost — 14 s for the
+    * media graph's 7 320 edges at sf0.1, vs milliseconds locally. Pair
+    * sets above the cap take the propagation loop — the 100 TB path —
+    * and a spec pins the two paths' outputs equal. */
+  val LocalComponentsMaxPairs: Long = 1L << 20
 
   /** Generic bounded-round min-label-propagation connected components
     * over an undirected verified pair set `(doc_a, doc_b)` — the kernel
     * behind [[clusters]], reused verbatim for media near-dup clustering
     * (m06), so text and media dedup cannot drift on the component
     * semantics. Returns `(doc_id, cluster_id = min doc_id reachable)`,
-    * registry-retained under `cacheName`. */
-  def components(pairSet: DataFrame, cacheName: String): DataFrame = {
+    * registry-retained under `cacheName`. Size-gated: pair sets at or
+    * below `localMaxPairs` resolve by driver union-find (see
+    * [[LocalComponentsMaxPairs]]); larger ones take the propagation
+    * loop. */
+  def components(pairSet: DataFrame, cacheName: String,
+      localMaxPairs: Long = LocalComponentsMaxPairs): DataFrame = {
+    componentsMemo.get(cacheName) match {
+      case Some((in, out)) if (in eq pairSet) &&
+          !out.sparkSession.sparkContext.isStopped &&
+          graft.CacheRegistry.entries.contains(cacheName) =>
+        return out
+      case _ => ()
+    }
     val spark = pairSet.sparkSession
     import spark.implicits._
     val ps = pairSet.select($"doc_a", $"doc_b")
+    if (ps.count() <= localMaxPairs) {
+      // driver union-find, union-by-min-id: attaching the larger root
+      // under the smaller keeps every root the minimum doc_id of its
+      // component, so find(id) IS the cluster label the loop computes
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      ps.as[(Long, Long)].collect().foreach { case (a, b) =>
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      import scala.jdk.CollectionConverters._
+      val rows = parent.keySet().asScala.toSeq.sorted.map(id => (id, find(id)))
+      val out = graft.CacheRegistry.retain(cacheName,
+        rows.toDF("doc_id", "cluster_id"))
+      out.count()
+      componentsMemo.put(cacheName, (pairSet, out))
+      return out
+    }
     // co-partition the edge list by the propagation join key ONCE: the
     // cached layout already satisfies the per-round join's required
     // distribution, so each round shuffles only the (small) label frame
@@ -361,9 +407,28 @@ object NearDup {
         s"label propagation did not converge in $maxIters rounds — component diameter bug?")
       val prop = edges.join(labels, $"dst" === $"id")
         .groupBy($"src").agg(min($"label").as("nl"))
+      // label shortcutting: besides the distance-1 neighbor min, each
+      // node also adopts its current representative's label —
+      // label(label(id)) — compressing label chains each round. On
+      // min-label propagation over arbitrary id orderings this is not
+      // full pointer-doubling (labels are mins seen, not tree parents),
+      // but it measurably cuts rounds on high-diameter graphs: the media
+      // phash graph at sf0.1 (diameter ~19) converges in 14 rounds vs 20
+      // without, and the gain grows with diameter — the regime the
+      // distributed path exists for. The fixpoint is unchanged: at
+      // convergence every edge still enforces label(u) = label(v), so
+      // labels equal the component min exactly as before — the jump only
+      // accelerates monotone descent, it cannot introduce a label that
+      // isn't some reachable node's. Join shape: labels(label → jid) is
+      // a node-sized hash join; late-round skew (most nodes share the
+      // component min) sits on the PROBE side, which shuffle-hash
+      // handles — the build side stays one row per id.
+      val jump = labels.select($"id".as("jid"), $"label".as("jl"))
       val acc = spark.sparkContext.longAccumulator(s"neardup-cc-changes-$iter")
       val roundPlan = labels.join(prop, $"id" === $"src", "left")
-        .select($"id", least($"label", coalesce($"nl", $"label")).as("label"),
+        .join(jump, $"label" === $"jid", "left")
+        .select($"id",
+          least($"label", coalesce($"nl", $"label"), coalesce($"jl", $"label")).as("label"),
           $"label".as("old"))
         .as[(Long, Long, Long)]
         .mapPartitions { it =>
@@ -398,6 +463,7 @@ object NearDup {
     out.count() // materialize through labels' still-live cache
     edges.unpersist(blocking = false)
     labels.unpersist(blocking = false)
+    componentsMemo.put(cacheName, (pairSet, out))
     out
   }
 }

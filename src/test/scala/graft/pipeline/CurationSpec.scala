@@ -149,10 +149,31 @@ class CurationSpec extends SparkSpec {
       (i.toLong + 100L, words.slice(2 * i, 2 * i + 10).mkString(" "))
     }.toDF("doc_id", "text")
     graft.CacheRegistry.unpersistAll() // isolate from other suites' memos
-    val out = NearDup.clusters(chain)
+    // localMaxPairs = 0 forces the DISTRIBUTED loop — the default size
+    // gate would resolve a 15-pair graph on the driver and this spec
+    // exists to exercise the propagation loop's re-rooting
+    val out = NearDup.components(NearDup.pairs(chain), "neardup.clusters",
+        localMaxPairs = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out.size == nDocs, "every chained doc lands in the graph")
     assert(out.values.toSet == Set(100L), "one component, labeled by its min doc_id")
+    graft.CacheRegistry.unpersistAll()
+  }
+
+  test("components: driver union-find path equals the distributed loop") {
+    import spark.implicits._
+    graft.CacheRegistry.unpersistAll()
+    // chains, a singleton-pair, and out-of-order edges (5,4): both paths
+    // must label every node with its component's min doc_id
+    val prs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (5L, 4L)).toDF("doc_a", "doc_b")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = toSet(NearDup.components(prs, "spec.cc.local"))
+    val dist = toSet(NearDup.components(prs, "spec.cc.dist", localMaxPairs = 0))
+    assert(local == dist, s"local $local vs distributed $dist")
+    assert(local((5L, 1L)), "5 reaches 1 through the out-of-order edge")
+    assert(local((22L, 20L)))
     graft.CacheRegistry.unpersistAll()
   }
 
