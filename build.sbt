@@ -32,3 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // is a cap, not a commitment, so tests are unaffected.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
+// the forked bench JVM anchors BENCH_full.json to the repo dir, not the
+// process cwd (a bench launched from elsewhere must not drop the
+// official artifact outside the repo)
+run / envVars += "SPARK_GRAFT_REPO" -> baseDirectory.value.getAbsolutePath

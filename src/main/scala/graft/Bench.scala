@@ -139,9 +139,18 @@ object Bench {
     // the line. The complete JSON is also written to BENCH_full.json in
     // the repo so the official artifact never depends on capture size.
     val line = s"""{"metric":"total","unit":"sec","queries":$qs$iso$errs,"notes":$notes,"sf":${util.Json.quote(sfDir)},"gc_ms_shared":$gcShared,"gc_ms_isolated":$gcIso,"heap_max_mb":$heapMaxMb,"value":$total}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+    // anchor the artifact to the repo (the sbt project dir that forked
+    // this JVM, exported as SPARK_GRAFT_REPO in build.sbt), not the
+    // process cwd — a bench launched from elsewhere must not drop the
+    // official artifact outside the repo. SPARK_GRAFT_BENCH_FULL
+    // overrides the full path for multi-SF sweeps that need one
+    // artifact per SF instead of last-write-wins.
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_FULL").map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "."), "BENCH_full.json"))
+    try java.nio.file.Files.write(fullPath,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception => System.err.println(s"[bench] BENCH_full.json write failed: $e") }
+    catch { case e: Exception => System.err.println(s"[bench] $fullPath write failed: $e") }
     println(line)
     spark.stop()
     if (failures.nonEmpty) {

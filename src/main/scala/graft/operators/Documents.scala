@@ -641,17 +641,22 @@ object Documents {
     QueryDef("t11_heavy_hitters",
       (s: SparkSession, dir: String) => {
         import s.implicits._
-        // MG estimates depend on partition layout, and toked's roundRobin
-        // follows SPARK_GRAFT_CPUS — so the rows-only CORRECTNESS record
-        // would shift with core count (ADVICE r6). Hash-repartitioning by
-        // token value pins the layout: which partition a token lands in
-        // is a pure function of the token, independent of upstream split
-        // count or parallelism config, so est_count is reproducible under
-        // any SPARK_GRAFT_CPUS. (Co-locating duplicates also makes the
+        // MG estimates depend on partition layout AND on within-partition
+        // arrival order (evictions fire once the counter map is full), and
+        // toked's roundRobin follows SPARK_GRAFT_CPUS — so the rows-only
+        // CORRECTNESS record would shift with core count (ADVICE r6).
+        // Hash-repartitioning by token value pins the multiset per
+        // partition (a pure function of the token, independent of
+        // upstream split count), and sortWithinPartitions pins the order
+        // (shuffle-read interleaving of map outputs is otherwise
+        // nondeterministic): est_count becomes a pure function of the
+        // data under any SPARK_GRAFT_CPUS. The sort is per-partition and
+        // parallel — the determinism cost at scale is one local sort of
+        // the exploded tokens. (Co-locating duplicates also makes the
         // per-partition sketch strictly more accurate; the Agarwal merge
         // bound in DocumentsSpec is layout-agnostic and still gates it.)
         val toks = toked(s, dir).select(explode($"toks").as("tok"))
-          .repartition(32, $"tok").as[String]
+          .repartition(32, $"tok").sortWithinPartitions($"tok").as[String]
         heavyHitters(toks, 64)
           .orderBy($"est_count".desc, $"tok")
           .limit(20)

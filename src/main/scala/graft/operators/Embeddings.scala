@@ -763,8 +763,9 @@ object Embeddings {
     * append daily) and append them to the codes table without touching
     * resident files ([[graft.plans.CoLocated.appendBucketed]]). The
     * stored fingerprint is poisoned (n = -1 can never match a real
-    * count), so a later [[buildPqIndex]] retrains instead of wrongly
-    * skipping over a corpus the codebooks never saw. Appending needs the
+    * count) BEFORE the codes table mutates, so a later [[buildPqIndex]]
+    * retrains instead of wrongly skipping over a corpus the codebooks
+    * never saw — even if this append crashes mid-write. Appending needs the
     * codes table in THIS session's catalog (appendBucketed is a catalog
     * write) — same session-or-metastore caveat as [[appendToIndex]];
     * reads ([[queryPqIndex]]) and the build's freshness skip are
@@ -774,11 +775,17 @@ object Embeddings {
     import s.implicits._
     val prepared = vectors.select(col("vec_id").cast("long").as("vec_id"), col("v"))
     val models = pqReadBooks(s, database, table)
+    // poison BEFORE mutating codes — the same crash discipline as
+    // buildPqIndex (meta dropped first, rewritten last): if the append
+    // dies between the two steps the fingerprint is already invalid, so
+    // a later build retrains instead of fingerprint-matching a codes
+    // table this append half-mutated (append-then-poison left exactly
+    // that window)
+    graft.plans.CoLocated.replaceTable(
+      Seq((-1L, 0L)).toDF("n", "fp"), database, s"${table}_meta")
     graft.plans.CoLocated.appendBucketed(
       pqCodeRows(pqEncode(prepared, models)), database, s"${table}_codes",
       "vec_id", buckets = 16)
-    graft.plans.CoLocated.replaceTable(
-      Seq((-1L, 0L)).toDF("n", "fp"), database, s"${table}_meta")
     s"$database.$table"
   }
 

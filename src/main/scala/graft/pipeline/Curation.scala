@@ -335,12 +335,16 @@ object NearDup {
     * (autoBroadcastJoinThreshold) and GraphFrames' connected components
     * applies to its end-game. A verified near-dup pair set is METADATA
     * next to the corpus it came from (pairs ≪ n²: 215 text / 3660 media
-    * rows at sf0.1; ≤ ~16 MB of ids at this cap), while the distributed
-    * loop pays rounds × 3 shuffle stages of fixed cost — 14 s for the
-    * media graph's 7 320 edges at sf0.1, vs milliseconds locally. Pair
-    * sets above the cap take the propagation loop — the 100 TB path —
-    * and a spec pins the two paths' outputs equal. */
-  val LocalComponentsMaxPairs: Long = 1L << 20
+    * rows at sf0.1), while the distributed loop pays rounds × 3 shuffle
+    * stages of fixed cost — 14 s for the media graph's 7 320 edges at
+    * sf0.1, vs milliseconds locally. The cap is sized to the REAL driver
+    * footprint of the local path — boxed-Long HashMap entries (~100 B
+    * each over ≤ 2·pairs nodes), the collected tuple array, and the
+    * LocalRelation the result embeds — ~30-40 MB at 2^17 pairs, the
+    * same order as a default broadcast build side, NOT the raw 16
+    * bytes/pair. Pair sets above the cap take the propagation loop —
+    * the 100 TB path — and a spec pins the two paths' outputs equal. */
+  val LocalComponentsMaxPairs: Long = 1L << 17
 
   /** Generic bounded-round min-label-propagation connected components
     * over an undirected verified pair set `(doc_a, doc_b)` — the kernel

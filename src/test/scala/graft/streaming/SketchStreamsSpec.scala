@@ -139,26 +139,41 @@ class SketchStreamsSpec extends SparkSpec {
       SketchStreams.mergedValuePercentiles(spark, db, table)
         .collect().map(r => r.getString(0) ->
           (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
-    val est = merged()
-    assert(est.keySet == vals.keySet)
     // the same rank-interval gate batch e10 is held to vs e10b (the
     // exact dual): the sketch's value must occupy a rank within ±2% of
     // the target percentile in the exact sorted data
-    for ((k, sorted) <- vals;
-         (p, av) <- Seq(0.50 -> est(k)._2, 0.95 -> est(k)._3, 0.99 -> est(k)._4)) {
-      val n = sorted.length
-      assert(est(k)._1 == n, s"$k merged n")
-      val lo = sorted.count(_ < av) + 1
-      val hi = sorted.count(_ <= av)
-      val target = p * n
-      val tol = 0.02 * n
-      assert(hi >= target - tol && lo <= target + tol,
-        s"$k p=$p kll=$av occupies ranks [$lo,$hi], target $target +- $tol of n=$n")
+    def gate(est: Map[String, (Long, Double, Double, Double)]): Unit = {
+      assert(est.keySet == vals.keySet)
+      for ((k, sorted) <- vals;
+           (p, av) <- Seq(0.50 -> est(k)._2, 0.95 -> est(k)._3, 0.99 -> est(k)._4)) {
+        val n = sorted.length
+        assert(est(k)._1 == n, s"$k merged n")
+        val lo = sorted.count(_ < av) + 1
+        val hi = sorted.count(_ <= av)
+        val target = p * n
+        val tol = 0.02 * n
+        assert(hi >= target - tol && lo <= target + tol,
+          s"$k p=$p kll=$av occupies ranks [$lo,$hi], target $target +- $tol of n=$n")
+      }
     }
+    gate(merged())
+    // the ledger-level no-op is the DETERMINISTIC claim: re-delivery
+    // must leave the stored summary rows unchanged. The merged estimates
+    // are NOT exactly reproducible call-to-call — KLL compaction draws
+    // from the library's process-wide java.util.Random once a merge
+    // exceeds level capacity — so exact equality of merged() outputs
+    // would be a flaky over-assertion; assert the stored rows instead
+    // and re-gate the rank bound on a fresh merge.
+    def ledger(): Seq[(String, Seq[Byte])] =
+      spark.table(s"`$db`.`$table`").select($"event_type", $"kll").collect()
+        .map(r => (r.getString(0), r.getAs[Array[Byte]]("kll").toSeq))
+        .sortBy(x => (x._1, x._2.mkString(",")))
+    val rows0 = ledger()
     deliverSummaries(SketchStreams.valuePercentileSummaries(_), ev.schema, dir, table, db, ckpt)
-    assert(merged() == est)
+    assert(ledger() == rows0, "committed-offset re-run must not change the ledger")
     deliverSummaries(SketchStreams.valuePercentileSummaries(_), ev.schema, dir, table, db,
       Files.createTempDirectory("kll-ckpt2").toString)
-    assert(merged() == est, "ledger must absorb a from-scratch replay, not double-count")
+    assert(ledger() == rows0, "ledger must absorb a from-scratch replay, not double-count")
+    gate(merged())
   }
 }
