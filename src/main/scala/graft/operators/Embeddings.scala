@@ -1302,6 +1302,89 @@ object Embeddings {
         SELECT query_id, rnk, doc_id, fused, r_lex, r_vec
         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""")),
 
+    QueryDef("v17_binary_hamming",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // 1-bit (sign) embedding quantization with Hamming prerank and
+        // exact cosine rerank — the binary-retrieval serving recipe
+        // (sign-random-projection hashing per Charikar 2002; the
+        // binary-code + rerank split per Yamada et al. 2021's Binary
+        // Passage Retriever): quantize each dim to its sign bit, scan
+        // 16 bytes/vector instead of 512 for the candidate pass, then
+        // pay the exact fixed-point cosine ONLY on the top-C Hamming
+        // candidates. Completes the quantization ladder fp64 (v01) →
+        // int8 (v10) → 4-byte PQ (v12/v15) → 1-bit. 64 dims pack into
+        // two BIGINT halves (m05's convention — bit 63 of one word
+        // would overflow signed); ties break (hamming, neighbor_id) so
+        // the candidate set is deterministic. Scale shape: the packed
+        // frame is a map-side projection of the corpus scan, the panel
+        // broadcasts, the crnk filter runs as partial WindowGroupLimit
+        // — no shuffle touches a full-width vector; a production
+        // deployment would persist the packed bits (v08's pattern), the
+        // in-session form is the catalog query.
+        val C = 50
+        def half(off: Int) = expr((0 until 32)
+          .map(i => s"IF(v[${off + i}] >= 0D, ${1L << i}L, 0L)").mkString(" + "))
+        val bits = based(s, dir).select($"vec_id", $"v",
+          half(0).as("b0"), half(32).as("b1"))
+        val qb = bits.filter($"vec_id" < 10)
+          .withColumn("qn", expr(NormSql))
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"qn",
+            $"b0".as("q0"), $"b1".as("q1"))
+        val wh = Window.partitionBy($"query_id").orderBy($"hamming".asc, $"neighbor_id")
+        val cand = bits
+          .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"b0", $"b1")
+          .join(broadcast(qb), $"query_id" =!= $"neighbor_id")
+          .withColumn("hamming",
+            expr("bit_count(b0 ^ q0) + bit_count(b1 ^ q1)").cast("long"))
+          .withColumn("crnk", row_number().over(wh))
+          .filter($"crnk" <= C)
+        // norm AFTER the prune (v13's discipline): only C candidates
+        // per query pay the 64-dim self-dot
+        val wc = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        cand
+          .withColumn("cn", expr(normSqlOf("cv")))
+          .withColumn("cosine", expr(DotSql) / ($"qn" * $"cn"))
+          .withColumn("rnk", row_number().over(wc).cast("long"))
+          .filter($"rnk" <= 10)
+          .select($"query_id", $"rnk", $"neighbor_id", $"hamming", $"cosine")
+          .orderBy($"query_id", $"rnk")
+      },
+      Some("""WITH base AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pos AS (SELECT unnest(generate_series(1, 64)) AS i),
+        bits AS MATERIALIZED (
+          SELECT b.vec_id,
+            CAST(SUM(CASE WHEN p.i <= 32 AND b.v[p.i] >= 0
+              THEN CAST(1 AS BIGINT) << (p.i - 1) ELSE 0 END) AS BIGINT) AS b0,
+            CAST(SUM(CASE WHEN p.i > 32 AND b.v[p.i] >= 0
+              THEN CAST(1 AS BIGINT) << (p.i - 33) ELSE 0 END) AS BIGINT) AS b1
+          FROM base b, pos p GROUP BY b.vec_id),
+        kept AS MATERIALIZED (
+          SELECT qid, nid, hamming FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   CAST(bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1)) AS BIGINT) AS hamming,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1)), c.vec_id) AS crnk
+            FROM bits q, bits c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+          WHERE crnk <= 50),
+        n2 AS MATERIALIZED (
+          SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+          FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        dots AS MATERIALIZED (
+          SELECT qid, nid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+          FROM (SELECT k.qid, k.nid, unnest(q.v) AS qx, unnest(c.v) AS cx
+                FROM kept k JOIN base q ON q.vec_id = k.qid
+                JOIN base c ON c.vec_id = k.nid)
+          GROUP BY 1, 2)
+        SELECT qid AS query_id, rnk, nid AS neighbor_id, hamming, cosine FROM (
+          SELECT d.qid, d.nid, k.hamming, d.dot / (a.nrm * b.nrm) AS cosine,
+                 CAST(row_number() OVER (PARTITION BY d.qid
+                   ORDER BY d.dot / (a.nrm * b.nrm) DESC, d.nid) AS BIGINT) AS rnk
+          FROM dots d JOIN kept k ON k.qid = d.qid AND k.nid = d.nid
+          JOIN n2 a ON d.qid = a.vec_id JOIN n2 b ON d.nid = b.vec_id)
+        WHERE rnk <= 10 ORDER BY query_id, rnk""")),
+
     QueryDef("v02_ann_bucketed",
       (s: SparkSession, dir: String) => {
         import s.implicits._

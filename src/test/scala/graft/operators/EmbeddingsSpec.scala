@@ -459,6 +459,46 @@ class EmbeddingsSpec extends SparkSpec {
     assert(recall >= 0.15, s"two-stage recall vs exact top-10: $recall")
   }
 
+  test("v17 binary hamming: bit packing exact, output ⊆ hamming candidates, rerank cosines exact") {
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // driver replay of the two-half sign packing
+    def pack(v: Array[Double]): (Long, Long) = {
+      var b0 = 0L; var b1 = 0L
+      (0 until 64).foreach { i =>
+        if (v(i) >= 0) { if (i < 32) b0 |= 1L << i else b1 |= 1L << (i - 32) }
+      }
+      (b0, b1)
+    }
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val packed = vecs.view.mapValues(pack).toMap
+    // candidate sets the prerank must produce: top-50 by (hamming, id)
+    val cand = packed.keys.filter(_ < 10).map { q =>
+      q -> packed.keys.filter(_ != q).toSeq
+        .map(n => (ham(packed(q), packed(n)), n)).sorted.take(50)
+        .map { case (h, n) => n -> h.toLong }.toMap
+    }.toMap
+    val out = Catalog.byName("v17_binary_hamming").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.groupBy(_._1).size == 10 && out.length == 100)
+    val norms = vecs.map { case (id, v) => id -> Embeddings.fpNorm(v) }
+    out.foreach { case (q, _, n, h, c) =>
+      assert(cand(q).contains(n), s"query $q neighbor $n outside the top-50 hamming candidates")
+      assert(cand(q)(n) == h, s"query $q neighbor $n hamming $h != replay ${cand(q)(n)}")
+      val e = Embeddings.fpCos(vecs(q), vecs(n), norms(q), norms(n))
+      assert(e == c, s"query $q neighbor $n: reranked cosine $c != exact $e")
+    }
+    // scale-shape pins: the panel broadcasts onto the packed scan, and
+    // the crnk <= 50 filter runs as a partial WindowGroupLimit
+    val plan = Catalog.byName("v17_binary_hamming").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "query panel must broadcast")
+    assert(plan.contains("WindowGroupLimit"), "rank filters must push a WindowGroupLimit")
+  }
+
   test("v10 int8 codes: cosine error bounded, recall vs exact high") {
     // the oracle hash-gates v10's VALUES; this pins the quantization
     // QUALITY claims — that int8 codes preserve the geometry well enough
