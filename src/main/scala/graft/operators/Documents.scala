@@ -237,6 +237,35 @@ object Documents {
         $"score".as("kept_score"), $"n_members")
   }
 
+  /** PII patterns in the Java∩RE2 common regex core (char classes,
+    * bounded repeats — no lookaround/backrefs), so Spark and DuckDB
+    * match identically; kept public so pipelines can extend/report on
+    * them. Phone is intentionally shape-based: inside a longer digit
+    * run (`1234-567-8901`) it matches the leftmost conforming substring
+    * in BOTH engines — consistent, spec-pinned behavior. */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub — the text-cleaning stage public corpus pipelines run
+    * before training: emails, IPv4s and phone-shaped numbers replaced
+    * by typed placeholders, with per-row match counts kept for the
+    * removal report. Redaction chains email → IP → phone (counts are
+    * taken on the ORIGINAL text per type). Pure map-side string work
+    * riding the scan — no shuffle, no UDF, codegen end to end; at
+    * 100 TB this is a free passenger on whatever pass reads the text.
+    * Adds `n_emails`, `n_ipv4`, `n_phones`, `redacted` to `df`. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df
+      .withColumn("n_emails", regexp_count(t, lit(EmailPat)).cast("long"))
+      .withColumn("n_ipv4", regexp_count(t, lit(Ipv4Pat)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(PhonePat)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(t,
+          EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"), PhonePat, "<PHONE>"))
+  }
+
   def heavyHitters(toks: org.apache.spark.sql.Dataset[String], counters: Int): DataFrame = {
     require(counters >= 1, s"counters must be >= 1, got $counters")
     val session = toks.sparkSession
@@ -662,6 +691,67 @@ object Documents {
           .limit(20)
       },
       None),
+
+    QueryDef("t12_pii_redaction",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // see [[Documents.redactPii]] for the operator; the catalog
+        // query feeds it deterministic PII-bearing text (below) so the
+        // hash gate exercises the regexes non-vacuously.
+        // PII scrub — the text-CLEANING stage every public corpus
+        // pipeline runs before training (emails / IPv4s / phone numbers
+        // → typed placeholders, plus per-doc counts for the removal
+        // report). The synthetic corpus contains no digits at all, so a
+        // raw scan would gate vacuously — instead the PII-bearing text
+        // is synthesized DETERMINISTICALLY from doc_id (m01's recipe:
+        // both engines derive the same strings from the same parquet),
+        // and the regexes then do real work under the hash: counts,
+        // redacted length, and the md5 of the redacted string must all
+        // match DuckDB's RE2 evaluation of the same patterns. Patterns
+        // stay in the Java∩RE2 common core (char classes, bounded
+        // repeats — no lookaround/backrefs) so both engines match
+        // identically; redaction chains email → IP → phone in both.
+        // Scale shape: pure map-side string work riding the scan — no
+        // shuffle, no UDF, codegen end to end; the ORDER BY is the
+        // catalog's deterministic-output convention.
+        def pm(k: Int) = pmod($"doc_id", lit(k))
+        val aug = concat($"text",
+          when(pm(3) === 0, concat(lit(" contact u"), pm(1000).cast("string"),
+            lit("@mail"), pm(10).cast("string"), lit(".com"))).otherwise(lit("")),
+          when(pm(4) === 0, concat(lit(" from 10."), pm(256).cast("string"),
+            lit("."), pm(100).cast("string"), lit("."), pm(50).cast("string")))
+            .otherwise(lit("")),
+          when(pm(5) === 0, concat(lit(" call 555-"),
+            lpad(pm(1000).cast("string"), 3, "0"), lit("-"),
+            lpad(pm(10000).cast("string"), 4, "0"))).otherwise(lit("")))
+        redactPii(tbl(s, dir, "documents").select($"doc_id", aug.as("t")), "t")
+          .select($"doc_id", $"n_emails", $"n_ipv4", $"n_phones",
+            length($"redacted").cast("long").as("redacted_len"),
+            md5($"redacted").as("redacted_md5"))
+          .orderBy($"doc_id")
+      },
+      // DuckDB single-quoted strings keep backslashes literal, so the
+      // RE2 patterns below are byte-identical to the Java ones above
+      Some("""WITH aug AS MATERIALIZED (
+          SELECT doc_id, text
+            || CASE WHEN ((doc_id % 3)+3)%3 = 0 THEN ' contact u' || CAST(((doc_id % 1000)+1000)%1000 AS VARCHAR) || '@mail' || CAST(((doc_id % 10)+10)%10 AS VARCHAR) || '.com' ELSE '' END
+            || CASE WHEN ((doc_id % 4)+4)%4 = 0 THEN ' from 10.' || CAST(((doc_id % 256)+256)%256 AS VARCHAR) || '.' || CAST(((doc_id % 100)+100)%100 AS VARCHAR) || '.' || CAST(((doc_id % 50)+50)%50 AS VARCHAR) ELSE '' END
+            || CASE WHEN ((doc_id % 5)+5)%5 = 0 THEN ' call 555-' || lpad(CAST(((doc_id % 1000)+1000)%1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(((doc_id % 10000)+10000)%10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+          FROM documents),
+        red AS MATERIALIZED (
+          SELECT doc_id, t,
+            regexp_replace(regexp_replace(regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+              '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS r
+          FROM aug)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+          CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+          CAST(length(r) AS BIGINT) AS redacted_len,
+          md5(r) AS redacted_md5
+        FROM red ORDER BY doc_id""")),
 
     QueryDef("t04_fingerprint",
       (s: SparkSession, dir: String) => {

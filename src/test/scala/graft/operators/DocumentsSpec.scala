@@ -105,6 +105,32 @@ class DocumentsSpec extends SparkSpec {
     }
   }
 
+  test("t12 redactPii: planted adversaries — counts, placeholders, leftmost-match semantics") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a.b+c%d@x-y.co end"),          // full local-part charset
+      (2L, "ip 10.0.0.1 and 255.255.255.255"),  // two IPs
+      (3L, "call 555-123-4567 now"),            // phone
+      (4L, "1234-567-8901"),                    // digit-run trap: leftmost conforming substring
+      (5L, "u1@a.bc 1.2.3.4 555-000-1111"),     // all three adjacent
+      (6L, "no pii here at all"),               // untouched
+      (7L, "not@an@email and 1.2.3"),           // @@ still finds a match; 3-octet non-IP
+    ).toDF("doc_id", "t")
+    val out = graft.operators.Documents.redactPii(rows, "t")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(out(1L) == ((1L, 0L, 0L, "mail <EMAIL> end")))
+    assert(out(2L) == ((0L, 2L, 0L, "ip <IP> and <IP>")))
+    assert(out(3L) == ((0L, 0L, 1L, "call <PHONE> now")))
+    // Java and RE2 both take the leftmost conforming substring of the
+    // longer digit run — the redaction documents, not hides, this shape
+    assert(out(4L) == ((0L, 0L, 1L, "1<PHONE>")))
+    assert(out(5L) == ((1L, 1L, 1L, "<EMAIL> <IP> <PHONE>")))
+    assert(out(6L) == ((0L, 0L, 0L, "no pii here at all")))
+    // 'an@email' has no dot-TLD → no email match; '1.2.3' only 2 dots
+    assert(out(7L) == ((0L, 0L, 0L, "not@an@email and 1.2.3")))
+  }
+
   test("t11 heavy hitters: MG guarantee holds against t03's exact counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
