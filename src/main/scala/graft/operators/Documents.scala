@@ -1236,6 +1236,45 @@ object Documents {
               FROM (SELECT source, doc_id,
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
                     FROM documents))
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    QueryDef("p05_stratified_holdout",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Stratified EXACT-fraction holdout — the eval-split step a
+        // training pipeline runs before any mixing: per language
+        // stratum, exactly ceil(10%) of the docs become the holdout,
+        // chosen by p02's Knuth multiplicative hash so membership is a
+        // pure function of doc_id (re-runs and incremental appends
+        // reproduce the same split; Bernoulli sampling guarantees
+        // neither the fraction nor stability). Quota arithmetic is
+        // integer DIV ((n_s + 9) div 10) — cross-engine exact where a
+        // double ceil(0.1*n) could parse to different types (e10b's
+        // lesson). Scale shape: ONE lang-keyed window exchange feeds
+        // both the rank and the stratum count; for strata too large for
+        // a single window partition sort, p01's hash-shard + offset
+        // two-phase is the documented path.
+        val h = pmod($"doc_id", lit(1048573L)) * lit(2654435761L)
+        val wl = Window.partitionBy($"lang").orderBy($"h".asc, $"doc_id".asc)
+        val cw = Window.partitionBy($"lang")
+        tbl(s, dir, "documents").select($"doc_id", $"lang")
+          .withColumn("h", h)
+          .withColumn("rk", row_number().over(wl).cast("long"))
+          .withColumn("n_s", count(lit(1)).over(cw))
+          .withColumn("split",
+            when($"rk" <= expr("(n_s + 9) DIV 10"), "holdout").otherwise("train"))
+          .select($"lang", $"doc_id", $"h", $"rk", $"split")
+          .orderBy($"lang", $"rk")
+      },
+      Some("""WITH ranked AS MATERIALIZED (
+          SELECT lang, doc_id, h,
+            CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk,
+            CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_s
+          FROM (SELECT lang, doc_id,
+                  (((doc_id % 1048573) + 1048573) % 1048573) * 2654435761 AS h
+                FROM documents))
+        SELECT lang, doc_id, h, rk,
+          CASE WHEN rk <= (n_s + 9) // 10 THEN 'holdout' ELSE 'train' END AS split
+        FROM ranked ORDER BY lang, rk"""))
   )
 }

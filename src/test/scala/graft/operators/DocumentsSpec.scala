@@ -131,6 +131,27 @@ class DocumentsSpec extends SparkSpec {
     assert(out(7L) == ((0L, 0L, 0L, "not@an@email and 1.2.3")))
   }
 
+  test("p05 stratified holdout: exact ceil quota per stratum, lowest-hash membership") {
+    val out = Catalog.byName("p05_stratified_holdout").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byLang = out.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rows) =>
+      val n = rows.length
+      val quota = (n + 9) / 10
+      val hold = rows.filter(_._5 == "holdout")
+      assert(hold.length == quota, s"$lang: ${hold.length} holdout != ceil(10% of $n) = $quota")
+      // membership = the quota docs with the smallest (hash, doc_id) —
+      // a pure function of doc_id, so re-runs and appends reproduce it
+      def key(r: (String, Long, Long, Long, String)) = (r._3, r._2)
+      val expected = rows.sortBy(key).take(quota).map(_._2).toSet
+      assert(hold.map(_._2).toSet == expected, s"$lang holdout is not the lowest-hash prefix")
+      rows.foreach { case (_, id, h, _, _) =>
+        assert(h == math.floorMod(id, 1048573L) * 2654435761L, s"hash mismatch for doc $id")
+      }
+    }
+  }
+
   test("t11 heavy hitters: MG guarantee holds against t03's exact counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
