@@ -73,6 +73,18 @@ object Curation {
           .orderBy(col("doc_id"), xxhash64(docs.columns.map(col): _*))))
       .filter(col("_rn") === 1).drop("_rn")
 
+  /** PII scrub stage ([[graft.operators.Documents.redactPii]]): replaces
+    * `text` with its redacted form and keeps the per-doc match counts
+    * for the removal report. Runs BEFORE the quality gate and dedup so
+    * fingerprints and shingles see the CLEANED text — two documents
+    * differing only in their PII dedup together, which raw-text
+    * fingerprints would miss. A stateless map with no watermark or
+    * state, so the same call composes onto a STREAMING frame ahead of
+    * [[StreamingCuration]]'s foreachBatch unchanged (spec-pinned). */
+  def scrub(docs: DataFrame): DataFrame =
+    graft.operators.Documents.redactPii(docs, "text")
+      .drop("text").withColumnRenamed("redacted", "text")
+
   def curate(docs: DataFrame, minTokens: Int = 5, minUniqRatio: Double = 0.1,
       weights: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)): DataFrame = {
     val exactDeduped = exactDedup(qualityGate(docs, minTokens, minUniqRatio))

@@ -135,6 +135,40 @@ class CurationSpec extends SparkSpec {
     assert(capped.contains((3L, 4L)), "genuine near-dups survive the cap")
   }
 
+  test("scrub: PII-differing duplicates dedup together; composes onto a streaming frame") {
+    import spark.implicits._
+    // 5 tokens, every 3-shingle contains the PII token — so the RAW
+    // texts share ZERO shingles (no near-dup) and both survive curate;
+    // after scrub they are byte-identical and exact-dedup to doc 1
+    val docs = Seq(
+      (1L, "alpha beta a@x.io gamma delta"),
+      (2L, "alpha beta b@y.io gamma delta"),
+      (3L, "one two three four five")
+    ).toDF("doc_id", "text")
+    graft.CacheRegistry.unpersistAll()
+    val raw = Curation.curate(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    graft.CacheRegistry.unpersistAll()
+    val scrubbed = Curation.curate(Curation.scrub(docs)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    graft.CacheRegistry.unpersistAll()
+    assert(raw == Set(1L, 2L, 3L), s"raw text keeps both PII variants: $raw")
+    assert(scrubbed == Set(1L, 3L), s"scrubbed variants must dedup to min doc_id: $scrubbed")
+    // streaming composition: the SAME stateless call on a streaming frame
+    val dir = java.nio.file.Files.createTempDirectory("scrub-stream").toString
+    Seq((10L, "ping me at c@z.org or 1.2.3.4")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/in")
+    val sdf = spark.readStream.schema("doc_id LONG, text STRING").parquet(s"$dir/in")
+    val q = Curation.scrub(sdf).writeStream.format("memory")
+      .queryName("scrub_stream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("scrub_stream")
+      .select("text", "n_emails", "n_ipv4").collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "ping me at <EMAIL> or <IP>")
+    assert(got(0).getLong(1) == 1L && got(0).getLong(2) == 1L)
+  }
+
   test("CC clustering converges on a deep chain (exercises the checkpoint path)") {
     // doc i = 10 consecutive words starting at 2i from a unique-word
     // stream: adjacent docs share 6 of their 8 shingles (J = 6/10 = 0.6),
