@@ -256,6 +256,14 @@ object Documents {
     * 100 TB this is a free passenger on whatever pass reads the text.
     * Adds `n_emails`, `n_ipv4`, `n_phones`, `redacted` to `df`. */
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    // reject, don't silently clobber (the Jsonl/ZOrder reserved-column
+    // discipline): a frame already carrying a removal report — e.g. a
+    // double-applied scrub stage — would otherwise have its real counts
+    // overwritten with zeros and its `redacted` column destroyed
+    val reserved = Seq("n_emails", "n_ipv4", "n_phones", "redacted")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"redactPii output columns already present in input: ${clash.mkString(", ")}")
     val t = col(textCol)
     df
       .withColumn("n_emails", regexp_count(t, lit(EmailPat)).cast("long"))
@@ -1244,17 +1252,25 @@ object Documents {
         // Stratified EXACT-fraction holdout — the eval-split step a
         // training pipeline runs before any mixing: per language
         // stratum, exactly ceil(10%) of the docs become the holdout,
-        // chosen by p02's Knuth multiplicative hash so membership is a
-        // pure function of doc_id (re-runs and incremental appends
-        // reproduce the same split; Bernoulli sampling guarantees
-        // neither the fraction nor stability). Quota arithmetic is
-        // integer DIV ((n_s + 9) div 10) — cross-engine exact where a
-        // double ceil(0.1*n) could parse to different types (e10b's
-        // lesson). Scale shape: ONE lang-keyed window exchange feeds
-        // both the rank and the stratum count; for strata too large for
-        // a single window partition sort, p01's hash-shard + offset
-        // two-phase is the documented path.
-        val h = pmod($"doc_id", lit(1048573L)) * lit(2654435761L)
+        // chosen by p02's Knuth multiplicative hash REDUCED by a large
+        // prime — the reducing modulus is what scrambles order (the
+        // bare product is monotone in the folded id, which would make
+        // the "sample" just the lowest-id 10%; caught in review, v09's
+        // 1e9+7 modulus pattern). Membership is a pure function of
+        // doc_id, so RE-RUNS over the same corpus reproduce the split
+        // exactly (Bernoulli sampling guarantees neither the fraction
+        // nor that). NOTE the deliberate trade-off: exact-fraction-by-
+        // rank is NOT append-stable — growing a stratum re-ranks it and
+        // can move boundary docs between splits; when append-stability
+        // matters more than the exact fraction, use Splits.assign's
+        // fixed-threshold rule instead. Quota arithmetic is integer DIV
+        // ((n_s + 9) div 10) — cross-engine exact where a double
+        // ceil(0.1*n) could parse to different types (e10b's lesson).
+        // Scale shape: ONE lang-keyed window exchange feeds both the
+        // rank and the stratum count; for strata too large for a single
+        // window partition sort, p01's hash-shard + offset two-phase is
+        // the documented path.
+        val h = (pmod($"doc_id", lit(1048573L)) * lit(2654435761L)) % lit(1000000007L)
         val wl = Window.partitionBy($"lang").orderBy($"h".asc, $"doc_id".asc)
         val cw = Window.partitionBy($"lang")
         tbl(s, dir, "documents").select($"doc_id", $"lang")
@@ -1271,7 +1287,7 @@ object Documents {
             CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk,
             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_s
           FROM (SELECT lang, doc_id,
-                  (((doc_id % 1048573) + 1048573) % 1048573) * 2654435761 AS h
+                  ((((doc_id % 1048573) + 1048573) % 1048573) * 2654435761) % 1000000007 AS h
                 FROM documents))
         SELECT lang, doc_id, h, rk,
           CASE WHEN rk <= (n_s + 9) // 10 THEN 'holdout' ELSE 'train' END AS split

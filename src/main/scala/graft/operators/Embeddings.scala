@@ -1328,23 +1328,36 @@ object Embeddings {
         val bits = based(s, dir).select($"vec_id", $"v",
           half(0).as("b0"), half(32).as("b1"))
         val qb = bits.filter($"vec_id" < 10)
-          .withColumn("qn", expr(NormSql))
-          .select($"vec_id".as("query_id"), $"v".as("qv"), $"qn",
-            $"b0".as("q0"), $"b1".as("q1"))
+          .select($"vec_id".as("query_id"), $"b0".as("q0"), $"b1".as("q1"))
+        // the prerank frame carries ONLY (ids, bit halves, hamming):
+        // the crnk window's exchange must not ship 64-dim arrays
+        // (review finding — the first cut joined the vectors in before
+        // the window); the C survivors rejoin the corpus for their
+        // vectors below, where the candidate list is broadcast-sized
+        // by construction (queries × C rows)
         val wh = Window.partitionBy($"query_id").orderBy($"hamming".asc, $"neighbor_id")
-        val cand = bits
-          .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"b0", $"b1")
+        val lean = bits
+          .select($"vec_id".as("neighbor_id"), $"b0", $"b1")
           .join(broadcast(qb), $"query_id" =!= $"neighbor_id")
           .withColumn("hamming",
             expr("bit_count(b0 ^ q0) + bit_count(b1 ^ q1)").cast("long"))
           .withColumn("crnk", row_number().over(wh))
           .filter($"crnk" <= C)
+          .select($"query_id", $"neighbor_id", $"hamming")
+        val qv = bits.filter($"vec_id" < 10)
+          .withColumn("qn", expr(NormSql))
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"qn")
         // norm AFTER the prune (v13's discipline): only C candidates
-        // per query pay the 64-dim self-dot
+        // per query pay the 64-dim self-dot; cosine is computed and the
+        // wide columns dropped BEFORE the rank window, so no exchange
+        // in the plan carries a vector
         val wc = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-        cand
+        bits.select($"vec_id".as("neighbor_id"), $"v".as("cv"))
+          .join(broadcast(lean), Seq("neighbor_id"))
+          .join(broadcast(qv), Seq("query_id"))
           .withColumn("cn", expr(normSqlOf("cv")))
           .withColumn("cosine", expr(DotSql) / ($"qn" * $"cn"))
+          .select($"query_id", $"neighbor_id", $"hamming", $"cosine")
           .withColumn("rnk", row_number().over(wc).cast("long"))
           .filter($"rnk" <= 10)
           .select($"query_id", $"rnk", $"neighbor_id", $"hamming", $"cosine")

@@ -114,7 +114,7 @@ class DocumentsSpec extends SparkSpec {
       (4L, "1234-567-8901"),                    // digit-run trap: leftmost conforming substring
       (5L, "u1@a.bc 1.2.3.4 555-000-1111"),     // all three adjacent
       (6L, "no pii here at all"),               // untouched
-      (7L, "not@an@email and 1.2.3"),           // @@ still finds a match; 3-octet non-IP
+      (7L, "not@an@email and 1.2.3"),           // no dot-TLD after any @ → NO email match; 3-octet non-IP
     ).toDF("doc_id", "t")
     val out = graft.operators.Documents.redactPii(rows, "t")
       .collect().map(r => r.getLong(0) ->
@@ -129,6 +129,11 @@ class DocumentsSpec extends SparkSpec {
     assert(out(6L) == ((0L, 0L, 0L, "no pii here at all")))
     // 'an@email' has no dot-TLD → no email match; '1.2.3' only 2 dots
     assert(out(7L) == ((0L, 0L, 0L, "not@an@email and 1.2.3")))
+    // reject-don't-clobber: a frame already carrying a report column
+    intercept[IllegalArgumentException] {
+      graft.operators.Documents.redactPii(
+        rows.withColumn("redacted", $"t"), "t")
+    }
   }
 
   test("p05 stratified holdout: exact ceil quota per stratum, lowest-hash membership") {
@@ -147,8 +152,15 @@ class DocumentsSpec extends SparkSpec {
       val expected = rows.sortBy(key).take(quota).map(_._2).toSet
       assert(hold.map(_._2).toSet == expected, s"$lang holdout is not the lowest-hash prefix")
       rows.foreach { case (_, id, h, _, _) =>
-        assert(h == math.floorMod(id, 1048573L) * 2654435761L, s"hash mismatch for doc $id")
+        assert(h == math.floorMod(id, 1048573L) * 2654435761L % 1000000007L,
+          s"hash mismatch for doc $id")
       }
+      // the reducing modulus must actually scramble id order — without
+      // it the "sample" is just the lowest-id prefix (review finding)
+      val holdIds = hold.map(_._2).sorted
+      val lowestIds = rows.map(_._2).sorted.take(quota)
+      assert(holdIds != lowestIds || quota <= 1,
+        s"$lang: holdout equals the lowest-doc_id prefix — hash is order-preserving")
     }
   }
 
