@@ -985,7 +985,119 @@ object Embeddings {
   }
 
 
+  /** DuckDB replay for v18: the coarse-quantizer prolog (v09's, over
+    * full vectors) + the four PQ subspace prologs (v12's) + ADC scoring
+    * RESTRICTED to each query's 2 probed coarse cells — the IVF-PQ
+    * composition is exactly the conjunction of the two verified
+    * replays, so the candidate pruning and the code scoring are both
+    * DuckDB-checked in one query. */
+  private val IvfPqOracleSql: String = {
+    val coarse = kMeansPrologSql("", 8,
+      "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
+    val prologs = (0 until 4).map { si =>
+      kMeansPrologSql(s"_s$si", 16,
+        s"SELECT vec_id, list_slice(embedding::DOUBLE[], ${si * 16 + 1}, ${si * 16 + 16}) AS v FROM embeddings")
+    }
+    val dts = (0 until 4).map { si =>
+      s"""dt$si AS MATERIALIZED (SELECT vid AS qid, cell,
+            CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS d
+          FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
+                FROM base_s$si b, m3_s$si m WHERE b.vec_id < 10) GROUP BY 1, 2)"""
+    }
+    "WITH " + (Seq(coarse) ++ prologs ++ Seq(
+      """codes AS MATERIALIZED (SELECT c0.cid AS nid, c0.cell AS k0, c1.cell AS k1, c2.cell AS k2, c3.cell AS k3
+          FROM corp_s0 c0 JOIN corp_s1 c1 ON c0.cid = c1.cid
+          JOIN corp_s2 c2 ON c0.cid = c2.cid JOIN corp_s3 c3 ON c0.cid = c3.cid)""") ++ dts ++ Seq(
+      """sc AS MATERIALIZED (SELECT q.vid AS qid, c.nid,
+            d0.d + d1.d + d2.d + d3.d AS adc_fp
+          FROM codes c
+          JOIN corp cc ON cc.cid = c.nid
+          JOIN pr q ON q.cell = cc.cell AND q.rn <= 2 AND q.vid < 10 AND q.vid <> c.nid
+          JOIN dt0 d0 ON d0.qid = q.vid AND d0.cell = c.k0
+          JOIN dt1 d1 ON d1.qid = q.vid AND d1.cell = c.k1
+          JOIN dt2 d2 ON d2.qid = q.vid AND d2.cell = c.k2
+          JOIN dt3 d3 ON d3.qid = q.vid AND d3.cell = c.k3)""")).mkString(",\n        ") + """
+    SELECT qid AS query_id, rnk, nid AS neighbor_id, adc_fp FROM (
+      SELECT qid, nid, adc_fp,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY adc_fp DESC, nid) AS BIGINT) AS rnk
+      FROM sc)
+    WHERE rnk <= 10 ORDER BY query_id, rnk"""
+  }
+
   val entries: Seq[QueryDef] = Seq(
+
+    QueryDef("v18_ivf_pq",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // IVF-PQ — the production ANN architecture (Jégou et al. 2011's
+        // IVFADC): a coarse quantizer prunes the corpus to each query's
+        // nprobe nearest cells, and ONLY those candidates are scored
+        // with the 4-byte ADC codes. Composes three verified kernels
+        // with nothing re-implemented: v09's deterministic coarse
+        // trainer ([[kMeansModel]]), v15's PERSISTED PQ artifacts (same
+        // warehouse table — the fingerprint skip amortizes the 12-pass
+        // build across v15 and this query; isolated runs rebuild once),
+        // and v12's broadcast ADC scoring, restricted by the probe
+        // panel. Scale shape: assignment is one broadcast-argmax map
+        // over the code scan's vec_ids, the probe panel and ADC tables
+        // broadcast, candidates = probed cells only (nprobe/cells of
+        // the corpus per query), partial agg under WindowGroupLimit.
+        val table = "v15_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+        val base = based(s, dir)
+        Embeddings.buildPqIndex(base, "graft_index", table)
+        val books = pqReadBooks(s, "graft_index", table)
+        val coarse = kMeansModel(base, 8, 3)
+        val bcC = s.sparkContext.broadcast(coarse)
+        val assign = base.as[(Long, Array[Double])].mapPartitions { rows =>
+          val cs = bcC.value
+          rows.map { case (id, v) =>
+            val nrm = fpNorm(v)
+            var best = Long.MinValue; var bestC = Double.NegativeInfinity; var any = false
+            var ci = 0
+            while (ci < cs.length) {
+              val c = fpCos(v, cs(ci)._2, nrm, cs(ci)._3)
+              if (!any || sqlGt(c, bestC)) { bestC = c; best = cs(ci)._1; any = true }
+              ci += 1
+            }
+            (id, best)
+          }
+        }.toDF("neighbor_id", "ccell")
+        val queryRows = base.filter($"vec_id" < 10)
+          .as[(Long, Array[Double])].collect()
+        // probe selection under the trainer's (cosine desc, cell asc)
+        // tie order — the same TopKBuffer scan ivfTopK uses
+        val probes = queryRows.flatMap { case (qid, qv) =>
+          val qn = fpNorm(qv)
+          val top = new TopKBuffer(2)
+          var ci = 0
+          while (ci < coarse.length) {
+            top.insert(fpCos(qv, coarse(ci)._2, qn, coarse(ci)._3), coarse(ci)._1)
+            ci += 1
+          }
+          top.ids.take(top.filled).map(c => (qid, c))
+        }.toSeq
+        val dtDF = broadcast(pqAdc(queryRows, books).toDF("query_id", "s", "cell", "d"))
+        val probeDF = broadcast(probes.toDF("query_id", "ccell"))
+        val codes = s.read.parquet(pqLoc(s, "graft_index", table, "_codes"))
+          .select($"vec_id",
+            $"k0".cast("long").as("k0"), $"k1".cast("long").as("k1"),
+            $"k2".cast("long").as("k2"), $"k3".cast("long").as("k3"))
+        val w = Window.partitionBy($"query_id").orderBy($"adc_fp".desc, $"neighbor_id")
+        codes.join(assign, $"vec_id" === $"neighbor_id")
+          .join(probeDF, Seq("ccell"))
+          .filter($"query_id" =!= $"neighbor_id")
+          .select($"query_id", $"neighbor_id",
+            posexplode(array($"k0", $"k1", $"k2", $"k3")).as(Seq("s", "cell")))
+          .join(dtDF, Seq("query_id", "s", "cell"))
+          .groupBy($"query_id", $"neighbor_id")
+          .agg(sum($"d").as("adc_fp"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 10)
+          .select($"query_id", $"rnk", $"neighbor_id", $"adc_fp")
+          .orderBy($"query_id", $"rnk")
+      },
+      Some(IvfPqOracleSql)),
 
     QueryDef("v01_similarity_topk",
       (s: SparkSession, dir: String) => {

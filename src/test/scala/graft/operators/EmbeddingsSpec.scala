@@ -499,6 +499,32 @@ class EmbeddingsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), "rank filters must push a WindowGroupLimit")
   }
 
+  test("v18 IVF-PQ: neighbors come from probed coarse cells; plan is broadcast + WindowGroupLimit") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    val coarse = Embeddings.kMeansModel(base, 8, 3)
+    def argCells(v: Array[Double], n: Int): Seq[Long] = {
+      val nrm = Embeddings.fpNorm(v)
+      coarse.map(c => (c._1, Embeddings.fpCos(v, c._2, nrm, c._3)))
+        .sortWith((a, b) => if (a._2 == b._2) a._1 < b._1 else Embeddings.sqlGt(a._2, b._2))
+        .take(n).map(_._1).toSeq
+    }
+    val vecs = base.as[(Long, Array[Double])].collect().toMap
+    val out = Catalog.byName("v18_ivf_pq").run(spark, sf)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.map(_._1).distinct.length == 10 && rows.length == 100)
+    rows.foreach { case (q, n) =>
+      val probed = argCells(vecs(q), 2).toSet
+      val nCell = argCells(vecs(n), 1).head
+      assert(probed.contains(nCell),
+        s"query $q neighbor $n sits in coarse cell $nCell outside probed $probed")
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "probe panel + ADC tables must broadcast")
+    assert(plan.contains("WindowGroupLimit"), "top-10 must push a WindowGroupLimit")
+  }
+
   test("v10 int8 codes: cosine error bounded, recall vs exact high") {
     // the oracle hash-gates v10's VALUES; this pins the quantization
     // QUALITY claims — that int8 codes preserve the geometry well enough
