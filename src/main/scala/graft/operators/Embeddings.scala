@@ -631,6 +631,31 @@ object Embeddings {
       }.toDF("vec_id", "k0", "k1", "k2", "k3")
   }
 
+  /** (vec_id, ccell): nearest coarse cell per vector — one broadcast-
+    * argmax map with the same scan order and tie rule as
+    * [[kMeansModel]]'s assignment and [[ivfTopK]]'s tagging. */
+  private[operators] def coarseAssign(base: DataFrame,
+      model: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(model)
+    base.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (id, v) =>
+          val nrm = fpNorm(v)
+          var best = Long.MinValue; var bestC = Double.NegativeInfinity; var any = false
+          var ci = 0
+          while (ci < cs.length) {
+            val c = fpCos(v, cs(ci)._2, nrm, cs(ci)._3)
+            if (!any || sqlGt(c, bestC)) { bestC = c; best = cs(ci)._1; any = true }
+            ci += 1
+          }
+          (id, best)
+        }
+      }.toDF("vec_id", "ccell")
+  }
+
   /** Asymmetric-distance tables: per query × subspace × cell, the exact
     * fixed-point dot of the query subvector against the centroid — an
     * O(queries · PqS · PqK) DRIVER computation over already-collected
@@ -645,6 +670,24 @@ object Embeddings {
     } yield (qid, si, cell,
       fpDot(java.util.Arrays.copyOfRange(qv, si * PqD, si * PqD + PqD), cv))
 
+  /** Shared ADC ranking tail of v12/v15 (all-pairs) and v18 (candidate-
+    * restricted): dt lookup join → per-(query, neighbor) sum → top-10
+    * under (adc desc, id asc). ONE copy so the tie order and rank cap
+    * cannot drift between the serving forms. */
+  private def adcRank(exploded: DataFrame, dtDF: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val s = exploded.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"query_id").orderBy($"adc_fp".desc, $"neighbor_id")
+    exploded.join(dtDF, keys)
+      .filter($"query_id" =!= $"neighbor_id")
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(sum($"d").as("adc_fp"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 10)
+      .select($"query_id", $"rnk", $"neighbor_id", $"adc_fp")
+  }
+
   /** ADC scoring: each candidate's score is 4 broadcast-table lookups
     * summed — map-side join + partial agg, no full-vector arithmetic
     * against the corpus. Top-10 per query under (adc desc, id asc). */
@@ -652,17 +695,10 @@ object Embeddings {
     val s = codes.sparkSession
     import s.implicits._
     val dtDF = broadcast(dt.toDF("query_id", "s", "cell", "d"))
-    val w = Window.partitionBy($"query_id").orderBy($"adc_fp".desc, $"neighbor_id")
-    codes
-      .select($"vec_id".as("neighbor_id"),
-        posexplode(array($"k0", $"k1", $"k2", $"k3")).as(Seq("s", "cell")))
-      .join(dtDF, Seq("s", "cell"))
-      .filter($"query_id" =!= $"neighbor_id")
-      .groupBy($"query_id", $"neighbor_id")
-      .agg(sum($"d").as("adc_fp"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter($"rnk" <= 10)
-      .select($"query_id", $"rnk", $"neighbor_id", $"adc_fp")
+    adcRank(
+      codes.select($"vec_id".as("neighbor_id"),
+        posexplode(array($"k0", $"k1", $"k2", $"k3")).as(Seq("s", "cell"))),
+      dtDF, Seq("s", "cell"))
   }
 
   /** Corpus fingerprint for the skip-retrain check: row count + XOR of
@@ -708,7 +744,8 @@ object Embeddings {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         meta == ((n, fp)) &&
           fs.exists(new org.apache.hadoop.fs.Path(pqLoc(s, database, table, "_books"))) &&
-          fs.exists(new org.apache.hadoop.fs.Path(pqLoc(s, database, table, "_codes")))
+          fs.exists(new org.apache.hadoop.fs.Path(pqLoc(s, database, table, "_codes"))) &&
+          fs.exists(new org.apache.hadoop.fs.Path(pqLoc(s, database, table, "_coarse")))
       } catch { case _: Exception => false }
     if (!fresh) {
       // physically invalidate meta FIRST (catalog drop alone leaves the
@@ -720,13 +757,35 @@ object Embeddings {
       }
       graft.plans.CoLocated.replaceTable(
         books.toDF("s", "cell", "cv", "cn"), database, s"${table}_books")
+      // the IVF half of an IVFADC index: the coarse quantizer (8 full-
+      // dim centroids) and each vector's nearest coarse cell persist
+      // WITH the codes, so cell-pruned serving (v18) reads no raw
+      // vector — the inverted-list assignment is part of the index,
+      // exactly as the codes are
+      val coarse = kMeansModel(prepared, 8, 3)
+      graft.plans.CoLocated.replaceTable(
+        coarse.toSeq.map { case (cell, cv, cn) => (cell, cv.toSeq, cn) }
+          .toDF("cell", "cv", "cn"), database, s"${table}_coarse")
       graft.plans.CoLocated.writeBucketed(
-        pqCodeRows(pqEncode(prepared, models)), database, s"${table}_codes",
-        "vec_id", buckets = 16)
+        pqCodeRows(pqEncode(prepared, models))
+          .join(coarseAssign(prepared, coarse)
+            .select(col("vec_id"), col("ccell").cast("tinyint").as("ccell")),
+            Seq("vec_id")),
+        database, s"${table}_codes", "vec_id", buckets = 16)
       graft.plans.CoLocated.replaceTable(
         Seq((n, fp)).toDF("n", "fp"), database, s"${table}_meta")
     }
     s"$database.$table"
+  }
+
+  /** Read the persisted coarse quantizer back in [[kMeansModel]]'s
+    * shape, ascending-cell order (the assignment tie order). */
+  private[operators] def pqReadCoarse(s: SparkSession, database: String,
+      table: String): Array[(Long, Array[Double], Double)] = {
+    import s.implicits._
+    s.read.parquet(pqLoc(s, database, table, "_coarse"))
+      .select($"cell", $"cv", $"cn")
+      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
   }
 
   /** The stored code row: 4 tinyint cell ids (cells are 0..15) — the
@@ -775,6 +834,7 @@ object Embeddings {
     import s.implicits._
     val prepared = vectors.select(col("vec_id").cast("long").as("vec_id"), col("v"))
     val models = pqReadBooks(s, database, table)
+    val coarse = pqReadCoarse(s, database, table)
     // poison BEFORE mutating codes — the same crash discipline as
     // buildPqIndex (meta dropped first, rewritten last): if the append
     // dies between the two steps the fingerprint is already invalid, so
@@ -784,8 +844,11 @@ object Embeddings {
     graft.plans.CoLocated.replaceTable(
       Seq((-1L, 0L)).toDF("n", "fp"), database, s"${table}_meta")
     graft.plans.CoLocated.appendBucketed(
-      pqCodeRows(pqEncode(prepared, models)), database, s"${table}_codes",
-      "vec_id", buckets = 16)
+      pqCodeRows(pqEncode(prepared, models))
+        .join(coarseAssign(prepared, coarse)
+          .select(col("vec_id"), col("ccell").cast("tinyint").as("ccell")),
+          Seq("vec_id")),
+      database, s"${table}_codes", "vec_id", buckets = 16)
     s"$database.$table"
   }
 
@@ -1033,36 +1096,23 @@ object Embeddings {
         // IVF-PQ — the production ANN architecture (Jégou et al. 2011's
         // IVFADC): a coarse quantizer prunes the corpus to each query's
         // nprobe nearest cells, and ONLY those candidates are scored
-        // with the 4-byte ADC codes. Composes three verified kernels
-        // with nothing re-implemented: v09's deterministic coarse
-        // trainer ([[kMeansModel]]), v15's PERSISTED PQ artifacts (same
-        // warehouse table — the fingerprint skip amortizes the 12-pass
-        // build across v15 and this query; isolated runs rebuild once),
-        // and v12's broadcast ADC scoring, restricted by the probe
-        // panel. Scale shape: assignment is one broadcast-argmax map
-        // over the code scan's vec_ids, the probe panel and ADC tables
-        // broadcast, candidates = probed cells only (nprobe/cells of
-        // the corpus per query), partial agg under WindowGroupLimit.
+        // with the 4-byte ADC codes. Composes verified kernels with
+        // nothing re-implemented: [[buildPqIndex]] persists the PQ
+        // books/codes AND the IVF half (coarse centroids + each
+        // vector's cell, `_coarse` table + `ccell` column — the
+        // inverted-list assignment is part of the index, exactly as
+        // the codes are), all under one fingerprint skip shared with
+        // v15; serving reads ONLY persisted artifacts — no training
+        // job, no raw-vector scan. Scale shape: probes and ADC tables
+        // are driver-computed from the model-sized coarse/books reads
+        // and broadcast; candidates = probed cells only (nprobe/cells
+        // of the corpus per query) pruned ON the code scan; the shared
+        // [[adcRank]] tail runs partial agg under WindowGroupLimit.
         val table = "v15_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
         val base = based(s, dir)
         Embeddings.buildPqIndex(base, "graft_index", table)
         val books = pqReadBooks(s, "graft_index", table)
-        val coarse = kMeansModel(base, 8, 3)
-        val bcC = s.sparkContext.broadcast(coarse)
-        val assign = base.as[(Long, Array[Double])].mapPartitions { rows =>
-          val cs = bcC.value
-          rows.map { case (id, v) =>
-            val nrm = fpNorm(v)
-            var best = Long.MinValue; var bestC = Double.NegativeInfinity; var any = false
-            var ci = 0
-            while (ci < cs.length) {
-              val c = fpCos(v, cs(ci)._2, nrm, cs(ci)._3)
-              if (!any || sqlGt(c, bestC)) { bestC = c; best = cs(ci)._1; any = true }
-              ci += 1
-            }
-            (id, best)
-          }
-        }.toDF("neighbor_id", "ccell")
+        val coarse = pqReadCoarse(s, "graft_index", table)
         val queryRows = base.filter($"vec_id" < 10)
           .as[(Long, Array[Double])].collect()
         // probe selection under the trainer's (cosine desc, cell asc)
@@ -1082,19 +1132,14 @@ object Embeddings {
         val codes = s.read.parquet(pqLoc(s, "graft_index", table, "_codes"))
           .select($"vec_id",
             $"k0".cast("long").as("k0"), $"k1".cast("long").as("k1"),
-            $"k2".cast("long").as("k2"), $"k3".cast("long").as("k3"))
-        val w = Window.partitionBy($"query_id").orderBy($"adc_fp".desc, $"neighbor_id")
-        codes.join(assign, $"vec_id" === $"neighbor_id")
-          .join(probeDF, Seq("ccell"))
-          .filter($"query_id" =!= $"neighbor_id")
-          .select($"query_id", $"neighbor_id",
-            posexplode(array($"k0", $"k1", $"k2", $"k3")).as(Seq("s", "cell")))
-          .join(dtDF, Seq("query_id", "s", "cell"))
-          .groupBy($"query_id", $"neighbor_id")
-          .agg(sum($"d").as("adc_fp"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter($"rnk" <= 10)
-          .select($"query_id", $"rnk", $"neighbor_id", $"adc_fp")
+            $"k2".cast("long").as("k2"), $"k3".cast("long").as("k3"),
+            $"ccell".cast("long").as("ccell"))
+        adcRank(
+          codes.join(probeDF, Seq("ccell"))
+            .filter($"query_id" =!= $"vec_id")
+            .select($"query_id", $"vec_id".as("neighbor_id"),
+              posexplode(array($"k0", $"k1", $"k2", $"k3")).as(Seq("s", "cell"))),
+          dtDF, Seq("query_id", "s", "cell"))
           .orderBy($"query_id", $"rnk")
       },
       Some(IvfPqOracleSql)),
