@@ -439,6 +439,48 @@ object Multimodal {
             FROM clusters c JOIN qual q USING (doc_id))
         SELECT cluster_id, doc_id AS kept_doc, score AS kept_score,
                CAST(n_members AS BIGINT) AS n_members
-        FROM ranked WHERE rn = 1 ORDER BY cluster_id"""))
+        FROM ranked WHERE rn = 1 ORDER BY cluster_id""")),
+
+    QueryDef("m07_shard_pack",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // webdataset-style shard assembly manifest: media blobs packed
+        // into byte-budgeted shards per kind, in doc_id order — the
+        // step a multimodal training loader needs before writing tar
+        // shards (the sink writes the shards; THIS computes the
+        // assignment and per-shard manifest). shard_id = full budget
+        // units consumed BEFORE the item (p01/p04's cum_before recipe:
+        // one blob may straddle the boundary, consistent in both
+        // engines by construction). The byte sizes come from the REAL
+        // decoded binary round-trip (encode → mapPartitions decode →
+        // meta.nBytes); the oracle predicts them through m01's
+        // structural nBytes == n_chars identity. Scale shape: one
+        // kind-keyed window shuffle (the partitioned prefix sum p01
+        // scales with); everything else is the media scan.
+        val media = decode(fromDocuments(tbl(s, dir, "documents")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"kind").orderBy($"doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        media.toDF()
+          .select($"doc_id", $"meta.kind".as("kind"),
+            $"meta.nBytes".cast("long").as("nb"))
+          .withColumn("cum_before", sum($"nb").over(w) - $"nb")
+          .withColumn("shard_id", expr("cum_before DIV 4096"))
+          .groupBy($"kind", $"shard_id")
+          .agg(count(lit(1)).as("n_items"), sum($"nb").as("shard_bytes"))
+          .orderBy($"kind", $"shard_id")
+      },
+      Some("""SELECT kind, shard_id, COUNT(*) AS n_items,
+          CAST(SUM(nb) AS BIGINT) AS shard_bytes
+        FROM (SELECT kind, doc_id, nb,
+                CAST(SUM(nb) OVER (PARTITION BY kind ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nb AS BIGINT) // 4096 AS shard_id
+              FROM (SELECT doc_id,
+                      CASE CAST(((doc_id % 3) + 3) % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                      CAST(n_chars AS BIGINT) AS nb
+                    FROM documents))
+        GROUP BY kind, shard_id ORDER BY kind, shard_id"""))
   )
 }

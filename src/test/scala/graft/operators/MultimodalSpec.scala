@@ -146,4 +146,34 @@ class MultimodalSpec extends SparkSpec {
     val exchanges = "hashpartitioning\\(cluster_id".r.findAllIn(plan).size
     assert(exchanges <= 1, s"expected one cluster_id exchange, got $exchanges:\n$plan")
   }
+
+  test("m07 shard pack: bytes/items conserved, contiguous ids, only the final shard under budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.Catalog.byName("m07_shard_pack").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver replay of the cum_before DIV budget assignment — the full
+    // manifest must match exactly (NOTE: DIV sharding does NOT promise
+    // every non-final shard reaches the budget: a straddling item eats
+    // into the next window, so the honest pin is the replay, not a
+    // per-shard byte bound)
+    val items = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        expr("CASE CAST(((doc_id % 3) + 3) % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END").as("kind"),
+        $"n_chars".cast("long").as("nb"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val want = items.groupBy(_._1).flatMap { case (kind, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).map { case (_, _, nb) =>
+        val shard = cum / 4096; cum += nb; (kind, shard, nb)
+      }.groupBy(_._2).map { case (shard, xs) =>
+        (kind, shard, xs.length.toLong, xs.map(_._3).sum)
+      }
+    }.toSet
+    assert(out.toSet == want, {
+      val diff = want.diff(out.toSet).take(3)
+      s"manifest mismatch; expected-but-missing (first 3): $diff"
+    })
+  }
 }
