@@ -600,16 +600,24 @@ object Embeddings {
     * the model-sized codebooks, one map over the corpus — no shuffle).
     * Centroids are scanned in ascending-cell order, so equal-cosine ties
     * keep the LOWEST cell — [[pqReadBooks]] restores exactly this order
-    * on read-back, which is what makes append-encode == build-encode. */
+    * on read-back, which is what makes append-encode == build-encode.
+    * With `coarse` supplied, the SAME single pass also emits each
+    * vector's nearest coarse cell (`ccell` — the IVF half of the index;
+    * same scan order and tie rule as [[kMeansModel]]'s assignment), so
+    * build and append never pay a second corpus scan or a join for the
+    * assignment. */
   private[operators] def pqEncode(base: DataFrame,
-      models: Seq[Array[(Long, Array[Double], Double)]]): DataFrame = {
+      models: Seq[Array[(Long, Array[Double], Double)]],
+      coarse: Option[Array[(Long, Array[Double], Double)]] = None): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
     val S = PqS; val D = PqD
     val bc = s.sparkContext.broadcast(models.map(_.toArray).toArray)
-    base.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
+    val bcCoarse = s.sparkContext.broadcast(coarse.getOrElse(Array.empty))
+    val withCc = base.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
       .mapPartitions { rows =>
         val ms = bc.value
+        val cc = bcCoarse.value
         rows.map { case (id, v) =>
           val ks = new Array[Long](S)
           var si = 0
@@ -626,34 +634,21 @@ object Embeddings {
             }
             ks(si) = best; si += 1
           }
-          (id, ks(0), ks(1), ks(2), ks(3))
-        }
-      }.toDF("vec_id", "k0", "k1", "k2", "k3")
-  }
-
-  /** (vec_id, ccell): nearest coarse cell per vector — one broadcast-
-    * argmax map with the same scan order and tie rule as
-    * [[kMeansModel]]'s assignment and [[ivfTopK]]'s tagging. */
-  private[operators] def coarseAssign(base: DataFrame,
-      model: Array[(Long, Array[Double], Double)]): DataFrame = {
-    val s = base.sparkSession
-    import s.implicits._
-    val bc = s.sparkContext.broadcast(model)
-    base.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
-      .mapPartitions { rows =>
-        val cs = bc.value
-        rows.map { case (id, v) =>
-          val nrm = fpNorm(v)
-          var best = Long.MinValue; var bestC = Double.NegativeInfinity; var any = false
-          var ci = 0
-          while (ci < cs.length) {
-            val c = fpCos(v, cs(ci)._2, nrm, cs(ci)._3)
-            if (!any || sqlGt(c, bestC)) { bestC = c; best = cs(ci)._1; any = true }
-            ci += 1
+          var cbest = -1L
+          if (cc.nonEmpty) {
+            val nrm = fpNorm(v)
+            var bestC = Double.NegativeInfinity; var any = false
+            var ci = 0
+            while (ci < cc.length) {
+              val c = fpCos(v, cc(ci)._2, nrm, cc(ci)._3)
+              if (!any || sqlGt(c, bestC)) { bestC = c; cbest = cc(ci)._1; any = true }
+              ci += 1
+            }
           }
-          (id, best)
+          (id, ks(0), ks(1), ks(2), ks(3), cbest)
         }
-      }.toDF("vec_id", "ccell")
+      }.toDF("vec_id", "k0", "k1", "k2", "k3", "ccell")
+    if (coarse.isEmpty) withCc.drop("ccell") else withCc
   }
 
   /** Asymmetric-distance tables: per query × subspace × cell, the exact
@@ -767,10 +762,7 @@ object Embeddings {
         coarse.toSeq.map { case (cell, cv, cn) => (cell, cv.toSeq, cn) }
           .toDF("cell", "cv", "cn"), database, s"${table}_coarse")
       graft.plans.CoLocated.writeBucketed(
-        pqCodeRows(pqEncode(prepared, models))
-          .join(coarseAssign(prepared, coarse)
-            .select(col("vec_id"), col("ccell").cast("tinyint").as("ccell")),
-            Seq("vec_id")),
+        pqCodeRows(pqEncode(prepared, models, Some(coarse))),
         database, s"${table}_codes", "vec_id", buckets = 16)
       graft.plans.CoLocated.replaceTable(
         Seq((n, fp)).toDF("n", "fp"), database, s"${table}_meta")
@@ -789,11 +781,15 @@ object Embeddings {
   }
 
   /** The stored code row: 4 tinyint cell ids (cells are 0..15) — the
-    * 4-byte-per-vector representation that IS the PQ compression claim. */
-  private def pqCodeRows(codes: DataFrame): DataFrame =
-    codes.select(col("vec_id"),
-      col("k0").cast("tinyint").as("k0"), col("k1").cast("tinyint").as("k1"),
-      col("k2").cast("tinyint").as("k2"), col("k3").cast("tinyint").as("k3"))
+    * 4-byte-per-vector representation that IS the PQ compression claim —
+    * plus the tinyint coarse cell when the encode pass carried one. */
+  private def pqCodeRows(codes: DataFrame): DataFrame = {
+    val cols = Seq(col("vec_id")) ++
+      Seq("k0", "k1", "k2", "k3").map(k => col(k).cast("tinyint").as(k)) ++
+      (if (codes.columns.contains("ccell"))
+        Seq(col("ccell").cast("tinyint").as("ccell")) else Nil)
+    codes.select(cols: _*)
+  }
 
   /** Managed location of a PQ artifact table as a string path — the
     * cross-JVM address of the persisted index (see [[graft.plans
@@ -834,7 +830,25 @@ object Embeddings {
     import s.implicits._
     val prepared = vectors.select(col("vec_id").cast("long").as("vec_id"), col("v"))
     val models = pqReadBooks(s, database, table)
-    val coarse = pqReadCoarse(s, database, table)
+    // indexes persisted before the IVF half (no _coarse table / no
+    // ccell column) cannot be appended to safely — appending rows WITH
+    // a ccell into a codes table without one corrupts the layout, and
+    // append cannot migrate (it never rewrites resident files). Fail
+    // with the migration route instead of a raw path error: ONE
+    // buildPqIndex call rebuilds the index under the new layout (the
+    // missing _coarse fails its freshness probe, forcing the retrain).
+    val coarse =
+      try pqReadCoarse(s, database, table)
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"$database.$table has no persisted coarse quantizer — it predates " +
+            "the IVF half of the index. Run buildPqIndex once to migrate " +
+            "(the freshness probe requires _coarse and will retrain).", e)
+      }
+    require(s.read.parquet(pqLoc(s, database, table, "_codes"))
+        .columns.contains("ccell"),
+      s"$database.$table codes table lacks the ccell column — rebuild with " +
+        "buildPqIndex before appending")
     // poison BEFORE mutating codes — the same crash discipline as
     // buildPqIndex (meta dropped first, rewritten last): if the append
     // dies between the two steps the fingerprint is already invalid, so
@@ -844,10 +858,7 @@ object Embeddings {
     graft.plans.CoLocated.replaceTable(
       Seq((-1L, 0L)).toDF("n", "fp"), database, s"${table}_meta")
     graft.plans.CoLocated.appendBucketed(
-      pqCodeRows(pqEncode(prepared, models))
-        .join(coarseAssign(prepared, coarse)
-          .select(col("vec_id"), col("ccell").cast("tinyint").as("ccell")),
-          Seq("vec_id")),
+      pqCodeRows(pqEncode(prepared, models, Some(coarse))),
       database, s"${table}_codes", "vec_id", buckets = 16)
     s"$database.$table"
   }

@@ -394,7 +394,9 @@ class EmbeddingsSpec extends SparkSpec {
     val head = vecs.filter(col("vec_id") % 3 =!= 0)
     val tail = vecs.filter(col("vec_id") % 3 === 0)
     Embeddings.buildPqIndex(head, "graft_index", "v15incr")
-    val tables = Seq("v15incr_books", "v15incr_codes")
+    // _coarse is resident state too: an append that rewrote the coarse
+    // quantizer would silently re-cell the whole corpus
+    val tables = Seq("v15incr_books", "v15incr_codes", "v15incr_coarse")
     val before = pqListFiles(tables)
     Embeddings.appendToPqIndex(tail, "graft_index", "v15incr")
     val after = pqListFiles(tables)
@@ -421,8 +423,8 @@ class EmbeddingsSpec extends SparkSpec {
     Embeddings.buildPqIndex(head, "graft_index", "v15incr")
     assert(pqListFiles(Seq("v15incr_meta")) != poisoned,
       "post-append build must retrain (rewrite meta), not fingerprint-skip")
-    Seq("v15incr_books", "v15incr_codes", "v15incr_meta").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS graft_index.$t"))
+    Seq("v15incr_books", "v15incr_codes", "v15incr_coarse", "v15incr_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_index.$t"))
   }
 
   test("v07 prefix rerank: reranked cosines are exact and recall vs v01 is high") {

@@ -147,7 +147,7 @@ class MultimodalSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected one cluster_id exchange, got $exchanges:\n$plan")
   }
 
-  test("m07 shard pack: bytes/items conserved, contiguous ids, only the final shard under budget") {
+  test("m07 shard pack: full driver replay of the shard manifest") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
