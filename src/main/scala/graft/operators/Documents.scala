@@ -274,6 +274,29 @@ object Documents {
           EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"), PhonePat, "<PHONE>"))
   }
 
+  /** Markup strip — the boilerplate-removal stage beside [[redactPii]]
+    * in the cleaning family: drops `<script>…</script>` blocks with
+    * their CONTENT, strips remaining tags to spaces, collapses runs of
+    * spaces and trims; keeps a per-row tag/script count for the removal
+    * report. Patterns live in the Java∩RE2 common core (`[^<]*` instead
+    * of a dot-all non-greedy, so newline semantics can never diverge).
+    * Pure map-side string work riding the scan, like redactPii. Adds
+    * `n_tags`, `n_scripts`, `stripped` to `df`. */
+  def stripMarkup(df: DataFrame, textCol: String): DataFrame = {
+    val reserved = Seq("n_tags", "n_scripts", "stripped")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"stripMarkup output columns already present in input: ${clash.mkString(", ")}")
+    val t = col(textCol)
+    df
+      .withColumn("n_tags", regexp_count(t, lit("<[^>]*>")).cast("long"))
+      .withColumn("n_scripts",
+        regexp_count(t, lit("<script>[^<]*</script>")).cast("long"))
+      .withColumn("stripped",
+        trim(regexp_replace(regexp_replace(regexp_replace(t,
+          "<script>[^<]*</script>", " "), "<[^>]*>", " "), " +", " ")))
+  }
+
   def heavyHitters(toks: org.apache.spark.sql.Dataset[String], counters: Int): DataFrame = {
     require(counters >= 1, s"counters must be >= 1, got $counters")
     val session = toks.sparkSession
@@ -759,6 +782,53 @@ object Documents {
           CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
           CAST(length(r) AS BIGINT) AS redacted_len,
           md5(r) AS redacted_md5
+        FROM red ORDER BY doc_id""")),
+
+    QueryDef("t13_markup_strip",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // boilerplate removal under the hash gate — see
+        // [[Documents.stripMarkup]]. Like t12, the corpus has no markup,
+        // so the catalog query synthesizes an HTML wrapper
+        // deterministically from (doc_id, text): attribute tags, an
+        // inline <b> emphasis injected mid-text (replace is leftmost
+        // non-overlapping in BOTH engines), and a <script> block on
+        // pmod(doc_id, 4) == 0 whose CONTENT must vanish, not just its
+        // tags. The counts, stripped length and stripped md5 then pin
+        // the full strip pipeline cross-engine.
+        val aug = concat(
+          lit("<html><body data-id=\""), $"doc_id".cast("string"), lit("\"><p>"),
+          regexp_replace($"text", " the ", " <b>the</b> "),
+          lit("</p>"),
+          when(pmod($"doc_id", lit(4)) === 0,
+            lit("<script>var x=1;</script>")).otherwise(lit("")),
+          lit("</body></html>"))
+        stripMarkup(tbl(s, dir, "documents").select($"doc_id", aug.as("t")), "t")
+          .select($"doc_id", $"n_tags", $"n_scripts",
+            length($"stripped").cast("long").as("stripped_len"),
+            md5($"stripped").as("stripped_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH aug AS MATERIALIZED (
+          SELECT doc_id,
+            '<html><body data-id="' || CAST(doc_id AS VARCHAR) || '"><p>'
+            || regexp_replace(text, ' the ', ' <b>the</b> ', 'g')
+            || '</p>'
+            || CASE WHEN ((doc_id % 4)+4)%4 = 0 THEN '<script>var x=1;</script>' ELSE '' END
+            || '</body></html>' AS t
+          FROM documents),
+        red AS MATERIALIZED (
+          SELECT doc_id, t,
+            trim(regexp_replace(regexp_replace(regexp_replace(t,
+              '<script>[^<]*</script>', ' ', 'g'),
+              '<[^>]*>', ' ', 'g'),
+              ' +', ' ', 'g')) AS r
+          FROM aug)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags,
+          CAST(len(regexp_extract_all(t, '<script>[^<]*</script>')) AS BIGINT) AS n_scripts,
+          CAST(length(r) AS BIGINT) AS stripped_len,
+          md5(r) AS stripped_md5
         FROM red ORDER BY doc_id""")),
 
     QueryDef("t04_fingerprint",

@@ -164,6 +164,33 @@ class DocumentsSpec extends SparkSpec {
     }
   }
 
+  test("t13 stripMarkup: script content vanishes, tags to spaces, whitespace collapsed") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "a<script>var x=1;</script>b"),            // content must vanish
+      (3L, "<div class=\"x\">padded   spaces</div>"), // attr tag + inner runs
+      (4L, "no markup at all"),
+      (5L, "<script>s</script><p>kept</p><script>t</script>"),
+      (6L, "a < b and c > d"),                        // bare < > are NOT tags... almost:
+    ).toDF("doc_id", "t")
+    val out = graft.operators.Documents.stripMarkup(rows, "t")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((4L, 0L, "hello world")))
+    assert(out(2L) == ((2L, 1L, "a b")))
+    assert(out(3L) == ((2L, 0L, "padded spaces")))
+    assert(out(4L) == ((0L, 0L, "no markup at all")))
+    assert(out(5L) == ((6L, 2L, "kept")))
+    // '< b and c >' DOES parse as a tag under the shape-based '<[^>]*>'
+    // (boilerplate strippers accept this false positive; pinned so the
+    // behavior is documented, not accidental)
+    assert(out(6L) == ((1L, 0L, "a d")))
+    intercept[IllegalArgumentException] {
+      graft.operators.Documents.stripMarkup(rows.withColumn("stripped", $"t"), "t")
+    }
+  }
+
   test("t11 heavy hitters: MG guarantee holds against t03's exact counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
