@@ -275,26 +275,32 @@ object Documents {
   }
 
   /** Markup strip — the boilerplate-removal stage beside [[redactPii]]
-    * in the cleaning family: drops `<script>…</script>` blocks with
-    * their CONTENT, strips remaining tags to spaces, collapses runs of
-    * spaces and trims; keeps a per-row tag/script count for the removal
-    * report. Patterns live in the Java∩RE2 common core (`[^<]*` instead
-    * of a dot-all non-greedy, so newline semantics can never diverge).
-    * Pure map-side string work riding the scan, like redactPii. Adds
+    * in the cleaning family: drops `<script …>…</script>` blocks with
+    * their CONTENT (case-insensitive, attributes allowed on the
+    * opener), strips remaining tags to spaces, collapses runs of
+    * spaces and trims; keeps a per-row tag/script count for the
+    * removal report. Patterns live in the Java∩RE2 common core
+    * ((?i) inline flag, char classes — no lookaround/backrefs).
+    * KNOWN LIMIT, stated rather than hidden: script CONTENT containing
+    * a literal `<` or a newline does not match `[^<]*`, so only its
+    * tags are stripped and the content remains (the tag-level strip is
+    * still applied) — a corpus of real web pages wants an HTML parser
+    * stage; this operator is the regex-exact, hash-gateable core. Pure
+    * map-side string work riding the scan, like redactPii. Adds
     * `n_tags`, `n_scripts`, `stripped` to `df`. */
   def stripMarkup(df: DataFrame, textCol: String): DataFrame = {
     val reserved = Seq("n_tags", "n_scripts", "stripped")
     val clash = df.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
       s"stripMarkup output columns already present in input: ${clash.mkString(", ")}")
+    val script = "(?i)<script[^>]*>[^<]*</script>"
     val t = col(textCol)
     df
       .withColumn("n_tags", regexp_count(t, lit("<[^>]*>")).cast("long"))
-      .withColumn("n_scripts",
-        regexp_count(t, lit("<script>[^<]*</script>")).cast("long"))
+      .withColumn("n_scripts", regexp_count(t, lit(script)).cast("long"))
       .withColumn("stripped",
         trim(regexp_replace(regexp_replace(regexp_replace(t,
-          "<script>[^<]*</script>", " "), "<[^>]*>", " "), " +", " ")))
+          script, " "), "<[^>]*>", " "), " +", " ")))
   }
 
   def heavyHitters(toks: org.apache.spark.sql.Dataset[String], counters: Int): DataFrame = {
@@ -820,13 +826,13 @@ object Documents {
         red AS MATERIALIZED (
           SELECT doc_id, t,
             trim(regexp_replace(regexp_replace(regexp_replace(t,
-              '<script>[^<]*</script>', ' ', 'g'),
+              '(?i)<script[^>]*>[^<]*</script>', ' ', 'g'),
               '<[^>]*>', ' ', 'g'),
               ' +', ' ', 'g')) AS r
           FROM aug)
         SELECT doc_id,
           CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags,
-          CAST(len(regexp_extract_all(t, '<script>[^<]*</script>')) AS BIGINT) AS n_scripts,
+          CAST(len(regexp_extract_all(t, '(?i)<script[^>]*>[^<]*</script>')) AS BIGINT) AS n_scripts,
           CAST(length(r) AS BIGINT) AS stripped_len,
           md5(r) AS stripped_md5
         FROM red ORDER BY doc_id""")),

@@ -609,6 +609,12 @@ object Embeddings {
   private[operators] def pqEncode(base: DataFrame,
       models: Seq[Array[(Long, Array[Double], Double)]],
       coarse: Option[Array[(Long, Array[Double], Double)]] = None): DataFrame = {
+    // an EMPTY supplied coarse model would silently stamp ccell = -1 on
+    // every row — vectors invisible to cell-pruned serving forever
+    // (e.g. a truncated _coarse table read back as zero rows); reject
+    require(coarse.forall(_.nonEmpty),
+      "coarse model must be non-empty when supplied — a truncated " +
+        "_coarse table needs a buildPqIndex rebuild, not an encode")
     val s = base.sparkSession
     import s.implicits._
     val S = PqS; val D = PqD
@@ -837,13 +843,19 @@ object Embeddings {
     // with the migration route instead of a raw path error: ONE
     // buildPqIndex call rebuilds the index under the new layout (the
     // missing _coarse fails its freshness probe, forcing the retrain).
+    // only the NOT-FOUND shapes mean "old layout, migrate"; transient
+    // I/O or corruption errors must propagate as themselves — rebranding
+    // them as a migration prompt would steer an operator into a
+    // needless 12-pass retrain for an index that only needed a retry
     val coarse =
       try pqReadCoarse(s, database, table)
       catch {
-        case e: Exception => throw new IllegalStateException(
-          s"$database.$table has no persisted coarse quantizer — it predates " +
-            "the IVF half of the index. Run buildPqIndex once to migrate " +
-            "(the freshness probe requires _coarse and will retrain).", e)
+        case e @ (_: org.apache.spark.sql.AnalysisException |
+                  _: java.io.FileNotFoundException) =>
+          throw new IllegalStateException(
+            s"$database.$table has no persisted coarse quantizer — it predates " +
+              "the IVF half of the index. Run buildPqIndex once to migrate " +
+              "(the freshness probe requires _coarse and will retrain).", e)
       }
     require(s.read.parquet(pqLoc(s, database, table, "_codes"))
         .columns.contains("ccell"),

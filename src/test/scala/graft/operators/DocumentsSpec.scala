@@ -173,6 +173,9 @@ class DocumentsSpec extends SparkSpec {
       (4L, "no markup at all"),
       (5L, "<script>s</script><p>kept</p><script>t</script>"),
       (6L, "a < b and c > d"),                        // bare < > are NOT tags... almost:
+      (7L, "x<script type=\"a\">v=1;</script>y"),     // attributes on the opener
+      (8L, "x<SCRIPT>v=2;</SCRIPT>y"),                // case-insensitive
+      (9L, "k<script>if(a<b){}</script>m"),           // '<' in content: KNOWN leak, tags-only strip
     ).toDF("doc_id", "t")
     val out = graft.operators.Documents.stripMarkup(rows, "t")
       .collect().map(r => r.getLong(0) ->
@@ -186,6 +189,12 @@ class DocumentsSpec extends SparkSpec {
     // (boilerplate strippers accept this false positive; pinned so the
     // behavior is documented, not accidental)
     assert(out(6L) == ((1L, 0L, "a d")))
+    assert(out(7L) == ((2L, 1L, "x y")), "attributed opener must still drop content")
+    assert(out(8L) == ((2L, 1L, "x y")), "SCRIPT case must still drop content")
+    // content containing '<' does NOT match [^<]* — the documented
+    // limit: tags are stripped (the '<b){}</script>' run parses as ONE
+    // shape-tag), the content before it remains
+    assert(out(9L) == ((2L, 0L, "k if(a m")))
     intercept[IllegalArgumentException] {
       graft.operators.Documents.stripMarkup(rows.withColumn("stripped", $"t"), "t")
     }
