@@ -892,6 +892,102 @@ object Embeddings {
     pqScore(codes, pqAdc(queryRows, models))
   }
 
+  /** The (term, doc_id, bm25_e9) score table — the inverted-index form
+    * of BM25 (Robertson & Zaragoza 2009; k1=1.2, b=0.75, robust +1
+    * IDF), shared by v16's in-session form and [[buildBm25Index]] so
+    * the arithmetic cannot drift (the v12/v15 shared-kernel
+    * discipline). Input: (doc_id, toks). Each (term, doc) contribution
+    * is quantized to the 1e-9 integer grid (t07's ln discipline —
+    * per-row IEEE ops in a fixed association order), so any downstream
+    * per-query score is an exact BIGINT sum: order-independent,
+    * hash-gate stable. Query-independent — computed once for ANY
+    * number of queries, which is what makes it worth persisting. */
+  private[operators] def bm25ScoreTable(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(size($"toks").cast("long")).cast("double") / count(lit(1))).as("avgdl"))
+    val posting = docs
+      .select($"doc_id", size($"toks").cast("long").as("dl"), explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(max($"dl").as("dl"), count(lit(1)).as("tf"))
+    val dfreq = posting.groupBy($"term").agg(count(lit(1)).as("df"))
+    val idf = log(((($"n_docs" - $"df") + lit(0.5)) / ($"df" + lit(0.5))) + lit(1.0))
+    val tfPart = ($"tf" * lit(2.2)) /
+      ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / $"avgdl")))
+    posting.join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25_e9", floor((idf * tfPart) * lit(1e9) + lit(0.5)).cast("long"))
+      .select($"term", $"doc_id", $"bm25_e9")
+  }
+
+  /** Build-once BM25 inverted index: persist [[bm25ScoreTable]] as a
+    * term-bucketed warehouse table `{table}_postings` plus a
+    * `{table}_meta` corpus fingerprint — [[buildPqIndex]]'s exact
+    * discipline applied to the LEXICAL leg of hybrid retrieval. v16
+    * recomputes the corpus-wide tokenize → tf/df aggregation on every
+    * call (the same per-call-cost smell the r6 verdict flagged for
+    * v12's training, one scale rung down: one corpus pass instead of
+    * 12); at 100 TB the posting table is built once and re-read, and a
+    * matching fingerprint turns repeat builds into one map-side scan.
+    * Input: (doc_id, text) — ALREADY restricted to the retrieval
+    * universe (the fingerprint covers exactly that frame, so a changed
+    * universe — including changed embedding coverage — retrains). meta
+    * is dropped FIRST and rewritten LAST: a crash mid-build leaves a
+    * stale-fingerprint state the next build repairs by rebuilding. */
+  def buildBm25Index(docs: DataFrame, database: String, table: String): String = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val prepared = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val (n, fp) = {
+      val (c, x) = prepared
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, text))"))
+        .as[(Long, Option[Long])].head()
+      (c, x.getOrElse(0L))
+    }
+    val fresh =
+      try {
+        val meta = s.read.parquet(pqLoc(s, database, table, "_meta"))
+          .select($"n", $"fp").as[(Long, Long)].head()
+        val fs = new org.apache.hadoop.fs.Path(pqLoc(s, database, table, "_meta"))
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        meta == ((n, fp)) &&
+          fs.exists(new org.apache.hadoop.fs.Path(pqLoc(s, database, table, "_postings")))
+      } catch { case _: Exception => false }
+    if (!fresh) {
+      graft.plans.CoLocated.clearTable(s, database, s"${table}_meta")
+      graft.plans.CoLocated.writeBucketed(
+        bm25ScoreTable(prepared.select($"doc_id", split($"text", " ").as("toks"))),
+        database, s"${table}_postings", "term", buckets = 16)
+      graft.plans.CoLocated.replaceTable(
+        Seq((n, fp)).toDF("n", "fp"), database, s"${table}_meta")
+    }
+    s"$database.$table"
+  }
+
+  /** Serve per-query BM25 top-k from a [[buildBm25Index]] table. The
+    * query term panel arrives as a driver-side array ([[queryPqIndex]]'s
+    * queryRows convention — panels are query-sized, never corpus-sized),
+    * so the plan's ONLY distributed input is the persisted posting
+    * table: no tokenize, no tf/df aggregation, no documents scan
+    * (pinned in EmbeddingsSpec). Scores are exact BIGINT sums of the
+    * stored 1e-9-grid contributions — identical to summing the freshly
+    * computed table. */
+  def queryBm25Index(s: SparkSession, queryTerms: Array[(Long, String)],
+      database: String, table: String, k: Int): DataFrame = {
+    import s.implicits._
+    val qterm = queryTerms.toSeq.toDF("query_id", "term")
+    val wb = Window.partitionBy($"query_id").orderBy($"bm25".desc, $"doc_id")
+    s.read.parquet(pqLoc(s, database, table, "_postings"))
+      .join(broadcast(qterm), Seq("term"))
+      .filter($"query_id" =!= $"doc_id")
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"bm25_e9").as("bm25"))
+      .withColumn("r_lex", row_number().over(wb).cast("long"))
+      .filter($"r_lex" <= k)
+      .select($"query_id", $"doc_id", $"r_lex")
+  }
+
   /** Shared DuckDB oracle for v08 and v11: reconstructs the sign-LSH
     * index (bucket codes + norms) from scratch over the FULL corpus and
     * serves top-3 per query. v08 gates build-then-query; v11 gates
@@ -1110,6 +1206,74 @@ object Embeddings {
       FROM sc)
     WHERE rnk <= 10 ORDER BY query_id, rnk"""
   }
+
+  /** Shared DuckDB oracle for v16 and v19 (v08/v11's technique): the
+    * full from-scratch BM25 + vector + RRF replay. v16 gates the
+    * in-session computation; v19 gates build-index-then-serve — both
+    * must equal this recomputation, which is exactly the persisted-
+    * index-invisibility claim. */
+  private val Bm25HybridOracleSql: String =
+    """WITH docsall AS MATERIALIZED (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        base AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS v FROM embeddings e
+          WHERE e.vec_id IN (SELECT doc_id FROM docsall)),
+        docs AS MATERIALIZED (
+          SELECT * FROM docsall WHERE doc_id IN (SELECT vec_id FROM base)),
+        st AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM docs),
+        tfp AS MATERIALIZED (
+          SELECT doc_id, term, MAX(dl) AS dl, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM docs)
+          GROUP BY 1, 2),
+        dfp AS MATERIALIZED (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfp GROUP BY 1),
+        sc AS MATERIALIZED (
+          SELECT t.term, t.doc_id,
+                 CAST(FLOOR((ln((((st.n - d.df) + 0.5) / (d.df + 0.5)) + 1.0) *
+                   ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (t.dl / st.avgdl)))))
+                   * 1000000000.0 + 0.5) AS BIGINT) AS bm25_e9
+          FROM tfp t JOIN dfp d USING (term), st),
+        qt AS MATERIALIZED (
+          SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+          FROM docs WHERE doc_id < 10),
+        bm AS MATERIALIZED (
+          SELECT q.query_id, s.doc_id, CAST(SUM(s.bm25_e9) AS BIGINT) AS bm25
+          FROM qt q JOIN sc s USING (term) WHERE q.query_id <> s.doc_id
+          GROUP BY 1, 2),
+        lex AS (SELECT query_id, doc_id, r_lex FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY bm25 DESC, doc_id) AS r_lex
+          FROM bm) WHERE r_lex <= 60),
+        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        dots AS (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+                 FROM (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                              unnest(q.v) AS qx, unnest(c.v) AS cx
+                       FROM base q, base c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+                 GROUP BY 1, 2),
+        vec AS (SELECT query_id, doc_id, r_vec FROM (
+          SELECT qid AS query_id, cid AS doc_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS r_vec
+          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
+          WHERE r_vec <= 60),
+        fused AS (
+          SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 COALESCE(1.0 / (60.0 + l.r_lex), 0.0)
+                   + COALESCE(1.0 / (60.0 + v.r_vec), 0.0) AS fused,
+                 l.r_lex, v.r_vec
+          FROM lex l FULL OUTER JOIN vec v
+            ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY fused DESC, doc_id) AS rnk
+          FROM fused)
+        SELECT query_id, rnk, doc_id, fused, r_lex, r_vec
+        FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -1377,20 +1541,7 @@ object Embeddings {
           .withColumn("nrm", expr(NormSql))
         val docs = docsTok
           .join(base.select($"vec_id".as("doc_id")), Seq("doc_id"), "left_semi")
-        val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
-          (sum(size($"toks").cast("long")).cast("double") / count(lit(1))).as("avgdl"))
-        val posting = docs
-          .select($"doc_id", size($"toks").cast("long").as("dl"), explode($"toks").as("term"))
-          .groupBy($"doc_id", $"term")
-          .agg(max($"dl").as("dl"), count(lit(1)).as("tf"))
-        val dfreq = posting.groupBy($"term").agg(count(lit(1)).as("df"))
-        val idf = log(((($"n_docs" - $"df") + lit(0.5)) / ($"df" + lit(0.5))) + lit(1.0))
-        val tfPart = ($"tf" * lit(2.2)) /
-          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / $"avgdl")))
-        val scored = posting.join(dfreq, "term")
-          .crossJoin(broadcast(stats))
-          .withColumn("bm25_e9", floor((idf * tfPart) * lit(1e9) + lit(0.5)).cast("long"))
-          .select($"term", $"doc_id", $"bm25_e9")
+        val scored = bm25ScoreTable(docs)
         val qterm = docs.filter($"doc_id" < 10)
           .select($"doc_id".as("query_id"), explode(array_distinct($"toks")).as("term"))
         val wb = Window.partitionBy($"query_id").orderBy($"bm25".desc, $"doc_id")
@@ -1420,67 +1571,62 @@ object Embeddings {
           .select($"query_id", $"rnk", $"doc_id", $"fused", $"r_lex", $"r_vec")
           .orderBy($"query_id", $"rnk")
       },
-      Some("""WITH docsall AS MATERIALIZED (
-          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        base AS MATERIALIZED (
-          SELECT e.vec_id, e.embedding::DOUBLE[] AS v FROM embeddings e
-          WHERE e.vec_id IN (SELECT doc_id FROM docsall)),
-        docs AS MATERIALIZED (
-          SELECT * FROM docsall WHERE doc_id IN (SELECT vec_id FROM base)),
-        st AS MATERIALIZED (
-          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-                 CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
-          FROM docs),
-        tfp AS MATERIALIZED (
-          SELECT doc_id, term, MAX(dl) AS dl, CAST(COUNT(*) AS BIGINT) AS tf
-          FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM docs)
-          GROUP BY 1, 2),
-        dfp AS MATERIALIZED (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfp GROUP BY 1),
-        sc AS MATERIALIZED (
-          SELECT t.term, t.doc_id,
-                 CAST(FLOOR((ln((((st.n - d.df) + 0.5) / (d.df + 0.5)) + 1.0) *
-                   ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (t.dl / st.avgdl)))))
-                   * 1000000000.0 + 0.5) AS BIGINT) AS bm25_e9
-          FROM tfp t JOIN dfp d USING (term), st),
-        qt AS MATERIALIZED (
-          SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
-          FROM docs WHERE doc_id < 10),
-        bm AS MATERIALIZED (
-          SELECT q.query_id, s.doc_id, CAST(SUM(s.bm25_e9) AS BIGINT) AS bm25
-          FROM qt q JOIN sc s USING (term) WHERE q.query_id <> s.doc_id
-          GROUP BY 1, 2),
-        lex AS (SELECT query_id, doc_id, r_lex FROM (
-          SELECT query_id, doc_id,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY bm25 DESC, doc_id) AS r_lex
-          FROM bm) WHERE r_lex <= 60),
-        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
-               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
-        dots AS (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
-                 FROM (SELECT q.vec_id AS qid, c.vec_id AS cid,
-                              unnest(q.v) AS qx, unnest(c.v) AS cx
-                       FROM base q, base c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
-                 GROUP BY 1, 2),
-        vec AS (SELECT query_id, doc_id, r_vec FROM (
-          SELECT qid AS query_id, cid AS doc_id,
-                 row_number() OVER (PARTITION BY qid
-                   ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS r_vec
-          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
-          WHERE r_vec <= 60),
-        fused AS (
-          SELECT COALESCE(l.query_id, v.query_id) AS query_id,
-                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
-                 COALESCE(1.0 / (60.0 + l.r_lex), 0.0)
-                   + COALESCE(1.0 / (60.0 + v.r_vec), 0.0) AS fused,
-                 l.r_lex, v.r_vec
-          FROM lex l FULL OUTER JOIN vec v
-            ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
-        ranked AS (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-                      ORDER BY fused DESC, doc_id) AS rnk
-          FROM fused)
-        SELECT query_id, rnk, doc_id, fused, r_lex, r_vec
-        FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""")),
+      Some(Bm25HybridOracleSql)),
+
+    QueryDef("v19_bm25_hybrid_persisted",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the PRODUCTION form of v16's lexical leg — the r6-verdict v12
+        // criticism ("its cost is training, not search") applied one
+        // scale rung down: v16 recomputes the corpus-wide (term, doc)
+        // BM25 score table (tokenize → tf/df aggregation, a full corpus
+        // pass) on EVERY call. [[buildBm25Index]] persists that table
+        // term-bucketed under [[buildPqIndex]]'s fingerprint-skip
+        // discipline, and [[queryBm25Index]] serves the lexical top-60
+        // from it: the lex leg's plan scans ONLY the posting table (the
+        // query term panel is a driver-side array — pinned in
+        // EmbeddingsSpec). The vector leg and RRF combiner are v16's
+        // verbatim (at 100 TB the vector leg would serve from v15/v18's
+        // persisted index; it stays exact here so the oracle can remain
+        // v16's IDENTICAL SQL — serving the lexical leg from the
+        // persisted index must be indistinguishable from recomputing
+        // it, v15's claim pattern). Table name from the sanitized dir
+        // (v08's discipline), so each SF keeps its own index.
+        val K = 60
+        val table = "v19_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+        val docsTok = tbl(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("toks"))
+        val base = based(s, dir)
+          .join(docsTok.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+          .withColumn("nrm", expr(NormSql))
+        val docsText = tbl(s, dir, "documents").select($"doc_id", $"text")
+          .join(base.select($"vec_id".as("doc_id")), Seq("doc_id"), "left_semi")
+        Embeddings.buildBm25Index(docsText, "graft_index", table)
+        val qterms = docsText.filter($"doc_id" < 10)
+          .select($"doc_id".as("query_id"),
+            explode(array_distinct(split($"text", " "))).as("term"))
+          .as[(Long, String)].collect()
+        val lex = Embeddings.queryBm25Index(s, qterms, "graft_index", table, K)
+        val qv = base.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val wv = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"doc_id")
+        val vec = base.select($"vec_id".as("doc_id"), $"v".as("cv"), $"nrm".as("cn"))
+          .join(broadcast(qv), $"query_id" =!= $"doc_id")
+          .withColumn("cosine", expr(DotSql) / ($"qn" * $"cn"))
+          .withColumn("r_vec", row_number().over(wv).cast("long"))
+          .filter($"r_vec" <= K)
+          .select($"query_id", $"doc_id", $"r_vec")
+        val wf = Window.partitionBy($"query_id").orderBy($"fused".desc, $"doc_id")
+        lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("fused",
+            coalesce(lit(1.0) / (lit(60.0) + $"r_lex"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + $"r_vec"), lit(0.0)))
+          .withColumn("rnk", row_number().over(wf).cast("long"))
+          .filter($"rnk" <= 10)
+          .select($"query_id", $"rnk", $"doc_id", $"fused", $"r_lex", $"r_vec")
+          .orderBy($"query_id", $"rnk")
+      },
+      Some(Bm25HybridOracleSql)),
 
     QueryDef("v17_binary_hamming",
       (s: SparkSession, dir: String) => {

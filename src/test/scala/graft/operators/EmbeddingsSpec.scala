@@ -386,6 +386,53 @@ class EmbeddingsSpec extends SparkSpec {
     Embeddings.buildPqIndex(vecs, "graft_index", table)
   }
 
+  test("v19 persisted BM25: equals v16; lex serve scans only the posting table; rebuild skips") {
+    import org.apache.spark.sql.functions._
+    // the catalog entry builds (or fingerprint-skips) then serves
+    val v19 = Catalog.byName("v19_bm25_hybrid_persisted").run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val v16 = Catalog.byName("v16_bm25_hybrid").run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(v19 == v16,
+      "serving the lexical leg from the persisted posting table must be " +
+        "indistinguishable from recomputing the score table in-session")
+    // lex serve plan: the query term panel is a driver-side array, so the
+    // ONLY distributed input is the persisted posting table — no documents
+    // scan, no tokenize, no tf/df aggregation (those jobs read
+    // documents.parquet, which this plan provably cannot)
+    val table = "v19_" + sf.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+    val lex = Embeddings.queryBm25Index(spark, Array((0L, "the")), "graft_index", table, 60)
+    val scans = lex.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(_.contains(s"${table}_postings")),
+      s"lex serve may scan ONLY the persisted posting table, got: $scans")
+    // rebuild over an unchanged corpus is a fingerprint probe, not a
+    // recompute: every resident file survives byte-identical
+    val docsText = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .join(spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val tables = Seq(s"${table}_postings", s"${table}_meta")
+    val before = pqListFiles(tables)
+    assert(before.nonEmpty)
+    Embeddings.buildBm25Index(docsText, "graft_index", table)
+    assert(pqListFiles(tables) == before,
+      "matching-fingerprint rebuild must not touch the persisted index")
+    // a CHANGED corpus must invalidate the skip and rewrite the index
+    Embeddings.buildBm25Index(
+      docsText.filter(col("doc_id") % 2 === 0), "graft_index", table)
+    assert(pqListFiles(tables) != before,
+      "a changed corpus must rebuild — the fingerprint may not false-match")
+    // restore the full-universe index for any later test/catalog run
+    Embeddings.buildBm25Index(docsText, "graft_index", table)
+  }
+
   test("appendToPqIndex: encodes with the persisted codebooks, adds files only, poisons the fingerprint") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
