@@ -145,9 +145,20 @@ object Bench {
     // official artifact outside the repo. SPARK_GRAFT_BENCH_FULL
     // overrides the full path for multi-SF sweeps that need one
     // artifact per SF instead of last-write-wins.
-    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_FULL").map(java.nio.file.Paths.get(_))
+    //
+    // A run with ANY failed query must never replace the canonical
+    // artifact: its total silently sums ~0.1s fail-fast times for the
+    // broken queries, misrepresenting cost (this exact overwrite shipped
+    // an invalid 482s artifact in round 7). Failed runs go to a
+    // .failed.json sibling so the evidence survives without becoming
+    // the record.
+    val basePath = sys.env.get("SPARK_GRAFT_BENCH_FULL").map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_REPO", "."), "BENCH_full.json"))
+    val fullPath =
+      if (failures.isEmpty) basePath
+      else basePath.resolveSibling(
+        basePath.getFileName.toString.stripSuffix(".json") + ".failed.json")
     try java.nio.file.Files.write(fullPath,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] $fullPath write failed: $e") }

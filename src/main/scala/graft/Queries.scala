@@ -68,11 +68,16 @@ object QueryHelpers {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The `events` table stores TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects. Read nanos as long and floor-convert to
-    * microseconds (integer division — a double cast would lose precision
-    * at 1e18 nanos). DuckDB keeps nanos; queries must truncate outputs to
-    * whole seconds (or coarser) so both engines agree.
+  /** The `events` table stores TIMESTAMP(NANOS) parquet. How Spark reads
+    * that column varies by version: older readers reject it unless
+    * `spark.sql.legacy.parquet.nanosAsLong` maps it to BIGINT nanos;
+    * Spark 4.1+ reads it natively as TIMESTAMP_NTZ micros (ignoring the
+    * legacy conf). Assuming either one is exactly the cross-version
+    * brittleness that zeroed every e-query in round 7 — so branch on the
+    * schema Spark ACTUALLY produced and normalize both paths to the same
+    * contract: a session-TZ `timestamp` column named `ts`, micros
+    * precision. DuckDB keeps nanos; queries truncate outputs to whole
+    * seconds (or coarser) so both engines agree.
     *
     * Bench/Verify set `nanosAsLong` once at session build; the
     * conditional set below only covers foreign sessions (e.g. driver
@@ -82,11 +87,21 @@ object QueryHelpers {
   def eventsTbl(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
-    // FLOOR division: `div` truncates toward zero, which for a pre-1970
-    // nanosecond value not on a whole microsecond would round the "wrong"
-    // way relative to DuckDB's epoch_ns floor semantics
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(
-        expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // FLOOR division: `div` truncates toward zero, which for a
+        // pre-1970 nanosecond value not on a whole microsecond would
+        // round the "wrong" way vs DuckDB's epoch_ns floor semantics
+        raw.withColumn("ts", timestamp_micros(
+          expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // Native nanos read: Spark already floored to micros. Session TZ
+        // is UTC (Sessions.build), so the NTZ→TZ cast is instant-exact.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other — extend eventsTbl")
+    }
   }
 }
