@@ -1367,6 +1367,56 @@ object Documents {
                 FROM documents))
         SELECT lang, doc_id, h, rk,
           CASE WHEN rk <= (n_s + 9) // 10 THEN 'holdout' ELSE 'train' END AS split
-        FROM ranked ORDER BY lang, rk"""))
+        FROM ranked ORDER BY lang, rk""")),
+
+    QueryDef("t14_bigram_entropy",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Character-bigram Shannon entropy per doc — the quality signal
+        // that separates natural text from key-mashing, base64 blobs and
+        // single-char floods, complementing t08 (word-level repetition)
+        // and t09 (LM fit): those need tokens, this works on raw bytes
+        // of ANY language. Entropy H = Σ (c/n)·ln(n/c) over the doc's
+        // bigram counts; each term is quantized to the 1e-9 grid as a
+        // BIGINT before the per-doc sum (t07/t09's ln discipline: JVM
+        // Math.log and libm differ by ulps, integer sums don't), so the
+        // fold is order-independent and cross-engine exact.
+        // Scale shape: bigram expansion is a narrow generator (~1 output
+        // row per input char); the only shuffles are the (doc_id,bigram)
+        // count and the doc_id window/final agg — both partial-agg
+        // friendly, nothing driver-side, and per-doc state is bounded by
+        // the alphabet squared, not corpus size. Docs under 2 chars have
+        // no bigrams and drop out of BOTH engines identically.
+        val wd = Window.partitionBy($"doc_id")
+        tbl(s, dir, "documents")
+          .filter(length($"text") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, length(text)-1, 1), i -> substring(text, i, 2))")).as("b"))
+          .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+          .withColumn("n", sum($"c").over(wd).cast("long"))
+          .withColumn("db", count(lit(1)).over(wd).cast("long"))
+          .withColumn("term", floor(($"c".cast("double") / $"n".cast("double"))
+            * log($"n".cast("double") / $"c".cast("double")) * 1e9 + lit(0.5)).cast("long"))
+          .groupBy($"doc_id")
+          .agg(max($"n").as("n_bigrams"), max($"db").as("distinct_bigrams"),
+            sum($"term").cast("long").as("entropy_e9"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH pos AS MATERIALIZED (
+          SELECT doc_id, text, unnest(generate_series(1, length(text)-1)) AS i
+          FROM documents WHERE length(text) >= 2),
+        bgc AS MATERIALIZED (
+          SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS b, COUNT(*) AS c
+          FROM pos GROUP BY 1, 2),
+        tot AS MATERIALIZED (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS distinct_bigrams
+          FROM bgc GROUP BY 1)
+        SELECT t.doc_id, t.n AS n_bigrams, t.distinct_bigrams,
+          CAST(SUM(CAST(FLOOR((CAST(c AS DOUBLE)/CAST(t.n AS DOUBLE))
+               * ln(CAST(t.n AS DOUBLE)/CAST(c AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_e9
+        FROM bgc b JOIN tot t USING (doc_id)
+        GROUP BY t.doc_id, t.n, t.distinct_bigrams
+        ORDER BY t.doc_id"""))
   )
 }

@@ -528,6 +528,53 @@ object Events {
           SELECT path, n,
                  CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rnk
           FROM paths)
-        WHERE rnk <= 20 ORDER BY rnk"""))
+        WHERE rnk <= 20 ORDER BY rnk""")),
+
+    QueryDef("e17_gap_fill",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Time-series gap filling + forward fill: materialize EVERY hour
+        // in each event_type's observed span (dashboards and training
+        // pipelines need explicit zeros, not absent rows) and carry the
+        // last known hourly revenue across empty hours. The grid is
+        // derived per key with sequence()+explode — an aggregate-sized
+        // shuffle followed by a distributed explode, never a driver-side
+        // loop — so at 100 TB the grid costs |types| x span-hours rows
+        // regardless of event volume. The heavy lifting stays in the
+        // (type, hour) pre-aggregation, which is map-side partial; the
+        // forward-fill window runs per type over POST-AGGREGATION rows
+        // (8.8k rows/type/year), so the single-partition-per-key sort is
+        // structurally tiny no matter the input scale.
+        val counts = eventsTbl(s, dir)
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+          .agg(count(lit(1)).as("n"), sumExact($"value").as("rev"))
+        val spans = counts.groupBy($"event_type")
+          .agg(min($"hr").as("lo"), max($"hr").as("hi"))
+          .select($"event_type",
+            explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("hr"))
+        val w = Window.partitionBy($"event_type").orderBy($"hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spans.join(counts, Seq("event_type", "hr"), "left")
+          .select($"event_type",
+            date_format($"hr", "yyyy-MM-dd HH:mm:ss").as("hour"),
+            coalesce($"n", lit(0L)).as("n_events"),
+            last($"rev", ignoreNulls = true).over(w).as("rev_filled"))
+          .orderBy($"event_type", $"hour")
+      },
+      Some(s"""WITH counts AS MATERIALIZED (
+          SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                 COUNT(*) AS n, ${sumExactSql("value")} AS rev
+          FROM events GROUP BY 1, 2),
+        spans AS MATERIALIZED (
+          SELECT event_type,
+                 unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+          FROM counts GROUP BY event_type)
+        SELECT s.event_type, strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+          COALESCE(c.n, 0) AS n_events,
+          last_value(c.rev IGNORE NULLS) OVER (
+            PARTITION BY s.event_type ORDER BY s.hr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled
+        FROM spans s LEFT JOIN counts c ON s.event_type = c.event_type AND s.hr = c.hr
+        ORDER BY s.event_type, hour"""))
   )
 }

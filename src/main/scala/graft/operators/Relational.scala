@@ -586,7 +586,54 @@ object Relational {
         graft.Catalog.registerViews(s, dir)
         s.sql(GroupingSetsSql)
       },
-      Some(GroupingSetsSql))
+      Some(GroupingSetsSql)),
+
+    QueryDef("q30_merge_upsert",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // MERGE INTO (upsert) on the orders table via
+        // [[MergeUpsert]]: a deterministic update batch bumps the price
+        // of every 97th order (status → 'U') and inserts brand-new
+        // orders under shifted keys (status → 'N'); matched base rows
+        // are replaced, unmatched pass through. The oracle replays the
+        // identical anti-join + union in DuckDB, so the gate checks the
+        // MERGE SEMANTICS (exactly-once replacement, no lost rows), not
+        // just the summary arithmetic. Price bump is one IEEE multiply
+        // quantized to the cent grid — bit-identical cross-engine.
+        // Output is the per-status fingerprint of the merged table:
+        // updated/inserted rows surface under their own statuses, and a
+        // single lost or doubled row shifts n/total for its status.
+        val base = tbl(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val touched = base.filter($"o_orderkey" % 97 === 0)
+          .select($"o_orderkey",
+            floor($"o_totalprice" * lit(1.05) * 100 + lit(0.5)).cast("double")
+              .divide(lit(100)).as("o_totalprice"))
+        val updates = touched.select($"o_orderkey", lit("U").as("o_orderstatus"), $"o_totalprice")
+          .unionByName(touched.select(($"o_orderkey" + 100000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), $"o_totalprice"))
+        MergeUpsert(base, updates, Seq("o_orderkey"))
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), sumExact($"o_totalprice").as("total"))
+          .orderBy($"o_orderstatus")
+      },
+      Some(s"""WITH touched AS MATERIALIZED (
+          SELECT o_orderkey,
+                 FLOOR(o_totalprice * CAST(1.05 AS DOUBLE) * 100 + 0.5) / 100 AS o_totalprice
+          FROM orders WHERE o_orderkey % 97 = 0),
+        upd AS MATERIALIZED (
+          SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice FROM touched
+          UNION ALL
+          SELECT o_orderkey + 100000000, 'N', o_totalprice FROM touched),
+        merged AS (
+          SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+          FROM orders b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+          WHERE u.o_orderkey IS NULL
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd)
+        SELECT o_orderstatus, COUNT(*) AS n,
+               ${sumExactSql("o_totalprice")} AS total
+        FROM merged GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Shared with the write-side layout job ([[graft.plans.ZOrder]]): one
