@@ -633,7 +633,59 @@ object Relational {
           SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd)
         SELECT o_orderstatus, COUNT(*) AS n,
                ${sumExactSql("o_totalprice")} AS total
-        FROM merged GROUP BY 1 ORDER BY 1"""))
+        FROM merged GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q31_scd2",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // SCD Type 2 history build via [[Scd2]]: a deterministic update
+        // batch against the customer dimension — every 13th customer
+        // relocates segment (a CHANGE → close + new version), every 17th
+        // re-sends its current segment (a NO-OP → must create no
+        // version), and shifted keys arrive as brand-new customers (an
+        // INSERT → open row). The oracle replays close/version/insert
+        // with two joins in DuckDB, so the gate checks the versioning
+        // semantics row-for-row: one row per (key, valid_from), closed
+        // rows carry the update's effective date, no-ops are invisible.
+        val dim = tbl(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment",
+            lit("2024-01-01").as("valid_from"),
+            lit(null).cast("string").as("valid_to"))
+        val upd = tbl(s, dir, "customer")
+          .filter($"c_custkey" % 13 === 0 || $"c_custkey" % 17 === 0)
+          .select($"c_custkey",
+            when($"c_custkey" % 13 === 0, lit("RELOCATED"))
+              .otherwise($"c_mktsegment").as("c_mktsegment"),
+            lit("2024-02-01").as("eff"))
+          .unionByName(tbl(s, dir, "customer")
+            .filter($"c_custkey" % 13 === 0)
+            .select(($"c_custkey" + 10000L).as("c_custkey"),
+              lit("NEWCOMER").as("c_mktsegment"), lit("2024-02-01").as("eff")))
+        Scd2(dim, upd, Seq("c_custkey"), Seq("c_mktsegment"), "eff")
+          .orderBy($"c_custkey", $"valid_from")
+      },
+      Some("""WITH dim AS MATERIALIZED (
+          SELECT c_custkey, c_mktsegment,
+                 '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+          FROM customer),
+        upd AS MATERIALIZED (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 13 = 0 THEN 'RELOCATED' ELSE c_mktsegment END AS seg,
+                 '2024-02-01' AS eff
+          FROM customer WHERE c_custkey % 13 = 0 OR c_custkey % 17 = 0
+          UNION ALL
+          SELECT c_custkey + 10000, 'NEWCOMER', '2024-02-01'
+          FROM customer WHERE c_custkey % 13 = 0)
+        SELECT * FROM (
+          SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+                 CASE WHEN u.seg IS NOT NULL AND u.seg IS DISTINCT FROM d.c_mktsegment
+                      THEN u.eff END AS valid_to
+          FROM dim d LEFT JOIN upd u USING (c_custkey)
+          UNION ALL
+          SELECT u.c_custkey, u.seg, u.eff, NULL
+          FROM upd u LEFT JOIN dim d USING (c_custkey)
+          WHERE d.c_custkey IS NULL OR u.seg IS DISTINCT FROM d.c_mktsegment)
+        ORDER BY c_custkey, valid_from"""))
   )
 
   /** Shared with the write-side layout job ([[graft.plans.ZOrder]]): one

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SCD Type 2 — slowly-changing-dimension HISTORY tracking, the
+  * versioned complement to [[MergeUpsert]]'s last-writer-wins: applying
+  * an update batch to a dimension closes out each changed row
+  * (`valid_to` = effective time) and appends the new version
+  * (`valid_from` = effective time, `valid_to` NULL = current), keeps
+  * unchanged and untouched rows as-is, and inserts brand-new keys as
+  * open rows. A no-op update (same attribute values) creates NO version
+  * — change detection is null-safe per attribute.
+  *
+  * Plan shape and scale: one full-outer join of the OPEN slice of the
+  * history against the update batch (broadcast by default — dimension
+  * update batches are small; flag off for bulk loads), then every output
+  * row is emitted in a SINGLE pass via an array-of-structs explode (0-2
+  * rows per joined row), so the dimension is scanned once, not once per
+  * output class. Closed history rides through untouched via union. No
+  * driver-side work, no window, no sort.
+  */
+object Scd2 {
+
+  /** @param current   full history table: `keys ++ attrs ++ validFrom ++
+    *                  validTo` (open rows have null `validTo`)
+    * @param updates   `keys ++ attrs ++ effectiveCol`
+    * @param attrs     tracked attribute columns (a change in any opens a
+    *                  new version)
+    * @param effectiveCol column in `updates` carrying the effective
+    *                  time; must be strictly later than the open rows'
+    *                  `validFrom` for the history to stay well-ordered
+    */
+  def apply(current: DataFrame, updates: DataFrame, keys: Seq[String],
+      attrs: Seq[String], effectiveCol: String,
+      validFrom: String = "valid_from", validTo: String = "valid_to",
+      broadcastUpdates: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "scd2 requires at least one key column")
+    val needBase = keys ++ attrs :+ validFrom :+ validTo
+    val missingB = needBase.filterNot(current.columns.contains)
+    require(missingB.isEmpty, s"current lacks columns: ${missingB.mkString(",")}")
+    val needUpd = keys ++ attrs :+ effectiveCol
+    val missingU = needUpd.filterNot(updates.columns.contains)
+    require(missingU.isEmpty, s"updates lacks columns: ${missingU.mkString(",")}")
+
+    val open = current.filter(col(validTo).isNull)
+    val closed = current.filter(col(validTo).isNotNull)
+    // rename update payload so the join carries both sides unambiguously
+    val u = attrs.foldLeft(updates.select(needUpd.map(col): _*)) {
+      (df, a) => df.withColumnRenamed(a, s"_u_$a")
+    }.withColumnRenamed(effectiveCol, "_u_eff")
+    val uSide = if (broadcastUpdates) broadcast(u) else u
+    val j = open.join(uSide, keys, "full_outer")
+
+    val openPresent = col(validFrom).isNotNull
+    val updPresent = col("_u_eff").isNotNull
+    val changedCond: Column = attrs
+      .map(a => !(col(a) <=> col(s"_u_$a")))
+      .reduce(_ || _)
+
+    def rowStruct(attrCols: Seq[Column], from: Column, to: Column) =
+      struct(keys.map(col) ++ attrCols :+ from.as(validFrom) :+ to.as(validTo): _*)
+
+    val openAttrs = attrs.map(col)
+    val updAttrs = attrs.map(a => col(s"_u_$a").as(a))
+    val out = j.select(explode(array(
+      // open row survives: untouched, or update was a no-op → as-is;
+      // changed → closed at the update's effective time
+      when(openPresent && (!updPresent || !changedCond),
+        rowStruct(openAttrs, col(validFrom), col(validTo))),
+      when(openPresent && updPresent && changedCond,
+        rowStruct(openAttrs, col(validFrom), col("_u_eff"))),
+      // new version: changed key, or brand-new key
+      when(updPresent && (!openPresent || changedCond),
+        rowStruct(updAttrs, col("_u_eff"), lit(null).cast(
+          current.schema(validTo).dataType)))
+    )).as("_r"))
+      .filter(col("_r").isNotNull)
+      .select(col("_r.*"))
+    closed.select(out.columns.map(col): _*).unionByName(out)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.sinks
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** MERGE-mode streaming delivery: per-key current state in the
+  * warehouse, bucket-pruned rewrites, idempotent replay. Most tests
+  * drive the foreachBatch function directly (cross-batch ORDER is part
+  * of the contract, so the unit is exercised deterministically); one
+  * end-to-end runs the real writeStream path.
+  */
+class StreamingUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val db = "stream_upsert_test"
+
+  private def stateOf(table: String): Map[Long, (String, Double)] =
+    spark.table(s"`$db`.`$table`")
+      .select("k", "s", "v")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+
+  test("upsert applies insert, update, and tombstone delete across batches") {
+    val t = "cdc_basic"
+    val fn = StreamingUpsert.upsertBatch(t, Seq("k"),
+      tombstoneCol = Some("del"), numBuckets = 4, database = db)
+    fn(Seq((1L, "a", 1.0, false), (2L, "b", 2.0, false)).toDF("k", "s", "v", "del"), 0L)
+    assert(stateOf(t) == Map(1L -> ("a", 1.0), 2L -> ("b", 2.0)))
+    val batch2 = Seq((1L, "A", 10.0, false), (3L, "c", 3.0, false), (2L, "b", 0.0, true))
+      .toDF("k", "s", "v", "del")
+    fn(batch2, 1L)
+    val want = Map(1L -> ("A", 10.0), 3L -> ("c", 3.0)) // 2 deleted
+    assert(stateOf(t) == want)
+    // replaying the same batch (crash-replay) converges to the same state
+    fn(batch2, 1L)
+    assert(stateOf(t) == want)
+  }
+
+  test("a batch only rewrites the buckets its keys hash into") {
+    val t = "cdc_pruned"
+    val buckets = 4
+    val fn = StreamingUpsert.upsertBatch(t, Seq("k"), numBuckets = buckets, database = db)
+    // spread keys across buckets
+    val keys = (1L to 40L)
+    fn(keys.map(k => (k, "s", k.toDouble)).toDF("k", "s", "v"), 0L)
+    val touchedKey = 7L
+    val touchedBucket = spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.lit(touchedKey)),
+        org.apache.spark.sql.functions.lit(buckets.toLong))).head().getLong(0)
+    def bucketFiles(b: Long): Set[String] = {
+      val loc = new java.net.URI(spark.sql(s"DESCRIBE TABLE EXTENDED `$db`.`$t`")
+        .filter($"col_name" === "Location").head().getString(1)).getPath
+      val dir = new java.io.File(s"$loc/${StreamingUpsert.BucketCol}=$b")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().filterNot(_.getName.startsWith("_"))
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").toSet
+    }
+    val before = (0L until buckets).map(b => b -> bucketFiles(b)).toMap
+    assert(before.values.forall(_.nonEmpty), "every bucket should hold keys")
+    fn(Seq((touchedKey, "S", 99.0)).toDF("k", "s", "v"), 1L)
+    (0L until buckets).foreach { b =>
+      if (b == touchedBucket)
+        assert(bucketFiles(b) != before(b), s"touched bucket $b must be rewritten")
+      else
+        assert(bucketFiles(b) == before(b), s"untouched bucket $b was rewritten")
+    }
+    assert(stateOf(t)(touchedKey) == ("S", 99.0))
+    assert(stateOf(t).size == 40)
+  }
+
+  test("orderBy resolves multiple versions of a key within one batch") {
+    val t = "cdc_versions"
+    val fn = StreamingUpsert.upsertBatch(t, Seq("k"), orderBy = Seq("ver"), database = db)
+    fn(Seq((1L, "old", 1.0, 1L), (1L, "new", 2.0, 2L), (2L, "x", 5.0, 1L))
+      .toDF("k", "s", "v", "ver"), 0L)
+    val got = spark.table(s"`$db`.`cdc_versions`").select("k", "s")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "new", 2L -> "x"))
+  }
+
+  test("duplicate keys without orderBy, wrong bucket count, reserved column all fail loudly") {
+    val t = "cdc_guards"
+    val fn = StreamingUpsert.upsertBatch(t, Seq("k"), numBuckets = 4, database = db)
+    val dup = intercept[IllegalStateException](
+      fn(Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("k", "s", "v"), 0L))
+    assert(dup.getMessage.contains("orderBy"))
+    fn(Seq((1L, "a", 1.0)).toDF("k", "s", "v"), 0L) // creates with 4 buckets
+    val wrong = intercept[IllegalStateException](
+      StreamingUpsert.upsertBatch(t, Seq("k"), numBuckets = 8, database = db)(
+        Seq((2L, "b", 2.0)).toDF("k", "s", "v"), 1L))
+    assert(wrong.getMessage.contains("numBuckets=4"))
+    intercept[IllegalArgumentException](
+      fn(Seq((1L, "a", 1.0)).toDF("k", "s", StreamingUpsert.BucketCol), 2L))
+    intercept[IllegalArgumentException](
+      StreamingUpsert.upsertBatch(t, Seq("absent"), database = db)(
+        Seq((1L, "a", 1.0)).toDF("k", "s", "v"), 3L))
+  }
+
+  test("end-to-end: a file CDC stream delivers last-writer-wins state; full replay is a no-op") {
+    val srcDir = Files.createTempDirectory("upsrc").toString
+    // two files → two micro-batches (maxFilesPerTrigger=1); file 2 is
+    // written after file 1 so discovery order matches CDC order
+    Seq((1L, "a", 1.0, 1L, false), (2L, "b", 2.0, 2L, false))
+      .toDF("k", "s", "v", "ver", "del").coalesce(1).write.mode("append").parquet(srcDir)
+    Thread.sleep(100) // distinct mtimes → deterministic file-discovery order
+    Seq((1L, "A", 9.0, 3L, false), (2L, "gone", 0.0, 4L, true), (3L, "c", 3.0, 5L, false))
+      .toDF("k", "s", "v", "ver", "del").coalesce(1).write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      StreamingUpsert.startUpsert(src, "cdc_e2e", Seq("k"),
+        Files.createTempDirectory("upcp").toString, orderBy = Seq("ver"),
+        tombstoneCol = Some("del"), database = db).awaitTermination()
+    }
+    run()
+    val want = Map(1L -> ("A", 9.0), 3L -> ("c", 3.0))
+    assert(stateOf("cdc_e2e") == want)
+    // fresh checkpoint, same source: every batch re-merges to the same state
+    run()
+    assert(stateOf("cdc_e2e") == want)
+  }
+}
