@@ -924,6 +924,69 @@ object Documents {
         FROM toks JOIN cnt USING (term), n
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    QueryDef("t15_bigram_lm_xent",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // t09's quality signal one order up: per-doc cross-entropy
+        // against an INTERPOLATED BIGRAM LM (0.75·p(w|prev) + 0.25·p(w),
+        // Jelinek-Mercer smoothing) — catches shuffled-word salad that
+        // unigram xent scores as perfectly natural, the standard
+        // fluency-vs-topicality split in corpus filtering. Bigram pairs
+        // are generated MAP-SIDE from the token array (transform over
+        // positions — no window, no self-join); p(w|prev) = cb/cl with
+        // cl the bigram-table marginal (self-consistent: conditionals
+        // sum to 1 per prev). Each position's −ln(λ·pb+(1−λ)·pu) is
+        // quantized to the 1e-9 grid as BIGINT before the per-doc sum
+        // (t07/t09's ln discipline), mean is floor division. λ terms are
+        // computed in the IDENTICAL association order in both engines.
+        // Scale: the heavy shuffles are the (prev,cur)/(prev)/(term)
+        // count tables (vocab-bounded) and the pair→doc_id regroup —
+        // t09's shape plus one join; single-token docs drop out of both
+        // engines identically.
+        val arr = toked(s, dir).select($"doc_id", $"toks")
+          .filter(size($"toks") >= 2)
+        val pairs = arr.select($"doc_id", explode(expr(
+            "transform(sequence(2, size(toks), 1), " +
+              "i -> struct(toks[i-2] AS prev, toks[i-1] AS cur))")).as("p"))
+          .select($"doc_id", $"p.prev".as("prev"), $"p.cur".as("cur"))
+        val big = pairs.groupBy($"prev", $"cur").agg(count(lit(1)).as("cb"))
+        val lft = pairs.groupBy($"prev").agg(count(lit(1)).as("cl"))
+        val toks = toked(s, dir).select(explode($"toks").as("term"))
+        val uni = toks.groupBy($"term").agg(count(lit(1)).as("cu"))
+        val tot = toks.agg(count(lit(1)).cast("double").as("t"))
+        pairs.join(big, Seq("prev", "cur")).join(lft, Seq("prev"))
+          .join(uni, $"cur" === $"term").crossJoin(broadcast(tot))
+          .withColumn("c_e9", floor(
+            -log(lit(0.75) * ($"cb".cast("double") / $"cl".cast("double"))
+              + lit(0.25) * ($"cu".cast("double") / $"t")) * lit(1e9) + lit(0.5))
+            .cast("long"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_pairs"), sum($"c_e9").as("s_e9"))
+          .withColumn("xent_e9", expr("s_e9 div n_pairs"))
+          .select($"doc_id", $"n_pairs", $"xent_e9")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toksarr AS MATERIALIZED (
+          SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        toks AS MATERIALIZED (SELECT doc_id, unnest(a) AS term FROM toksarr),
+        pos AS MATERIALIZED (
+          SELECT doc_id, a, unnest(generate_series(2, len(a))) AS i
+          FROM toksarr WHERE len(a) >= 2),
+        pairs AS MATERIALIZED (
+          SELECT doc_id, a[CAST(i AS INTEGER)-1] AS prev, a[CAST(i AS INTEGER)] AS cur FROM pos),
+        big AS MATERIALIZED (SELECT prev, cur, COUNT(*) AS cb FROM pairs GROUP BY 1, 2),
+        lft AS MATERIALIZED (SELECT prev, COUNT(*) AS cl FROM pairs GROUP BY 1),
+        uni AS MATERIALIZED (SELECT term, COUNT(*) AS cu FROM toks GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks)
+        SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(CAST(SUM(CAST(FLOOR(
+            -ln(CAST(0.75 AS DOUBLE) * (CAST(cb AS DOUBLE) / CAST(cl AS DOUBLE))
+              + CAST(0.25 AS DOUBLE) * (CAST(cu AS DOUBLE) / n.t)) * 1000000000.0 + 0.5)
+            AS BIGINT)) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS xent_e9
+        FROM pairs p JOIN big USING (prev, cur) JOIN lft USING (prev)
+          JOIN uni ON p.cur = uni.term, n
+        GROUP BY p.doc_id ORDER BY p.doc_id""")),
+
     QueryDef("t06_rolling_hash",
       (s: SparkSession, dir: String) => {
         import s.implicits._

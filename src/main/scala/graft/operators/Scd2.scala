@@ -12,13 +12,26 @@ import org.apache.spark.sql.functions._
   * open rows. A no-op update (same attribute values) creates NO version
   * — change detection is null-safe per attribute.
   *
-  * Plan shape and scale: one full-outer join of the OPEN slice of the
-  * history against the update batch (broadcast by default — dimension
-  * update batches are small; flag off for bulk loads), then every output
-  * row is emitted in a SINGLE pass via an array-of-structs explode (0-2
-  * rows per joined row), so the dimension is scanned once, not once per
-  * output class. Closed history rides through untouched via union. No
-  * driver-side work, no window, no sort.
+  * Plan shape and scale. The naive formulation is one FULL OUTER join of
+  * the open history slice against the updates — but Spark cannot
+  * broadcast a full outer join (no BroadcastHashJoin support), so the
+  * hint is silently ignored and the WHOLE dimension shuffles into a
+  * SortMergeJoin (caught by this operator's plan audit). The default
+  * (small update batch) path therefore decomposes into broadcast-only
+  * joins with ZERO dimension shuffle:
+  *   - open LEFT OUTER broadcast(updates): closed rows, unchanged rows
+  *     and changed-key new versions, emitted in a single pass via an
+  *     array-of-structs explode (1-2 rows per joined row);
+  *   - open LEFT SEMI broadcast(update keys): the matched key set —
+  *     output is AT MOST update-batch-sized;
+  *   - updates LEFT ANTI broadcast(matched keys): the inserts —
+  *     a batch-sized × batch-sized join.
+  * The dimension is scanned twice (map-side both times, pruned to
+  * keys+attrs), which beats one full shuffle of it at any real scale.
+  * With `broadcastUpdates = false` (bulk loads whose batch won't fit an
+  * executor) the full-outer shuffle plan is used instead. Closed history
+  * rides through untouched via union. No driver-side work, no window,
+  * no sort.
   */
 object Scd2 {
 
@@ -50,7 +63,6 @@ object Scd2 {
       (df, a) => df.withColumnRenamed(a, s"_u_$a")
     }.withColumnRenamed(effectiveCol, "_u_eff")
     val uSide = if (broadcastUpdates) broadcast(u) else u
-    val j = open.join(uSide, keys, "full_outer")
 
     val openPresent = col(validFrom).isNotNull
     val updPresent = col("_u_eff").isNotNull
@@ -63,20 +75,46 @@ object Scd2 {
 
     val openAttrs = attrs.map(col)
     val updAttrs = attrs.map(a => col(s"_u_$a").as(a))
-    val out = j.select(explode(array(
-      // open row survives: untouched, or update was a no-op → as-is;
-      // changed → closed at the update's effective time
-      when(openPresent && (!updPresent || !changedCond),
-        rowStruct(openAttrs, col(validFrom), col(validTo))),
-      when(openPresent && updPresent && changedCond,
-        rowStruct(openAttrs, col(validFrom), col("_u_eff"))),
-      // new version: changed key, or brand-new key
-      when(updPresent && (!openPresent || changedCond),
-        rowStruct(updAttrs, col("_u_eff"), lit(null).cast(
-          current.schema(validTo).dataType)))
-    )).as("_r"))
-      .filter(col("_r").isNotNull)
-      .select(col("_r.*"))
+    val nullTo = lit(null).cast(current.schema(validTo).dataType)
+
+    val out =
+      if (broadcastUpdates) {
+        // broadcast-only decomposition: no dimension shuffle anywhere
+        val j = open.join(uSide, keys, "left_outer")
+        val fromOpen = j.select(explode(array(
+          // open row survives: untouched, or update was a no-op → as-is;
+          // changed → closed at the update's effective time
+          when(!updPresent || !changedCond,
+            rowStruct(openAttrs, col(validFrom), col(validTo))),
+          when(updPresent && changedCond,
+            rowStruct(openAttrs, col(validFrom), col("_u_eff"))),
+          when(updPresent && changedCond,
+            rowStruct(updAttrs, col("_u_eff"), nullTo))
+        )).as("_r"))
+          .filter(col("_r").isNotNull)
+          .select(col("_r.*"))
+        val matched = open.select(keys.map(col): _*)
+          .join(broadcast(u.select(keys.map(col): _*)), keys, "left_semi")
+        val inserts = u.join(broadcast(matched), keys, "left_anti")
+          .select(keys.map(col) ++ updAttrs :+ col("_u_eff").as(validFrom)
+            :+ nullTo.as(validTo): _*)
+        fromOpen.unionByName(inserts)
+      } else {
+        // bulk path: the update batch is too big to broadcast — one
+        // full-outer shuffle join, single-pass emission
+        val j = open.join(uSide, keys, "full_outer")
+        j.select(explode(array(
+          when(openPresent && (!updPresent || !changedCond),
+            rowStruct(openAttrs, col(validFrom), col(validTo))),
+          when(openPresent && updPresent && changedCond,
+            rowStruct(openAttrs, col(validFrom), col("_u_eff"))),
+          // new version: changed key, or brand-new key
+          when(updPresent && (!openPresent || changedCond),
+            rowStruct(updAttrs, col("_u_eff"), nullTo))
+        )).as("_r"))
+          .filter(col("_r").isNotNull)
+          .select(col("_r.*"))
+      }
     closed.select(out.columns.map(col): _*).unionByName(out)
   }
 }

@@ -13,23 +13,37 @@ class Scd2Spec extends SparkSpec {
   private def hist(rows: (Long, String, Option[String], String, Option[String])*) =
     rows.toDF("k", "seg", "tier", "valid_from", "valid_to")
 
-  test("change closes the open row and opens a new version; no-op and untouched rows pass through") {
-    val current = hist(
-      (1L, "A", Some("gold"), "2024-01-01", None),  // will change
-      (2L, "B", Some("silver"), "2024-01-01", None), // no-op update
-      (3L, "C", Some("bronze"), "2024-01-01", None)) // untouched
-    val updates = Seq(
-      (1L, "A2", Some("gold"), "2024-02-01"),
-      (2L, "B", Some("silver"), "2024-02-01"))
-      .toDF("k", "seg", "tier", "eff")
-    val got = Scd2(current, updates, Seq("k"), Seq("seg", "tier"), "eff")
-      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(3)),
-        Option(r.getString(4)))).toSet
-    assert(got == Set(
-      (1L, "A", Some("2024-01-01"), Some("2024-02-01")), // closed
-      (1L, "A2", Some("2024-02-01"), None),              // new version
-      (2L, "B", Some("2024-01-01"), None),               // no-op: unchanged
-      (3L, "C", Some("2024-01-01"), None)))              // untouched
+  for (bc <- Seq(true, false))
+    test(s"change closes + reopens, no-op and untouched pass through, new key inserts (broadcast=$bc)") {
+      val current = hist(
+        (1L, "A", Some("gold"), "2024-01-01", None),  // will change
+        (2L, "B", Some("silver"), "2024-01-01", None), // no-op update
+        (3L, "C", Some("bronze"), "2024-01-01", None)) // untouched
+      val updates = Seq(
+        (1L, "A2", Some("gold"), "2024-02-01"),
+        (2L, "B", Some("silver"), "2024-02-01"),
+        (9L, "N", Some("basic"), "2024-02-01"))
+        .toDF("k", "seg", "tier", "eff")
+      val got = Scd2(current, updates, Seq("k"), Seq("seg", "tier"), "eff",
+          broadcastUpdates = bc)
+        .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(3)),
+          Option(r.getString(4)))).toSet
+      assert(got == Set(
+        (1L, "A", Some("2024-01-01"), Some("2024-02-01")), // closed
+        (1L, "A2", Some("2024-02-01"), None),              // new version
+        (2L, "B", Some("2024-01-01"), None),               // no-op: unchanged
+        (3L, "C", Some("2024-01-01"), None),               // untouched
+        (9L, "N", Some("2024-02-01"), None)))              // inserted
+    }
+
+  test("default path is broadcast-only: the dimension never shuffles into a SortMergeJoin") {
+    val current = hist((1L, "A", Some("gold"), "2024-01-01", None))
+    val updates = Seq((1L, "A2", Some("gold"), "2024-02-01")).toDF("k", "seg", "tier", "eff")
+    val plan = Scd2(current, updates, Seq("k"), Seq("seg", "tier"), "eff")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"full-outer fallback leaked into the broadcast path:\n$plan")
   }
 
   test("brand-new keys insert as open rows; closed history is untouched") {
