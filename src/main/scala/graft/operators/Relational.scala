@@ -659,7 +659,7 @@ object Relational {
             lit("2024-02-01").as("eff"))
           .unionByName(tbl(s, dir, "customer")
             .filter($"c_custkey" % 13 === 0)
-            .select(($"c_custkey" + 10000L).as("c_custkey"),
+            .select(($"c_custkey" + 10000000L).as("c_custkey"),
               lit("NEWCOMER").as("c_mktsegment"), lit("2024-02-01").as("eff")))
         Scd2(dim, upd, Seq("c_custkey"), Seq("c_mktsegment"), "eff")
           .orderBy($"c_custkey", $"valid_from")
@@ -674,7 +674,7 @@ object Relational {
                  '2024-02-01' AS eff
           FROM customer WHERE c_custkey % 13 = 0 OR c_custkey % 17 = 0
           UNION ALL
-          SELECT c_custkey + 10000, 'NEWCOMER', '2024-02-01'
+          SELECT c_custkey + 10000000, 'NEWCOMER', '2024-02-01'
           FROM customer WHERE c_custkey % 13 = 0)
         SELECT * FROM (
           SELECT d.c_custkey, d.c_mktsegment, d.valid_from,

@@ -37,7 +37,11 @@ object Scd2 {
 
   /** @param current   full history table: `keys ++ attrs ++ validFrom ++
     *                  validTo` (open rows have null `validTo`)
-    * @param updates   `keys ++ attrs ++ effectiveCol`
+    * @param updates   `keys ++ attrs ++ effectiveCol`; must be KEY-UNIQUE
+    *                  ([[MergeUpsert]]'s contract — enforce upstream, e.g.
+    *                  [[graft.sinks.StreamingUpsert.latestPerKey]]): a
+    *                  duplicated update key would open two same-time
+    *                  versions of the row
     * @param attrs     tracked attribute columns (a change in any opens a
     *                  new version)
     * @param effectiveCol column in `updates` carrying the effective
