@@ -950,7 +950,11 @@ object Documents {
               "i -> struct(toks[i-2] AS prev, toks[i-1] AS cur))")).as("p"))
           .select($"doc_id", $"p.prev".as("prev"), $"p.cur".as("cur"))
         val big = pairs.groupBy($"prev", $"cur").agg(count(lit(1)).as("cb"))
-        val lft = pairs.groupBy($"prev").agg(count(lit(1)).as("cl"))
+        // the left marginal is the bigram table's own row-sum — derive it
+        // from `big` (vocab²-bounded input) instead of re-scanning and
+        // re-exploding the whole corpus (plan audit: saved one of four
+        // corpus passes; identical counts by construction)
+        val lft = big.groupBy($"prev").agg(sum($"cb").as("cl"))
         val toks = toked(s, dir).select(explode($"toks").as("term"))
         val uni = toks.groupBy($"term").agg(count(lit(1)).as("cu"))
         val tot = toks.agg(count(lit(1)).cast("double").as("t"))

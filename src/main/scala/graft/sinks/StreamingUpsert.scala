@@ -181,11 +181,33 @@ object StreamingUpsert {
       checkpointDir: String, orderBy: Seq[String] = Nil, numBuckets: Int = 64,
       tombstoneCol: Option[String] = None,
       database: String = WarehouseSink.DefaultDatabase,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      outputMode: String = "append"): StreamingQuery =
     df.writeStream
-      .outputMode("append")
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch(upsertBatch(table, keys, orderBy, numBuckets, tombstoneCol, database))
       .start()
+
+  /** Incrementally-maintained MATERIALIZED VIEW: an UNWINDOWED streaming
+    * aggregation (running totals per key — the view no tumbling window
+    * can express) delivered through the MERGE sink. Update-mode
+    * aggregation re-emits each key's FULL current aggregate row whenever
+    * a batch changes it — exactly an upsert stream — so the warehouse
+    * table always equals the batch aggregate over everything ingested:
+    * per batch, only CHANGED keys are written, and only their buckets
+    * rewrite. `aggregated` must be the result of `groupBy(keys).agg(...)`
+    * on a watermark-free stream (a watermarked agg would drop late rows
+    * that a from-scratch batch query counts; state is O(keys), the
+    * inherent floor for a keyed running total). Replay safety is the
+    * merge sink's: re-delivering a batch re-writes the same values.
+    */
+  def startMaterializedAgg(aggregated: DataFrame, table: String,
+      keys: Seq[String], checkpointDir: String, numBuckets: Int = 64,
+      database: String = WarehouseSink.DefaultDatabase,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startUpsert(aggregated, table, keys, checkpointDir,
+      numBuckets = numBuckets, database = database, trigger = trigger,
+      outputMode = "update")
 }

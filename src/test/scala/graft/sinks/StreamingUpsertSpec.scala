@@ -97,6 +97,32 @@ class StreamingUpsertSpec extends SparkSpec {
         Seq((1L, "a", 1.0)).toDF("k", "s", "v"), 3L))
   }
 
+  test("materialized view: update-mode aggregate + merge sink equals the batch aggregate") {
+    val srcDir = Files.createTempDirectory("mvsrc").toString
+    // three files → three micro-batches; keys recur across batches so
+    // the view genuinely updates (not just inserts)
+    Seq((1L, 10.0), (2L, 5.0)).toDF("k", "v").coalesce(1).write.mode("append").parquet(srcDir)
+    Thread.sleep(100)
+    Seq((1L, 7.0), (3L, 1.0)).toDF("k", "v").coalesce(1).write.mode("append").parquet(srcDir)
+    Thread.sleep(100)
+    Seq((2L, 2.0), (1L, 3.0)).toDF("k", "v").coalesce(1).write.mode("append").parquet(srcDir)
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val agg = src.groupBy($"k").agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+      org.apache.spark.sql.functions.sum($"v").as("total"))
+    StreamingUpsert.startMaterializedAgg(agg, "mv_totals", Seq("k"),
+      Files.createTempDirectory("mvcp").toString, numBuckets = 4, database = db)
+      .awaitTermination()
+    val got = spark.table(s"`$db`.`mv_totals`").select("k", "n", "total")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(
+      1L -> (3L, 20.0), 2L -> (2L, 7.0), 3L -> (1L, 1.0)),
+      s"view diverged from the batch aggregate: $got")
+  }
+
   test("end-to-end: a file CDC stream delivers last-writer-wins state; full replay is a no-op") {
     val srcDir = Files.createTempDirectory("upsrc").toString
     // two files → two micro-batches (maxFilesPerTrigger=1); file 2 is
