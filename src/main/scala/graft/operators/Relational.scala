@@ -685,7 +685,39 @@ object Relational {
           SELECT u.c_custkey, u.seg, u.eff, NULL
           FROM upd u LEFT JOIN dim d USING (c_custkey)
           WHERE d.c_custkey IS NULL OR u.seg IS DISTINCT FROM d.c_mktsegment)
-        ORDER BY c_custkey, valid_from"""))
+        ORDER BY c_custkey, valid_from""")),
+
+    QueryDef("q32_unpivot",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // wide-to-long melt via Spark's native unpivot (SQL UNPIVOT /
+        // pandas melt): four measure columns become (measure, value)
+        // pairs, then a per-measure fingerprint aggregate. The oracle
+        // spells the same relation as a UNION ALL (the canonical
+        // unpivot desugaring), so the gate checks the reshape itself —
+        // row multiplication, measure labels, null handling — not just
+        // the sums. unpivot is a NARROW map-side generator (each input
+        // row emits its 4 pairs in place); the only shuffle is the
+        // 4-group aggregate, with map-side partials.
+        tbl(s, dir, "lineitem")
+          .unpivot(
+            ids = Array($"l_orderkey"),
+            values = Array($"l_discount", $"l_extendedprice", $"l_quantity", $"l_tax"),
+            variableColumnName = "measure",
+            valueColumnName = "value")
+          .groupBy($"measure")
+          .agg(count(lit(1)).as("n"), sumExact($"value").as("total"),
+            countDistinct($"l_orderkey").as("n_orders"))
+          .orderBy($"measure")
+      },
+      Some(s"""WITH m AS (
+          SELECT l_orderkey, 'l_discount' AS measure, l_discount AS value FROM lineitem
+          UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL SELECT l_orderkey, 'l_quantity', l_quantity FROM lineitem
+          UNION ALL SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+        SELECT measure, COUNT(*) AS n, ${sumExactSql("value")} AS total,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM m GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Shared with the write-side layout job ([[graft.plans.ZOrder]]): one
