@@ -116,6 +116,19 @@ object StreamingUpsert {
               // layout. Meta is written AFTER the table — a crash between
               // the two replays this batch against case Some below only
               // if meta landed; against None (a clean re-create) if not.
+              // A PRE-EXISTING table without meta is only overwritable if
+              // it carries our _kb partition layout (i.e. it IS the
+              // crash-window half-delivery); anything else is a foreign
+              // table and silently destroying it would lose user data —
+              // fail loudly instead (StreamingDelivery's foreign-ledger
+              // discipline).
+              if (spark.catalog.tableExists(s"$database.$table") &&
+                  !spark.catalog.listColumns(s"$database.$table").collect()
+                    .exists(c => c.isPartition && c.name == BucketCol))
+                throw new IllegalStateException(
+                  s"$q exists but is not an upsert-delivered table (no " +
+                    s"$BucketCol partition layout, no {table}_upsert_meta) — " +
+                    "refusing to overwrite it; deliver to a fresh table")
               upserts.write.mode(SaveMode.Overwrite).format("parquet")
                 .partitionBy(BucketCol).saveAsTable(q)
               import spark.implicits._

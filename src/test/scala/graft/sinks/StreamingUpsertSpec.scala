@@ -97,6 +97,19 @@ class StreamingUpsertSpec extends SparkSpec {
         Seq((1L, "a", 1.0)).toDF("k", "s", "v"), 3L))
   }
 
+  test("a pre-existing foreign table is never silently overwritten") {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    Seq((1L, "precious", 1.0)).toDF("k", "s", "v")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"`$db`.`foreign_tbl`")
+    val e = intercept[IllegalStateException](
+      StreamingUpsert.upsertBatch("foreign_tbl", Seq("k"), database = db)(
+        Seq((2L, "b", 2.0)).toDF("k", "s", "v"), 0L))
+    assert(e.getMessage.contains("refusing to overwrite"))
+    // the foreign data is untouched
+    assert(spark.table(s"`$db`.`foreign_tbl`").collect()
+      .map(_.getString(1)).toSeq == Seq("precious"))
+  }
+
   test("materialized view: update-mode aggregate + merge sink equals the batch aggregate") {
     val srcDir = Files.createTempDirectory("mvsrc").toString
     // three files → three micro-batches; keys recur across batches so
