@@ -203,6 +203,45 @@ object StreamingUpsert {
       .foreachBatch(upsertBatch(table, keys, orderBy, numBuckets, tombstoneCol, database))
       .start()
 
+  /** Compact an upsert-delivered table's buckets: every micro-batch
+    * rewrite leaves one file set per touched bucket, so after N batches
+    * a hot bucket holds O(N) small files and scans degrade (the classic
+    * small-files problem). Compaction rewrites each bucket into a single
+    * file: `repartition(numBuckets, _kb)` routes every bucket's rows to
+    * exactly one task (a hash collision just means one task writes two
+    * partition dirs — still one file each), and dynamic partition
+    * overwrite swaps whole bucket dirs, so a crash mid-compaction leaves
+    * each bucket either compacted or untouched — both complete, rerun to
+    * finish. Run it out-of-band between deliveries (it takes no lock; a
+    * CONCURRENT upsert batch could lose its rewrite to the compactor's
+    * overwrite, the usual single-writer-per-table rule).
+    */
+  def compact(spark: SparkSession, table: String,
+      database: String = WarehouseSink.DefaultDatabase): Unit = {
+    WarehouseSink.requireIdent(database, "database")
+    WarehouseSink.requireIdent(table, "destination table")
+    val buckets = readMetaBuckets(spark, database, table).getOrElse(
+      throw new IllegalStateException(
+        s"${qualified(database, table)} has no {table}_upsert_meta — " +
+          "only upsert-delivered tables can be compacted"))
+    val q = qualified(database, table)
+    val snap = spark.table(q)
+      .repartition(buckets, col(BucketCol)).localCheckpoint()
+    try {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try snap.select(spark.table(q).columns.map(col): _*)
+        .write.mode(SaveMode.Overwrite).insertInto(q)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.catalog.refreshTable(s"$database.$table")
+      SparkSession.getDefaultSession.filter(_ ne spark)
+        .foreach(_.catalog.refreshTable(s"$database.$table"))
+    } finally snap.unpersist(blocking = false)
+  }
+
   /** Incrementally-maintained MATERIALIZED VIEW: an UNWINDOWED streaming
     * aggregation (running totals per key — the view no tumbling window
     * can express) delivered through the MERGE sink. Update-mode

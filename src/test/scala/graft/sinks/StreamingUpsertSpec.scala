@@ -97,6 +97,37 @@ class StreamingUpsertSpec extends SparkSpec {
         Seq((1L, "a", 1.0)).toDF("k", "s", "v"), 3L))
   }
 
+  test("compaction folds each bucket's accumulated files into one, data intact") {
+    val t = "cdc_compact"
+    val fn = StreamingUpsert.upsertBatch(t, Seq("k"), numBuckets = 4, database = db)
+    // several batches over recurring keys → multiple file sets per bucket
+    (0 to 4).foreach { b =>
+      fn((1L to 20L).map(k => (k, s"v$b", k.toDouble + b)).toDF("k", "s", "v"), b.toLong)
+    }
+    val before = stateOf(t)
+    def filesPerBucket: Map[Long, Int] = {
+      val loc = new java.net.URI(spark.sql(s"DESCRIBE TABLE EXTENDED `$db`.`$t`")
+        .filter($"col_name" === "Location").head().getString(1)).getPath
+      (0L until 4L).map { b =>
+        val dir = new java.io.File(s"$loc/${StreamingUpsert.BucketCol}=$b")
+        b -> (if (dir.exists())
+          dir.listFiles().count(f => !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+        else 0)
+      }.toMap
+    }
+    assert(filesPerBucket.values.exists(_ > 1), "fixture produced no fragmentation")
+    StreamingUpsert.compact(spark, t, database = db)
+    val after = filesPerBucket
+    assert(after.values.forall(_ == 1), s"buckets not fully compacted: $after")
+    assert(stateOf(t) == before, "compaction changed the data")
+    // compacted table still accepts deliveries
+    fn(Seq((1L, "post", 0.0)).toDF("k", "s", "v"), 9L)
+    assert(stateOf(t)(1L) == ("post", 0.0))
+    // a non-upsert table is rejected
+    intercept[IllegalStateException](
+      StreamingUpsert.compact(spark, "never_delivered", database = db))
+  }
+
   test("a pre-existing foreign table is never silently overwritten") {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
     Seq((1L, "precious", 1.0)).toDF("k", "s", "v")
