@@ -152,9 +152,17 @@ object Bench {
     // an invalid 482s artifact in round 7). Failed runs go to a
     // .failed.json sibling so the evidence survives without becoming
     // the record.
+    // The bare name is reserved for the OFFICIAL scale (sf0.1): a smoke
+    // run at another SF would otherwise silently replace the canonical
+    // artifact with numbers measured on different data — the same
+    // integrity failure the failed-run quarantine exists for. Other SFs
+    // get a suffixed sibling (BENCH_full.sf0.001.json).
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val defaultName =
+      if (sfName == "sf0.1") "BENCH_full.json" else s"BENCH_full.$sfName.json"
     val basePath = sys.env.get("SPARK_GRAFT_BENCH_FULL").map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_REPO", "."), "BENCH_full.json"))
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "."), defaultName))
     val fullPath =
       if (failures.isEmpty) basePath
       else basePath.resolveSibling(
