@@ -1448,25 +1448,44 @@ object Documents {
         // BIGINT before the per-doc sum (t07/t09's ln discipline: JVM
         // Math.log and libm differ by ulps, integer sums don't), so the
         // fold is order-independent and cross-engine exact.
-        // Scale shape: bigram expansion is a narrow generator (~1 output
-        // row per input char); the only shuffles are the (doc_id,bigram)
-        // count and the doc_id window/final agg — both partial-agg
-        // friendly, nothing driver-side, and per-doc state is bounded by
-        // the alphabet squared, not corpus size. Docs under 2 chars have
-        // no bigrams and drop out of BOTH engines identically.
-        val wd = Window.partitionBy($"doc_id")
-        tbl(s, dir, "documents")
+        // Scale shape: entropy is a PER-DOC statistic with state bounded
+        // by the alphabet squared, so it needs no shuffle at all — the
+        // original declarative form (explode → (doc_id, bigram) count →
+        // doc window) pushed ~1 row per input char through a corpus-
+        // sized exchange and probed 3.0-3.2 s warm at sf0.1; this
+        // per-partition kernel folds each doc's bigram histogram in a
+        // local map and emits one row per doc map-side (the d04-kernel
+        // justification for mapPartitions: genuinely per-row imperative
+        // aggregation). Only the final presentation sort exchanges.
+        // Quantization identical to the declarative form: per distinct
+        // bigram floor((c/n)·ln(n/c)·1e9+0.5) summed in i64 (JVM
+        // Math.log and DuckDB ln agree within the grid — t07's
+        // discipline). Chars are UTF-16 units vs the oracle's
+        // codepoints: identical on this corpus (ASCII, t06's ascii()
+        // assumption) — astral-plane text would need codePointAt.
+        val ds = tbl(s, dir, "documents")
           .filter(length($"text") >= 2)
-          .select($"doc_id", explode(expr(
-            "transform(sequence(1, length(text)-1, 1), i -> substring(text, i, 2))")).as("b"))
-          .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
-          .withColumn("n", sum($"c").over(wd).cast("long"))
-          .withColumn("db", count(lit(1)).over(wd).cast("long"))
-          .withColumn("term", floor(($"c".cast("double") / $"n".cast("double"))
-            * log($"n".cast("double") / $"c".cast("double")) * 1e9 + lit(0.5)).cast("long"))
-          .groupBy($"doc_id")
-          .agg(max($"n").as("n_bigrams"), max($"db").as("distinct_bigrams"),
-            sum($"term").cast("long").as("entropy_e9"))
+          .select($"doc_id", $"text").as[(Long, String)]
+        ds.mapPartitions { it =>
+          it.map { case (id, text) =>
+            val m = new java.util.HashMap[Int, Long]()
+            val n = text.length - 1
+            var i = 0
+            while (i < n) {
+              m.merge(text.charAt(i) * 65536 + text.charAt(i + 1), 1L,
+                (a, b) => a + b)
+              i += 1
+            }
+            val nd = n.toDouble
+            var acc = 0L
+            val vs = m.values().iterator()
+            while (vs.hasNext) {
+              val c = vs.next()
+              acc += math.floor((c / nd) * math.log(nd / c) * 1e9 + 0.5).toLong
+            }
+            (id, n.toLong, m.size.toLong, acc)
+          }
+        }.toDF("doc_id", "n_bigrams", "distinct_bigrams", "entropy_e9")
           .orderBy($"doc_id")
       },
       Some("""WITH pos AS MATERIALIZED (
