@@ -96,8 +96,15 @@ object QueryHelpers {
         raw.withColumn("ts", timestamp_micros(
           expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
       case _: org.apache.spark.sql.types.TimestampNTZType =>
-        // Native nanos read: Spark already floored to micros. Session TZ
-        // is UTC (Sessions.build), so the NTZ→TZ cast is instant-exact.
+        // Native read of MICROS-precision NTZ data (the driver testdata's
+        // actual layout: timestamp[us], isAdjustedToUTC=false). This
+        // branch can NEVER carry nanos whose sub-µs floor Spark decided:
+        // on Spark 4.1.2 a TIMESTAMP(NANOS) parquet column is
+        // PARQUET_TYPE_ILLEGAL without nanosAsLong and BIGINT with it
+        // (pinned by EventsTblSpec on real parquet-mr fixtures), so
+        // there is no remainder to floor here. Session TZ is UTC
+        // (Sessions.build), so the NTZ→TZ cast is instant-exact
+        // (EventsTblSpec pins pre-1970 values too).
         raw.withColumn("ts", col("ts").cast("timestamp"))
       case org.apache.spark.sql.types.TimestampType => raw
       case other => throw new IllegalStateException(

@@ -62,10 +62,21 @@ object Scd2 {
 
     val open = current.filter(col(validTo).isNull)
     val closed = current.filter(col(validTo).isNotNull)
-    // rename update payload so the join carries both sides unambiguously
+    // rename update payload so the join carries both sides unambiguously.
+    // effectiveCol is CONTRACT-non-null: the match logic keys "an update
+    // is present" on `_u_eff.isNotNull`, so a NULL effective time would
+    // silently vanish for a matched key yet still insert an open row
+    // with NULL valid_from for a new key — fail loudly at execution
+    // instead (raise_error rides the column, so pruning can't drop it).
     val u = attrs.foldLeft(updates.select(needUpd.map(col): _*)) {
       (df, a) => df.withColumnRenamed(a, s"_u_$a")
-    }.withColumnRenamed(effectiveCol, "_u_eff")
+    }.withColumn(effectiveCol,
+        when(col(effectiveCol).isNotNull, col(effectiveCol))
+          .otherwise(raise_error(lit(
+            s"scd2: updates carry a NULL $effectiveCol — every update row " +
+              "must have an effective time (a NULL one would neither close " +
+              "nor version its key)"))))
+      .withColumnRenamed(effectiveCol, "_u_eff")
     val uSide = if (broadcastUpdates) broadcast(u) else u
 
     val openPresent = col(validFrom).isNotNull

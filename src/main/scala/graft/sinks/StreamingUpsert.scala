@@ -53,13 +53,22 @@ object StreamingUpsert {
     * greatest (orderBy, then keys — callers should make orderBy total
     * per key) version survives; without, duplicate keys are a contract
     * violation and fail loudly (silently picking one would apply an
-    * ARBITRARY version of the row). */
+    * ARBITRARY version of the row).
+    *
+    * orderBy ties resolve DETERMINISTICALLY: a hash of every non-orderBy
+    * column is appended to the window ordering, so two rows with equal
+    * orderBy values have the same winner on every (re-)execution — a
+    * crash-replay of the batch converges to the identical final state
+    * (the idempotent-replay claim needs a total order, and a partial one
+    * plus row_number is nondeterministic). Fully identical rows still
+    * tie, but then either winner IS the same row. */
   private[sinks] def latestPerKey(batch: DataFrame, keys: Seq[String],
       orderBy: Seq[String]): DataFrame =
     if (orderBy.nonEmpty) {
+      val tiebreak = batch.columns.filterNot(orderBy.contains).sorted.map(col)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*)
-        .orderBy(orderBy.map(col(_).desc): _*)
+        .orderBy(orderBy.map(col(_).desc) :+ xxhash64(tiebreak: _*).desc: _*)
       batch.withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn")
     } else {
@@ -101,7 +110,11 @@ object StreamingUpsert {
       val snap = batch.localCheckpoint()
       try {
         val reduced = latestPerKey(snap, keys, orderBy)
-        val tomb = tombstoneCol.map(col(_) === true).getOrElse(lit(false))
+        // NULL-safe: a NULL tombstone means "not a delete". A plain
+        // `=== true` predicate is NULL for such rows, so BOTH filters
+        // below would drop them — the row would neither upsert nor
+        // delete (silent loss).
+        val tomb = tombstoneCol.map(col(_) <=> true).getOrElse(lit(false))
         val upserts = reduced.filter(!tomb).drop(tombstoneCol.toSeq: _*)
           .withColumn(BucketCol, bucketOf(keys, numBuckets))
         val deletes = reduced.filter(tomb)

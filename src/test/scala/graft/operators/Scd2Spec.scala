@@ -75,6 +75,25 @@ class Scd2Spec extends SparkSpec {
     assert(open == Map(1L -> Some("gold"), 2L -> None))
   }
 
+  for (bc <- Seq(true, false))
+    test(s"a NULL effective time in the update batch fails loudly (broadcast=$bc)") {
+      // match logic keys "update present" on the effective time being
+      // non-null, so a NULL one would silently vanish for a matched key
+      // yet insert an open row with NULL valid_from for a new one —
+      // raise_error turns both into a loud execution failure.
+      val current = hist((1L, "A", Some("gold"), "2024-01-01", None))
+      for (updRows <- Seq(
+        Seq((1L, "A2", Some("gold"), null: String)),   // matched key
+        Seq((9L, "N", Some("basic"), null: String)))) { // new key
+        val updates = updRows.toDF("k", "seg", "tier", "eff")
+        val e = intercept[Exception](
+          Scd2(current, updates, Seq("k"), Seq("seg", "tier"), "eff",
+            broadcastUpdates = bc).collect())
+        assert(causeMessages(e).exists(_.contains("NULL eff")),
+          s"expected the scd2 null-effective guard, got: ${causeMessages(e).take(3)}")
+      }
+    }
+
   test("missing columns and empty keys are rejected up front") {
     val current = hist((1L, "A", Some("g"), "2024-01-01", None))
     val updates = Seq((1L, "A2", "2024-02-01")).toDF("k", "seg", "eff")

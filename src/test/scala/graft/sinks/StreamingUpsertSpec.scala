@@ -79,6 +79,39 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(got == Map(1L -> "new", 2L -> "x"))
   }
 
+  test("a NULL tombstone means 'not a delete' — the row upserts instead of vanishing") {
+    // `col === true` is NULL for a NULL tombstone, so both the upsert
+    // filter (!tomb) and the delete filter (tomb) would drop the row —
+    // silent loss. The null-safe predicate routes it to the upsert side.
+    val t = "cdc_null_tomb"
+    val fn = StreamingUpsert.upsertBatch(t, Seq("k"),
+      tombstoneCol = Some("del"), numBuckets = 4, database = db)
+    val rows = Seq(
+      (1L, "keep", 1.0, Some(false)),
+      (2L, "null-tomb", 2.0, None), // must upsert, not vanish
+      (3L, "dead", 3.0, Some(true)))
+    fn(rows.toDF("k", "s", "v", "del"), 0L)
+    assert(stateOf(t) == Map(1L -> ("keep", 1.0), 2L -> ("null-tomb", 2.0)))
+  }
+
+  test("orderBy ties resolve deterministically regardless of partitioning") {
+    // equal orderBy values: row_number over a partial order is
+    // nondeterministic, so a crash-replay could converge to a different
+    // state. The hash tiebreaker makes the winner a pure function of row
+    // content — identical across shuffles, partitionings, re-executions.
+    val rows = Seq(
+      (1L, "alpha", 1.0, 5L), (1L, "beta", 2.0, 5L), (1L, "gamma", 3.0, 5L),
+      (2L, "only", 4.0, 1L))
+    val winners = (1 to 8).map { p =>
+      StreamingUpsert.latestPerKey(
+        rows.toDF("k", "s", "v", "ver").repartition(p), Seq("k"), Seq("ver"))
+        .select("k", "s").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(winners.distinct.size == 1,
+      s"tie winner varied with partitioning: ${winners.distinct}")
+    assert(winners.head(2L) == "only")
+  }
+
   test("duplicate keys without orderBy, wrong bucket count, reserved column all fail loudly") {
     val t = "cdc_guards"
     val fn = StreamingUpsert.upsertBatch(t, Seq("k"), numBuckets = 4, database = db)
