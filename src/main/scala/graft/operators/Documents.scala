@@ -311,6 +311,97 @@ object Documents {
       .groupBy(col("tok")).agg(sum(col("est")).as("est_count"))
   }
 
+  /** Duplicate-SPAN removal — the cut step of the exact-substring dedup
+    * recipe (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better": remove all but one occurrence of any duplicated
+    * substring). d08 DETECTS cross-document duplicated k-token spans;
+    * this operator CUTS them: for every span (exact k-token sequence)
+    * present in ≥2 distinct documents, the minimum-doc_id document keeps
+    * its occurrence(s) and every other document has the span's token
+    * positions spliced out. Overlapping duplicated spans in one document
+    * merge naturally — removal marks token POSITIONS, not span slices,
+    * so a duplicated paragraph (a run of overlapping duplicated k-grams)
+    * is excised as one maximal range, which is exactly the suffix-array
+    * recipe's maximal-match semantics re-expressed distributively.
+    * Within-document repetition alone (a span occurring twice in ONE doc
+    * and nowhere else) is t08's concern, not duplication across the
+    * corpus, and is left intact.
+    *
+    * Returns `docs` with every column preserved, `text` rewritten for
+    * cut documents, plus `n_span_tokens_removed` (0 for untouched rows).
+    *
+    * Scale shape (100 TB): identical skeleton to d08 — per-token
+    * charfold → rolling k-gram hash (a primitive flatMap kernel; the
+    * interpreted nested-HOF form measured 13x slower on d08) → shuffle
+    * keyed on (span_hash, span_text). The keeper table is SPAN-keyed
+    * (one row per duplicated span: min doc + distinct-doc count), never
+    * pair-keyed, so this is strictly cheaper than d08's pair join. The
+    * position-mark → splice step is per-document sized. Zipfian hazard:
+    * boilerplate spans go hot exactly like d02's shingles — the
+    * production path applies NearDup.pairs' df-cap discipline to the
+    * occurrence index before the join (a df-capped span is "too common
+    * to attribute"; Lee et al. cap match length for the same reason).
+    * The splice HOF runs ONLY on documents that actually lost tokens.
+    */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"span length must be >= 2 tokens, got $k")
+    val s = docs.sparkSession
+    import s.implicits._
+    // all span occurrences WITH positions (d08 dedups per doc; the cut
+    // needs every occurrence: a non-keeper doc containing the span twice
+    // loses both)
+    val occ = docs
+      .select(col("doc_id").cast("long").as("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size($"toks") >= k)
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, toksSeq) =>
+        val toks = toksSeq.toArray
+        val th = new Array[Long](toks.length)
+        var ti = 0
+        while (ti < toks.length) {
+          var acc = 0L
+          val w = toks(ti)
+          var ci = 0
+          while (ci < w.length) { acc = (acc * 31 + w.charAt(ci).toInt) % 1000000007L; ci += 1 }
+          th(ti) = acc
+          ti += 1
+        }
+        val out = Seq.newBuilder[(Long, Int, Long, String)]
+        var i = 0
+        while (i + k <= toks.length) {
+          var acc = 0L
+          var j = i
+          while (j < i + k) { acc = (acc * 131 + th(j)) % 998244353L; j += 1 }
+          out += ((id, i, acc, toks.slice(i, i + k).mkString(" ")))
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("doc_id", "pos", "sh", "sp")
+    // one row per duplicated span: its keeper (min doc_id) — grouping on
+    // the span TEXT alongside the hash is the exact-verify step (hash
+    // collisions cannot cut an innocent span)
+    val dup = occ.select($"doc_id", $"sh", $"sp").distinct()
+      .groupBy($"sh", $"sp")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("ndocs"))
+      .filter($"ndocs" >= 2)
+      .select($"sh", $"sp", $"keeper")
+    // token positions to drop, merged across overlapping occurrences
+    val drops = occ.join(dup, Seq("sh", "sp"))
+      .filter($"doc_id" =!= $"keeper")
+      .select($"doc_id", explode(sequence($"pos", $"pos" + lit(k - 1))).as("j"))
+      .groupBy($"doc_id").agg(collect_set($"j").as("_js"))
+    docs.join(drops.withColumnRenamed("doc_id", "_cut_id"),
+        col("doc_id").cast("long") === col("_cut_id"), "left")
+      .withColumn("n_span_tokens_removed",
+        coalesce(size(col("_js")), lit(0)).cast("long"))
+      .withColumn("text",
+        when(col("_js").isNull, col("text"))
+          .otherwise(array_join(
+            expr("filter(split(text, ' '), (x, i) -> NOT array_contains(_js, i))"), " ")))
+      .drop("_cut_id", "_js")
+  }
+
   /** Shared DuckDB oracle for d02/d03: brute-force all-pairs exact Jaccard
     * is fine AS AN ORACLE at sf0.01 (500 docs); the Spark plans avoid it.
     * Shingling is index-aligned with the Spark side: DuckDB lists are
@@ -1159,6 +1250,50 @@ object Documents {
         FROM spans a JOIN spans b
           ON a.sh = b.sh AND a.sp = b.sp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 ORDER BY doc_a, doc_b""")),
+
+    QueryDef("d10_span_removal",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the CUT step to d08's detection — [[removeDuplicateSpans]]'s
+        // scaladoc has the semantics and the 100 TB argument. The
+        // catalog row surfaces only the documents that actually lost
+        // tokens (the hash gate then pins the full spliced text); the
+        // operator itself returns the whole corpus, which is what the
+        // Curation stage composes.
+        Documents.removeDuplicateSpans(
+            tbl(s, dir, "documents").select($"doc_id", $"text"), 8)
+          .filter($"n_span_tokens_removed" > 0)
+          .select($"doc_id", $"n_span_tokens_removed".as("n_removed"),
+            $"text".as("clean_text"))
+          .orderBy($"doc_id")
+      },
+      // DuckDB replays the splice declaratively: same charfold/rolling
+      // constants as d08's oracle (single-sourced arithmetic), 1-based
+      // list indexing where Spark's kernel is 0-based.
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+        th AS (SELECT doc_id, toks,
+                 list_transform(toks, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007)) AS h
+               FROM tk WHERE len(toks) >= 8),
+        occ AS MATERIALIZED (SELECT doc_id, i,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(h, i, i + 7)),
+                   (acc, x) -> (acc * 131 + x) % 998244353) AS sh,
+                 array_to_string(list_slice(toks, i, i + 7), ' ') AS sp
+               FROM (SELECT doc_id, toks, h, unnest(range(1, len(toks) - 6)) AS i FROM th)),
+        dup AS (SELECT sh, sp, MIN(doc_id) AS keeper
+                FROM (SELECT DISTINCT doc_id, sh, sp FROM occ)
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        drops AS (SELECT doc_id, list(DISTINCT j) AS js
+                  FROM (SELECT o.doc_id, unnest(range(o.i, o.i + 8)) AS j
+                        FROM occ o JOIN dup d ON o.sh = d.sh AND o.sp = d.sp
+                        WHERE o.doc_id <> d.keeper)
+                  GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(d.js) AS BIGINT) AS n_removed,
+               COALESCE(array_to_string(list_filter(t.toks,
+                 (x, idx) -> NOT list_contains(d.js, idx)), ' '), '') AS clean_text
+        FROM tk t JOIN drops d USING (doc_id) ORDER BY doc_id""")),
 
     QueryDef("t08_repetition",
       (s: SparkSession, dir: String) => {

@@ -85,6 +85,20 @@ object Curation {
     graft.operators.Documents.redactPii(docs, "text")
       .drop("text").withColumnRenamed("redacted", "text")
 
+  /** Duplicate-span CUT stage ([[graft.operators.Documents
+    * .removeDuplicateSpans]]): splices cross-document duplicated k-token
+    * spans out of every document except the span's min-doc_id keeper —
+    * the substring-level leg of the dedup ladder (exact doc → near-dup
+    * doc → duplicated SPAN), per Lee et al.'s finding that duplicated
+    * substrings survive whole-document dedup and measurably hurt the
+    * trained model. Composes like [[scrub]]: run it BEFORE [[curate]]
+    * so the quality gate re-judges the POST-cut text (a doc reduced to
+    * boilerplate crumbs by the cut should now fail the gate) and doc
+    * fingerprints see cleaned text. Keeps the removal report column
+    * `n_span_tokens_removed` for the curation ledger. */
+  def cutSpans(docs: DataFrame, k: Int = 8): DataFrame =
+    graft.operators.Documents.removeDuplicateSpans(docs, k)
+
   def curate(docs: DataFrame, minTokens: Int = 5, minUniqRatio: Double = 0.1,
       weights: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)): DataFrame = {
     val exactDeduped = exactDedup(qualityGate(docs, minTokens, minUniqRatio))

@@ -352,6 +352,64 @@ class DocumentsSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture must contain shared spans")
   }
 
+  test("d10 removeDuplicateSpans: keeper keeps, run merges, within-doc repeats intact, " +
+      "exact dup empties, extra columns preserved") {
+    import spark.implicits._
+    // doc 1 is the min-id keeper of a 10-token duplicated run; doc 2
+    // embeds the same run mid-text (3 overlapping duplicated 8-grams →
+    // one maximal 10-token cut); doc 3 repeats an 8-gram twice WITHIN
+    // itself but shares it with nobody (t08's concern, not d10's);
+    // doc 4 is an exact copy of doc 1 (every 8-gram duplicated → the
+    // whole text is cut away, which is what running AFTER exact dedup
+    // avoids and what the operator must still do correctly standalone)
+    val run = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val d1 = s"alpha beta $run gamma delta"
+    val d2 = s"pre1 pre2 pre3 $run post1 post2 post3"
+    val selfRep = (1 to 8).map(i => s"rep$i").mkString(" ")
+    val d3 = s"$selfRep mid $selfRep"
+    val docs = Seq((1L, d1, "a"), (2L, d2, "b"), (3L, d3, "c"), (4L, d1, "d"))
+      .toDF("doc_id", "text", "src")
+    val out = graft.operators.Documents.removeDuplicateSpans(docs, 8)
+      .select("doc_id", "text", "src", "n_span_tokens_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((d1, "a", 0L)), "keeper's occurrence survives untouched")
+    assert(out(2L) == (("pre1 pre2 pre3 post1 post2 post3", "b", 10L)),
+      "overlapping duplicated 8-grams excise as one maximal run")
+    assert(out(3L) == ((d3, "c", 0L)), "within-doc-only repetition is not duplication")
+    assert(out(4L) == (("", "d", 14L)), "an exact duplicate doc loses every token")
+  }
+
+  test("d10 span removal == driver-side splice replay (sf fixture)") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // keeper per span string duplicated across >= 2 distinct docs
+    val occ = texts.toSeq.flatMap { case (id, t) =>
+      val toks = t.split(" ", -1)
+      (0 to toks.length - 8).map(i => (id, i, toks.slice(i, i + 8).mkString(" ")))
+    }
+    val keeper: Map[String, Long] = occ.groupBy(_._3)
+      .collect { case (sp, os) if os.map(_._1).distinct.size >= 2 => sp -> os.map(_._1).min }
+      .toMap
+    val want = texts.toSeq.flatMap { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val drop = (0 to toks.length - 8).flatMap { i =>
+        keeper.get(toks.slice(i, i + 8).mkString(" ")) match {
+          case Some(kp) if kp != id => i until i + 8
+          case _ => Nil
+        }
+      }.toSet
+      if (drop.isEmpty) None
+      else Some((id, drop.size.toLong,
+        toks.zipWithIndex.collect { case (tk, i) if !drop(i) => tk }.mkString(" ")))
+    }.sortBy(_._1)
+    val got = Catalog.byName("d10_span_removal").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(want.nonEmpty, "fixture must contain cross-doc duplicated spans")
+    assert(got == want)
+  }
+
   test("p03 quality mix: keep decisions replay the integer hash exactly") {
     val rows = Catalog.byName("p03_quality_mix").run(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))

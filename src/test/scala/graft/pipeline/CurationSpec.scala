@@ -91,6 +91,53 @@ class CurationSpec extends SparkSpec {
     assert(gotNone == lexical, "empty vectors table must not change the lexical survivors")
   }
 
+  test("cutSpans: duplicated spans vanish, repetition improves, gate re-judges cut docs") {
+    // planted corpus: docs 1/2/3 share a 12-token boilerplate run (doc 1
+    // keeps it), doc 4's text is MOSTLY that run (after the cut it falls
+    // below the quality gate's token floor), docs 5/6 are clean
+    val run = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    def uniq(id: Long, n: Int) = (1 to n).map(i => s"u${id}w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"${uniq(1, 10)} $run ${uniq(1, 10).toUpperCase}"),
+      (2L, s"${uniq(2, 12)} $run"),
+      (3L, s"$run ${uniq(3, 12)}"),
+      (4L, s"$run x4a x4b"),
+      (5L, uniq(5, 20)),
+      (6L, uniq(6, 20)))
+      .toDF("doc_id", "text")
+
+    // driver-side repetition signal (the d08 quantity): how many token
+    // positions sit inside an 8-gram that some OTHER doc also contains
+    def dupPositions(df: org.apache.spark.sql.DataFrame): Long = {
+      val texts = df.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      val bySpan = texts.toSeq.flatMap { case (id, t) =>
+        val toks = t.split(" ", -1)
+        (0 to toks.length - 8).map(i => (id, i, toks.slice(i, i + 8).mkString(" ")))
+      }.groupBy(_._3)
+      bySpan.valuesIterator.collect {
+        case os if os.map(_._1).distinct.size >= 2 =>
+          os.flatMap { case (id, i, _) => (i until i + 8).map(id -> _) }
+      }.flatten.toSet.size.toLong
+    }
+
+    assert(dupPositions(corpus) > 0, "plant is live")
+    val cut = Curation.cutSpans(corpus)
+    // every cross-doc duplicated 8-gram is gone after one cut pass
+    assert(dupPositions(cut) == 0L, "repetition signal drops to zero")
+    val report = cut.select("doc_id", "n_span_tokens_removed").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(report(1L) == 0L && report(2L) == 12L && report(3L) == 12L)
+
+    // composed ahead of curate, the quality gate judges the POST-cut
+    // text: doc 4 (2 tokens after the cut) falls below the floor
+    val kept = Curation.curate(Curation.cutSpans(corpus).drop("n_span_tokens_removed"),
+        minTokens = 5, minUniqRatio = 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(4L), "doc reduced to crumbs by the cut fails the gate")
+    assert(Set(1L, 2L, 3L, 5L, 6L).subsetOf(kept), "substantial docs survive")
+  }
+
   test("exactDedup picks a content-deterministic survivor when doc_ids tie") {
     // at-least-once sources / non-unique foreign ids: same doc_id, same
     // text, different payload column — the survivor must not depend on
