@@ -57,6 +57,13 @@ object Embeddings {
   private val ScaleD = 1000000000000.0
   private val Scale = "1000000000000.0"
 
+  /** Row bound above which [[cosineNearDupPairs]] refuses to run: 2^17
+    * rows ≈ 8.6e9 exact pair evaluations — the edge of what an exact
+    * all-pairs anchor can justify on a real cluster, and far above any
+    * oracle corpus. Mirrors [[graft.pipeline.NearDup
+    * .LocalComponentsMaxPairs]]'s role for the CC driver path. */
+  val AllPairsMaxRows: Long = 1L << 17
+
   /** The scalar fixed-point fold every kernel shares — THE oracle-
     * exactness contract in one place (a scale or rounding tweak here is
     * automatically consistent across v02/v04/v06 and must only be
@@ -138,11 +145,32 @@ object Embeddings {
     * fixed-point arithmetic as the declarative ops (products are
     * commutative, so block order cannot change a value), so v04's DuckDB
     * oracle hash-matches it.
+    *
+    * SIZE-GATED: block decomposition bounds per-task MEMORY, but the
+    * WORK is O(n²) no matter how the blocks slice it — the one kernel in
+    * this catalog whose cost curve cannot survive corpus scale. It exists
+    * as the exact anchor the approximate paths are gated against; pointed
+    * at a real corpus it would burn a cluster-year before failing. So the
+    * operator refuses inputs above `maxRows` (the [[graft.pipeline
+    * .NearDup.components]] localMaxPairs pattern: count first, fail
+    * loudly) instead of letting the trap be hit — the error names the
+    * scale-safe routes: [[semanticDedup]] (d07, within-cell only) and
+    * [[annTopK]]'s LSH buckets (v02). The count is one column-pruned
+    * pass; a caller who has genuinely budgeted the quadratic cost can
+    * raise the bound explicitly.
     */
-  def cosineNearDupPairs(vectors: DataFrame, threshold: Double, blocks: Int = 8): DataFrame = {
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double, blocks: Int = 8,
+      maxRows: Long = AllPairsMaxRows): DataFrame = {
     require(blocks > 0, s"blocks must be positive, got $blocks")
     val session = vectors.sparkSession
     import session.implicits._
+    val nRows = vectors.select(col("vec_id")).count()
+    require(nRows <= maxRows,
+      s"cosineNearDupPairs is exact all-pairs: O(n^2) work regardless of block " +
+        s"decomposition. Input has $nRows rows > maxRows=$maxRows. For corpus-scale " +
+        "near-dup use Embeddings.semanticDedup (d07: k-means cells, quadratic within " +
+        "cells only) or Embeddings.annTopK (v02: LSH buckets); raise maxRows only " +
+        "with the quadratic cost explicitly budgeted.")
     val t = threshold
     val B = blocks
     val base = vectors.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]

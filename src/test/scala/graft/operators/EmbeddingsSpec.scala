@@ -79,6 +79,24 @@ class EmbeddingsSpec extends SparkSpec {
       "planted exact duplicate must surface")
   }
 
+  test("cosineNearDupPairs size gate: refuses above maxRows, names the scale-safe routes") {
+    import spark.implicits._
+    val vecs = (0 until 11).map(i => (i.toLong, Array.fill(4)(i.toDouble + 1)))
+    val df = vecs.toDF("vec_id", "v")
+    // below the bound: runs (11 rows, maxRows 11)
+    assert(Embeddings.cosineNearDupPairs(df, 0.99, blocks = 4, maxRows = 11).count() > 0)
+    // above the bound: refuses BEFORE any quadratic work, pointing at
+    // the approximate routes — the trap cannot be hit by a user
+    val e = intercept[IllegalArgumentException] {
+      Embeddings.cosineNearDupPairs(df, 0.99, blocks = 4, maxRows = 10)
+    }
+    assert(e.getMessage.contains("semanticDedup") && e.getMessage.contains("annTopK"),
+      s"error must route to the scale-safe alternatives: ${e.getMessage}")
+    // the default bound is the published constant, comfortably above
+    // every oracle corpus and far below corpus scale
+    assert(Embeddings.AllPairsMaxRows == (1L << 17))
+  }
+
   test("annTopK: multi-probe lifts recall toward brute force") {
     val spark0 = spark
     import spark0.implicits._
