@@ -481,6 +481,90 @@ object Multimodal {
                         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                       CAST(n_chars AS BIGINT) AS nb
                     FROM documents))
+        GROUP BY kind, shard_id ORDER BY kind, shard_id""")),
+
+    QueryDef("m08_caption_media_join",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the CROSS-MODAL join the m-family lacked (r8 verdict #5):
+        // media blobs and their caption TEXT meet in one plan. A
+        // multimodal training set keeps a blob only when its caption
+        // carries signal, so the text kernels gate the media kernels:
+        //   1. caption quality ([[Documents.qualityScore]], t02's
+        //      signals) must clear a floor;
+        //   2. caption near-dup dedup ([[graft.pipeline.NearDup
+        //      .pairs]], d02's inverted-index Jaccard): a doc with a
+        //      smaller-id near-duplicate caption is dropped, so one
+        //      caption's media survives per near-dup group;
+        //   3. the surviving doc_ids SEMI-JOIN the decoded media frame
+        //      (the cross-modal edge — blob payloads never shuffle
+        //      through the text side);
+        //   4. m07's byte-budgeted shard packing assembles the curated
+        //      loader manifest.
+        // Nothing is re-implemented: text quality, near-dup, decode and
+        // packing are the published kernels, so caption semantics and
+        // media semantics cannot drift from their single-modal queries.
+        // Scale shape: the text legs cost what d02/t02 cost; the media
+        // leg is a scan + semi-join on doc_id (broadcastable when the
+        // survivor set is small, AQE decides); packing adds one
+        // kind-keyed window shuffle. Blob bytes ride executor-local
+        // from decode to the byte-count projection.
+        val docs = tbl(s, dir, "documents")
+        val qual = Documents.qualityScore(s, dir).filter($"score" >= 0.6)
+        val dupped = graft.pipeline.NearDup.pairs(docs)
+          .select($"doc_b".as("doc_id")).distinct()
+        val keep = qual.join(dupped, Seq("doc_id"), "left_anti").select($"doc_id")
+        val media = decode(fromDocuments(docs)).toDF()
+          .select($"doc_id", $"meta.kind".as("kind"),
+            $"meta.nBytes".cast("long").as("nb"))
+          .join(keep, Seq("doc_id"), "left_semi")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"kind").orderBy($"doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        media
+          .withColumn("cum_before", sum($"nb").over(w) - $"nb")
+          .withColumn("shard_id", expr("cum_before DIV 4096"))
+          .groupBy($"kind", $"shard_id")
+          .agg(count(lit(1)).as("n_items"), sum($"nb").as("shard_bytes"))
+          .orderBy($"kind", $"shard_id")
+      },
+      // d02's shingle/Jaccard pair CTE + m06's quality CTE + m07's
+      // packing, composed — each leg is the single-modal oracle's exact
+      // spelling, so the only new thing under test is the composition.
+      Some("""WITH sh AS MATERIALIZED (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks)-1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        dup AS (SELECT DISTINCT doc_b AS doc_id FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+                 / CAST(len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS jaccard
+          FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+          WHERE jaccard >= 0.5),
+        qual AS (SELECT doc_id,
+                   ((n_uniq / n_toks) * 0.6) + ((1.0 - (n_stop / n_toks)) * 0.4) AS score
+                 FROM (SELECT doc_id,
+                         CAST(len(toks) AS BIGINT) AS n_toks,
+                         CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+                         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+                       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+        keep AS (SELECT doc_id FROM qual
+                 WHERE score >= 0.6 AND doc_id NOT IN (SELECT doc_id FROM dup)),
+        media AS (SELECT doc_id,
+                    CASE CAST(((doc_id % 3) + 3) % 3 AS INT) WHEN 0 THEN 'image'
+                      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                    CAST(n_chars AS BIGINT) AS nb
+                  FROM documents WHERE doc_id IN (SELECT doc_id FROM keep))
+        SELECT kind, shard_id, COUNT(*) AS n_items,
+               CAST(SUM(nb) AS BIGINT) AS shard_bytes
+        FROM (SELECT kind, doc_id, nb,
+                CAST(SUM(nb) OVER (PARTITION BY kind ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nb AS BIGINT) // 4096 AS shard_id
+              FROM media)
         GROUP BY kind, shard_id ORDER BY kind, shard_id"""))
   )
 }

@@ -176,4 +176,46 @@ class MultimodalSpec extends SparkSpec {
       s"manifest mismatch; expected-but-missing (first 3): $diff"
     })
   }
+
+  test("m08 caption-media join: survivors = quality-gated minus near-dup'd; " +
+      "packing == m07 restricted to survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docsSf = spark.read.parquet(s"$sf/documents.parquet")
+    // the survivor set the composition must produce, from the two
+    // PUBLISHED single-modal legs (what's under test here is the
+    // cross-modal wiring, not the legs — those have their own oracles)
+    val quality = graft.Catalog.byName("t02_quality_score").run(spark, sf)
+      .filter($"score" >= 0.6).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val dupB = graft.pipeline.NearDup.pairs(docsSf)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    val survivors = quality -- dupB
+    assert(dupB.nonEmpty && (quality intersect dupB).nonEmpty,
+      "both gates must bite on the fixture")
+
+    val out = graft.Catalog.byName("m08_caption_media_join").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // m07's replay restricted to the survivor set
+    val items = docsSf
+      .select($"doc_id",
+        expr("CASE CAST(((doc_id % 3) + 3) % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END").as("kind"),
+        $"n_chars".cast("long").as("nb"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .filter(t => survivors.contains(t._2))
+    val want = items.groupBy(_._1).flatMap { case (kind, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).map { case (_, _, nb) =>
+        val shard = cum / 4096; cum += nb; (kind, shard, nb)
+      }.groupBy(_._2).map { case (shard, xs) =>
+        (kind, shard, xs.length.toLong, xs.map(_._3).sum)
+      }
+    }.toSet
+    assert(out.toSet == want, {
+      val diff = want.diff(out.toSet).take(3)
+      s"curated manifest mismatch; expected-but-missing (first 3): $diff"
+    })
+    assert(out.map(_._3).sum < docsSf.count(), "the gates visibly shrink the corpus")
+  }
 }
