@@ -1571,6 +1571,59 @@ object Documents {
           CASE WHEN rk <= (n_s + 9) // 10 THEN 'holdout' ELSE 'train' END AS split
         FROM ranked ORDER BY lang, rk""")),
 
+    QueryDef("p06_leakage_safe_splits",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Leakage-safe train/holdout assignment: near-dup clusters are
+        // ATOMIC split units (Splits.assignLeakageSafe). Per-doc hashing
+        // (p05, Splits.assign) can put two near-copies on opposite sides
+        // of the cut — the holdout then evaluates on paraphrases of
+        // training docs; this is d06's contamination concern arising
+        // from the corpus's own internal duplication rather than an
+        // external benchmark. Every doc is keyed by its d05 cluster
+        // representative (own id when unclustered) and split by the
+        // cross-engine Knuth hash OF THE UNIT, so clusters cannot
+        // straddle the cut by construction. Scale shape: the cluster
+        // frame is pairs-sized metadata → broadcast join; hash + label
+        // are map-side; the only heavy stage is the shared banded pair
+        // generation d05/d09 already amortize through the registry.
+        graft.pipeline.Splits.assignLeakageSafe(tbl(s, dir, "documents"))
+          .select($"doc_id", $"unit_id", $"split")
+          .orderBy($"doc_id")
+      },
+      // oracle: d05's reachability CTE → cluster min per doc, then the
+      // identical unit-keyed Knuth-hash threshold over ALL documents
+      Some("""WITH RECURSIVE sh AS MATERIALIZED (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(toks)-1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           WHERE len(toks) >= 3),
+         pairs AS MATERIALIZED (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+                    / CAST(len(a.shingles) + len(b.shingles)
+                           - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS jaccard
+             FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.5),
+         edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         walk(id, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id),
+         cl AS MATERIALIZED (
+           SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+           FROM walk GROUP BY id)
+         SELECT d.doc_id,
+           COALESCE(cl.cluster_id, d.doc_id) AS unit_id,
+           CASE WHEN ((((COALESCE(cl.cluster_id, d.doc_id) % 1048573) + 1048573)
+                        % 1048573) * 2654435761) % 1000 < 100
+                THEN 'holdout' ELSE 'train' END AS split
+         FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         ORDER BY d.doc_id""")),
+
     QueryDef("t14_bigram_entropy",
       (s: SparkSession, dir: String) => {
         import s.implicits._

@@ -26,6 +26,42 @@ object Splits {
       }
     df.withColumn("split", expr0)
   }
+
+  /** Leakage-safe split assignment: near-duplicate CLUSTERS are atomic
+    * split units. Plain per-doc hashing (assign above, or any Bernoulli
+    * sampler) routinely puts two near-copies of the same document on
+    * opposite sides of a train/holdout cut — the eval set then "tests"
+    * on paraphrases of training documents and overstates quality (the
+    * train/test contamination d06 screens EXTERNAL benchmarks for, but
+    * arising from the corpus's own internal duplication). Here every doc
+    * is keyed by its near-dup cluster representative (the component min
+    * doc_id from [[NearDup.clusters]]) — its own id when unclustered —
+    * and the split is a pure hash of THAT unit id, so all members of a
+    * cluster land together by construction and membership stays a pure
+    * function of the corpus (re-runs reproduce the split exactly).
+    *
+    * The hash is the catalog's cross-engine Knuth multiplicative scheme
+    * (p02/p05's discipline) rather than assign's xxhash64, so a DuckDB
+    * oracle can replay the whole assignment: holdout iff
+    * ((unit_id mod 1048573) * 2654435761) mod 1000 < holdoutPm.
+    *
+    * Scale shape: the cluster frame is PAIRS-sized metadata (pairs ≪ n²
+    * by the banded kernels), so the docs←clusters equi-join broadcasts;
+    * the unit hash and split label are map-side expressions. Nothing
+    * here shuffles the corpus — the near-dup pair generation inside
+    * [[NearDup.clusters]] (banded, df-capped) is the only heavy stage,
+    * and it is shared with d05/d09 via the registry cache. */
+  def assignLeakageSafe(docs: DataFrame, threshold: Double = 0.5,
+      holdoutPm: Long = 100L): DataFrame = {
+    require(holdoutPm >= 0 && holdoutPm <= 1000, s"holdoutPm out of range: $holdoutPm")
+    val cl = broadcast(NearDup.clusters(docs, threshold))
+    docs.join(cl, Seq("doc_id"), "left")
+      .withColumn("unit_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when((pmod(col("unit_id"), lit(1048573L)) * lit(2654435761L)) % 1000
+          < holdoutPm, "holdout").otherwise("train"))
+      .drop("cluster_id")
+  }
 }
 
 object Curation {

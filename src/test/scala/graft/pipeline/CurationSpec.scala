@@ -47,6 +47,49 @@ class CurationSpec extends SparkSpec {
     assert(NearDup.pairs(curated).count() == 0)
   }
 
+  test("assignLeakageSafe: near-dup clusters are atomic split units") {
+    // plant a near-dup PAIR whose members a per-doc hash would separate:
+    // scan for two ids on opposite sides of the Knuth threshold, then
+    // give them near-identical text so they cluster
+    def side(id: Long): Boolean =
+      (Math.floorMod(id, 1048573L) * 2654435761L) % 1000 < 100
+    val a = (9100L to 9400L).find(side).get          // holdout side alone
+    val b = (9100L to 9400L).find(id => !side(id)).get // train side alone
+    val origText = docs.filter($"doc_id" === 0L).head.getAs[String]("text")
+    val planted = Seq(
+      (a, origText + " tail token", "xx", "srcX", 1L),
+      (b, origText + " other tail", "xx", "srcX", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = docs.limit(100).unionByName(planted)
+
+    val out = Splits.assignLeakageSafe(corpus).cache()
+    val bySplit = out.select("doc_id", "unit_id", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // every doc assigned exactly once
+    assert(bySplit.size == corpus.count())
+    // the planted pair clusters with doc 0: one unit, one split — even
+    // though per-doc hashing puts a and b on OPPOSITE sides
+    assert(side(a) != side(b))
+    for (id <- Seq(0L, a, b)) assert(bySplit(id)._1 == 0L, s"unit of $id")
+    assert(Seq(0L, a, b).map(bySplit(_)._2).distinct.size == 1)
+    // no near-dup pair straddles the cut (the leakage property itself)
+    val splits = out.select($"doc_id", $"split")
+    val leaks = NearDup.pairs(corpus)
+      .join(splits.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), "doc_a")
+      .join(splits.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), "doc_b")
+      .filter($"split_a" =!= $"split_b")
+    assert(leaks.count() == 0)
+    // unclustered docs keep their own id as unit and split by it
+    val unclustered = bySplit.filter { case (id, (u, _)) => id == u && id != 0L }
+    assert(unclustered.nonEmpty)
+    unclustered.foreach { case (id, (_, s)) =>
+      assert(s == (if (side(id)) "holdout" else "train"), s"doc $id")
+    }
+    out.unpersist()
+  }
+
   test("curateSemantic == curate ∩ semanticDedup over the lexical survivors") {
     val vectors = spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
