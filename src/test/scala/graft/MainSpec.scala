@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import graft.control.CsvControlTable
+
+/** graft.Main is the deployment surface (reference TODO.md:2-3 parity):
+  * a properties file IS the engine config, and one CLI invocation drives
+  * the daemon. The spec runs the real main end to end on a scaffolded
+  * deployment — config parse → Engine.start → poll → warehouse load. */
+class MainSpec extends SparkSpec {
+
+  private def deployment(): java.nio.file.Path = {
+    val root = Files.createTempDirectory("maindocs")
+    val doc = Files.createDirectory(root.resolve("Doc"))
+    Files.write(doc.resolve("S1.csv"), "k,v\n1,a\n2,b\n3,c\n".getBytes)
+    val ctl = Files.createTempFile("mainctl", ".csv")
+    CsvControlTable.init(ctl, Seq(Seq(
+      "Doc", "S1", "", "warehouse", "main_t1", "", "yes", "", "", "", "")))
+    val props = Files.createTempFile("main", ".properties")
+    Files.writeString(props,
+      s"""graft.sourceRoot=$root
+         |graft.controlPath=$ctl
+         |graft.runLogPath=${Files.createTempDirectory("mainlog")}/runlog.csv
+         |graft.csvOutDir=${Files.createTempDirectory("maincsv")}
+         |graft.maxCycles=1
+         |graft.pollMillis=1
+         |""".stripMargin)
+    props
+  }
+
+  test("Main runs a scaffolded deployment end to end (poll-once mode)") {
+    spark.sql("DROP TABLE IF EXISTS g_sheets.main_t1")
+    Main.main(Array(deployment().toString, "poll-once"))
+    assert(spark.table("g_sheets.main_t1").count() == 3)
+  }
+
+  test("Main 'run' mode honors graft.maxCycles and terminates") {
+    spark.sql("DROP TABLE IF EXISTS g_sheets.main_t1")
+    Main.main(Array(deployment().toString)) // default mode = run
+    assert(spark.table("g_sheets.main_t1").count() == 3)
+  }
+
+  test("missing required keys fail together, loudly") {
+    val props = Files.createTempFile("bad", ".properties")
+    Files.writeString(props, "graft.sourceRoot=/tmp\n")
+    val e = intercept[IllegalArgumentException] {
+      EngineProperties.load(props)
+    }
+    assert(e.getMessage.contains("graft.controlPath"))
+    assert(e.getMessage.contains("graft.runLogPath"))
+    assert(e.getMessage.contains("graft.csvOutDir"))
+  }
+
+  test("unknown mode fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array(deployment().toString, "flood"))
+    }
+    assert(e.getMessage.contains("unknown mode"))
+  }
+}
