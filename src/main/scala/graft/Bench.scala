@@ -186,7 +186,6 @@ object Bench {
     // in the line above and in BENCH_full.json.
     val slowest = qmap(medians.sortBy(-_._2).take(8)
       .map { case (k, v) => k -> math.rint(v * 1000) / 1000 })
-    val compact = s"""{"metric":"total","unit":"sec","value":${math.rint(total * 1000) / 1000},"value_first":${math.rint(totalFirst * 1000) / 1000},"sf":${util.Json.quote(sfDir)},"reps":$reps,"queries_n":${results.size},"coupled_n":${isolated.size},"errors_n":${failures.size},"gc_ms_shared":$gcShared,"gc_ms_isolated":$gcIso,"heap_max_mb":$heapMaxMb,"slowest_median":$slowest,"full":"BENCH_full.json"}"""
     // anchor the artifact to the repo (the sbt project dir that forked
     // this JVM, exported as SPARK_GRAFT_REPO in build.sbt), not the
     // process cwd — a bench launched from elsewhere must not drop the
@@ -208,6 +207,7 @@ object Bench {
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val defaultName =
       if (sfName == "sf0.1") "BENCH_full.json" else s"BENCH_full.$sfName.json"
+    val compact = s"""{"metric":"total","unit":"sec","value":${math.rint(total * 1000) / 1000},"value_first":${math.rint(totalFirst * 1000) / 1000},"sf":${util.Json.quote(sfDir)},"reps":$reps,"queries_n":${results.size},"coupled_n":${isolated.size},"errors_n":${failures.size},"gc_ms_shared":$gcShared,"gc_ms_isolated":$gcIso,"heap_max_mb":$heapMaxMb,"slowest_median":$slowest,"full":${util.Json.quote(defaultName)}}"""
     val basePath = sys.env.get("SPARK_GRAFT_BENCH_FULL").map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_REPO", "."), defaultName))

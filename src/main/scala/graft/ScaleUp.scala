@@ -91,6 +91,11 @@ object ScaleUp {
           .otherwise(concat_ws(" ",
             transform(split(col("text"), " "),
               t => concat(t, lit("~"), (col("doc_id") / Stride).cast("long"))))))
+      // the driver fixture guarantees n_chars == character count of text
+      // and the m-family oracles PREDICT blob sizes from n_chars, so the
+      // metadata must track the transformed text (replica 0 is unchanged:
+      // length(text) == the source n_chars there by the same invariant)
+      .withColumn("n_chars", length(col("text")).cast("long"))
     write(docs, "documents", 8)
 
     val dim = read("embeddings").selectExpr("size(embedding) d").head.getInt(0)

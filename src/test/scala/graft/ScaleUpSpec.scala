@@ -83,6 +83,10 @@ class ScaleUpSpec extends SparkSpec {
     val d0r2 = out("documents")
       .filter($"doc_id" === 2L * ScaleUp.Stride).head.getAs[String]("text")
     assert(d0r2 === "alpha~2 beta~2 alpha~2")
+    // the fixture invariant the m-family oracles predict blob sizes from
+    // (n_chars == character count of text) must survive the transform
+    assert(out("documents")
+      .filter(length($"text").cast("long") =!= $"n_chars").count() === 0)
   }
 
   test("embedding rotation is an isometry: norms and within-replica dots preserved") {

@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""sf1 (10x bench scale) oracle sweep driver: runs tools/check_oracle.py
+ONE QUERY AT A TIME with a per-query DuckDB timeout, streaming results, so
+a single heavy oracle can neither stall the sweep invisibly nor sink it.
+A timeout is an ORACLE-COST property (all-pairs / big-replay SQL), not an
+engine failure — the Spark side of every query already ran in Verify; the
+documented brute-force set is excluded up front exactly as the sf0.1
+sweep excludes it (SURVEY: d02/v04-family all-pairs CTEs exceed 30 min at
+5000 docs; reachability/within-cell oracles ride on the same pair CTEs).
+
+Usage: python3 tools/check_oracle_sf1.py <sfDir> <verifyOutDir> [timeout_s]
+"""
+import sys, os, json, subprocess, shutil, time
+
+BRUTE = {  # all-pairs / reachability-over-all-pairs oracles: excluded
+    "d02_neardup_jaccard", "d03_neardup_minhash", "d04_simhash_neardup",
+    "d05_neardup_clusters", "d07_semantic_dedup", "d09_canonical_pick",
+    "p06_leakage_safe_splits", "v04_cosine_neardup",
+    "m05_phash_neardup", "m06_media_canonical", "m08_caption_media_join",
+}
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    per_query = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+    allp = os.path.join(outdir, "oracle_sql.all.json")
+    cur = os.path.join(outdir, "oracle_sql.json")
+    if not os.path.exists(allp):
+        shutil.copy(cur, allp)
+    full = json.load(open(allp))
+    names = sorted(set(full) - BRUTE)
+    n_pass = n_fail = n_to = 0
+    for name in names:
+        with open(cur, "w") as fh:
+            json.dump({name: full[name]}, fh)
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "tools/check_oracle.py", sfdir, outdir],
+                capture_output=True, text=True, timeout=per_query)
+            line = next((l for l in r.stdout.splitlines()
+                         if l.startswith(("PASS", "FAIL"))), "NO-OUTPUT " + name)
+        except subprocess.TimeoutExpired:
+            line = f"TIMEOUT {name} (oracle > {per_query}s DuckDB budget)"
+        dt = time.time() - t0
+        print(f"{line}  [{dt:.0f}s]", flush=True)
+        n_pass += line.startswith("PASS")
+        n_fail += line.startswith("FAIL")
+        n_to += line.startswith("TIMEOUT")
+    print(f"\n== sf1 sweep: {n_pass} pass, {n_fail} fail, {n_to} oracle-timeout, "
+          f"{len(BRUTE & set(full))} excluded-brute ==")
+    print(f"excluded: {sorted(BRUTE & set(full))}")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
