@@ -1303,6 +1303,93 @@ object Embeddings {
         SELECT query_id, rnk, doc_id, fused, r_lex, r_vec
         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
 
+  /** Sign-LSH band coding for the greedy ONLINE dedup family: band `b`'s
+    * `planes`-bit code is the sign pattern of coordinates
+    * `[b*planes, (b+1)*planes)`. Data-independent (no training pass, so a
+    * stream can code rows the moment they arrive) and cross-engine exact
+    * (a sign test per coordinate). Two vectors are dedup CANDIDATES iff
+    * they share at least one band's code — d03's banded-candidates shape
+    * transplanted to cosine space. Requires `dim >= bands*planes` (ANSI
+    * element_at throws otherwise). Returns
+    * `(vec_id, band, code, v, nrm)` — one row per (vector, band). */
+  private[graft] def bandCodes(vectors: DataFrame, bands: Int, planes: Int): DataFrame = {
+    require(bands >= 1 && planes >= 1 && planes <= 16,
+      s"bands/planes out of range: $bands/$planes")
+    graft.functions.FixedPointDot.install(vectors.sparkSession)
+    vectors.select(col("vec_id").cast("long").as("vec_id"), col("v"))
+      .withColumn("nrm", expr(NormSql))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("code", (0 until planes).map(p =>
+        when(element_at(col("v"), col("band") * planes + p + 1) >= 0.0,
+          lit(1 << p)).otherwise(lit(0))).reduce(_ + _).cast("long"))
+  }
+
+  /** The drop rule of greedy online semantic dedup, factored so the batch
+    * catalog query and the streaming sink CANNOT drift: a `probe` row is
+    * dropped by the MINIMUM `earlier` vec_id that (a) is strictly smaller
+    * than the probe's, (b) shares at least one band code, and (c) has
+    * exact fixed-point cosine >= `threshold`. "Earlier" needs NOT have
+    * survived its own dedup — the any-earlier-similar semantics (d07's
+    * rule, not the kept-chain rule), which is what makes the result
+    * independent of where micro-batch boundaries fall. Returns
+    * `(vec_id, dropped_by)` for dropped probes only.
+    *
+    * Scale shape: candidates come from the band equi-join (never
+    * all-pairs); `broadcastProbe` marks the probe side broadcastable —
+    * the streaming case, where the probe is one trigger-bounded
+    * micro-batch and `earlier` is the whole resident history (the big
+    * side streams map-side past it, the d02-probe convention). */
+  private[graft] def greedyDroppers(probe: DataFrame, earlier: DataFrame,
+      threshold: Double, broadcastProbe: Boolean = false): DataFrame = {
+    val a = earlier.select(col("vec_id").as("ida"), col("band"), col("code"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b0 = probe.select(col("vec_id").as("idb"), col("band"), col("code"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val b = if (broadcastProbe) broadcast(b0) else b0
+    a.join(b, Seq("band", "code"))
+      .filter(col("ida") < col("idb"))
+      // a pair sharing several bands appears once per shared band. The
+      // terminal min-aggregate absorbs the duplicates, so they are NOT
+      // deduped here: a dropDuplicates would exchange every candidate
+      // row with both 64-dim vectors aboard (measured as the dominant
+      // cost at 20k vectors), while re-verifying a duplicate is one
+      // map-side fp_dot bounded by the band count
+      .withColumn("cos", expr(dotSql("va", "vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("idb").as("vec_id"))
+      .agg(min(col("ida")).as("dropped_by"))
+  }
+
+  /** Greedy online semantic dedup over a `(vec_id, v)` frame: every
+    * vector is kept unless an EARLIER (smaller-id) vector shares a
+    * sign-LSH band and sits within `threshold` cosine — the single-pass
+    * rule a streaming ingest can honor incrementally (see
+    * [[graft.pipeline.StreamingSemanticDedup]]), where d07's k-means
+    * cells would need the full corpus before assigning the first row.
+    * Approximate by the banding (a true near-dup pair sharing no band
+    * survives — the d03-vs-d02 trade); the DuckDB oracle replays the
+    * SAME bands, so the catalog gate is hash-exact. Returns one row per
+    * input: `(vec_id, kept, dropped_by)`.
+    *
+    * Sizing at scale: each band has `2^planes` buckets and candidate
+    * work is bucket-quadratic, so `planes` must GROW with the corpus
+    * (16 buckets/band measured 50M candidate pairs at 20k vectors; 64
+    * buckets/band ~3M). More planes lowers per-band collision
+    * probability for true pairs — compensate with more `bands` (recall
+    * ≈ 1-(1-p^planes)^bands, p = 1-θ/π). For dedup-grade thresholds
+    * (cos ≥ 0.8, θ ≤ 37°) p ≈ 0.8 and 6×6 keeps recall ≈ 0.85; the
+    * catalog's 0.45 threshold is the harder semantic regime and its
+    * gate checks exactness of THIS shape, not recall. */
+  def semanticGreedy(vectors: DataFrame, threshold: Double = 0.45,
+      bands: Int = 4, planes: Int = 4): DataFrame = {
+    val coded = graft.CacheRegistry.retain(s"semgreedy.codes.b$bands.p$planes",
+      bandCodes(vectors, bands, planes))
+    vectors.select(col("vec_id").cast("long").as("vec_id"))
+      .join(greedyDroppers(coded, coded, threshold), Seq("vec_id"), "left")
+      .withColumn("kept", col("dropped_by").isNull)
+      .select(col("vec_id"), col("kept"), col("dropped_by"))
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef("v18_ivf_pq",
@@ -2354,7 +2441,49 @@ object Embeddings {
                    FROM dots JOIN n2 na ON query_id = na.vec_id
                              JOIN n2 nb ON neighbor_id = nb.vec_id)
         SELECT query_id, rnk, neighbor_id, dot_q8, cos_q8 FROM scored
-        WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+        WHERE rnk <= 10 ORDER BY query_id, rnk""")),
+
+    QueryDef("v20_semantic_greedy",
+      (s: SparkSession, dir: String) =>
+        // greedy ONLINE semantic dedup (see [[semanticGreedy]]): the
+        // single-pass drop rule the streaming ingest honors per
+        // micro-batch, under the hash gate in its batch form. 6 bands ×
+        // 6 sign planes (36 of the 64 coordinates): 2^6 = 64 buckets per
+        // band keeps the candidate volume ~bucket-quadratic instead of
+        // (n/16)-quadratic — the 4×4 shape measured 50M candidate pairs
+        // at 20k vectors (sf1), the 6×6 shape ~3M. Exact fp cosine
+        // verify on band-sharing candidates only — never all-pairs.
+        semanticGreedy(based(s, dir), threshold = 0.45, bands = 6, planes = 6)
+          .orderBy(col("vec_id")),
+      // oracle replays bands, candidates, fp cosine and the min-earlier
+      // dropper; DuckDB arrays are 1-based like element_at
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bands AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5)) t(b)),
+        codes AS (SELECT vec_id, b,
+            CAST((CASE WHEN v[b*6+1] >= 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN v[b*6+2] >= 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN v[b*6+3] >= 0 THEN 4 ELSE 0 END)
+               + (CASE WHEN v[b*6+4] >= 0 THEN 8 ELSE 0 END)
+               + (CASE WHEN v[b*6+5] >= 0 THEN 16 ELSE 0 END)
+               + (CASE WHEN v[b*6+6] >= 0 THEN 32 ELSE 0 END) AS BIGINT) AS code
+          FROM base, bands),
+        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        cand AS (SELECT DISTINCT a.vec_id AS ida, c.vec_id AS idb
+                 FROM codes a JOIN codes c ON a.b = c.b AND a.code = c.code
+                   AND a.vec_id < c.vec_id),
+        dots AS (SELECT ida, idb, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
+                 FROM (SELECT cand.ida, cand.idb, unnest(q.v) AS qx, unnest(c.v) AS cx
+                       FROM cand JOIN base q ON q.vec_id = cand.ida
+                                 JOIN base c ON c.vec_id = cand.idb)
+                 GROUP BY 1, 2),
+        droppers AS (SELECT idb AS vec_id, MIN(ida) AS dropped_by
+                     FROM dots JOIN n2 a ON ida = a.vec_id JOIN n2 b ON idb = b.vec_id
+                     WHERE dot / (a.nrm * b.nrm) >= 0.45
+                     GROUP BY idb)
+        SELECT base.vec_id, d.dropped_by IS NULL AS kept, d.dropped_by
+        FROM base LEFT JOIN droppers d ON base.vec_id = d.vec_id
+        ORDER BY base.vec_id"""))
   )
 
   import org.apache.spark.sql.types.DecimalType

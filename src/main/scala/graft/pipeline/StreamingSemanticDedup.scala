@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import graft.operators.Embeddings
+import graft.sinks.{StreamingDelivery, WarehouseSink}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming SEMANTIC dedup: embedding rows `(vec_id, v)` arrive as a
+  * stream, and each micro-batch keeps only vectors with no earlier
+  * near-duplicate in cosine space — the embedding-side counterpart of
+  * [[StreamingCuration]]'s lexical gates, for pipelines whose duplicates
+  * are paraphrases rather than shared shingles.
+  *
+  * The drop rule is [[Embeddings.semanticGreedy]]'s, via the SAME
+  * factored kernel ([[Embeddings.greedyDroppers]]), so the streaming
+  * path and the v20 catalog query cannot drift: a vector is dropped iff
+  * some EARLIER vector (smaller vec_id — monotone-id production, the
+  * StreamingCuration parity convention) shares a sign-LSH band code and
+  * has exact fixed-point cosine >= threshold. "Earlier" includes vectors
+  * that were themselves dropped, which is precisely what makes the
+  * result independent of micro-batch boundaries: on any chunking of an
+  * ascending-id corpus the delivered set EQUALS the batch
+  * `semanticGreedy` kept set (spec-pinned on a 4-chunk replay).
+  *
+  * State design mirrors StreamingCuration: the warehouse IS the dedup
+  * state. `<table>_codes` holds one banded-code row per (vector, band)
+  * EVER SEEN — survivor or not (a dropped vector must still block later
+  * ones similar only to it) — ledgered by `_batch_id` like the delivered
+  * table itself. Each batch probes that history with the batch side
+  * BROADCAST (trigger-bounded) so the history scans map-side past it and
+  * never shuffles; per-batch cost is the batch × matching-band-bucket
+  * verify, not the history size. Sign-LSH needs no training pass, so
+  * row one of batch one can be coded immediately — the reason this rule
+  * streams where d07's k-means cells cannot.
+  *
+  * Crash ordering is StreamingCuration's: codes append FIRST under their
+  * own ledger; a death between the two appends replays the batch with
+  * the codes ledger set (skip re-append) and the delivered ledger empty
+  * (re-run), and the own-batch exclusion on the probe makes that re-run
+  * correct rather than self-matching. A fully replayed batch
+  * short-circuits on the delivered ledger and verifies the recorded
+  * pre-dedup `_input_rows` stamp against the replayed batch — a
+  * checkpoint reset over a grown or re-chunked source fails loudly.
+  */
+object StreamingSemanticDedup {
+
+  val CodesSuffix = "_codes"
+  val InputRowsCol: String = StreamingCuration.InputRowsCol
+
+  /** `foreachBatch` function: code → probe history ∪ own batch → deliver
+    * survivors + append codes, both ledgered. */
+  def dedupBatch(table: String,
+      database: String = WarehouseSink.DefaultDatabase,
+      threshold: Double = 0.45, bands: Int = 4, planes: Int = 4): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      WarehouseSink.requireIdent(database, "database")
+      WarehouseSink.requireIdent(table, "destination table")
+      val spark = batch.sparkSession
+      val snap = batch.localCheckpoint()
+      try {
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+        val qualified = s"`$database`.`$table`"
+        val delivered =
+          StreamingDelivery.deliveredRowCount(spark, database, table, batchId)
+        if (delivered <= 0L) {
+          val coded = Embeddings.bandCodes(
+            snap.select(col("vec_id"), col("v")), bands, planes).localCheckpoint()
+          try {
+            val codesTable = table + CodesSuffix
+            val codesQualified = s"`$database`.`$codesTable`"
+            val codesDelivered =
+              StreamingDelivery.deliveredRowCount(spark, database, codesTable, batchId)
+            // a pre-existing codes table must be OURS (the band/code
+            // schema is the dedup state) — fail clearly, not per-column
+            if (codesDelivered >= 0L) {
+              val cols = spark.table(codesQualified).columns.toSet
+              if (!Set("vec_id", "band", "code", "v", "nrm").subsetOf(cols))
+                throw new IllegalStateException(
+                  s"$codesQualified exists but is not a semantic-dedup codes table " +
+                    "— deliver to a fresh table")
+            }
+            val history =
+              if (codesDelivered < 0L) coded.limit(0)
+              else spark.table(codesQualified)
+                .filter(col(StreamingDelivery.BatchIdCol) =!= batchId)
+                .select("vec_id", "band", "code", "v", "nrm")
+            // earlier = resident history ∪ this batch's own rows; the
+            // ida < idb predicate inside the kernel orders the batch
+            // internally AND (under monotone ids) places history first
+            val droppers = Embeddings.greedyDroppers(
+              coded, history.unionByName(coded), threshold, broadcastProbe = true)
+            val survivors = snap.join(droppers, Seq("vec_id"), "left_anti")
+              .withColumn(InputRowsCol, lit(snap.count()))
+            if (codesDelivered <= 0L)
+              StreamingDelivery.appendLedgered(coded, database, codesTable, batchId,
+                tableIsNew = codesDelivered < 0L)
+            StreamingDelivery.appendLedgered(survivors, database, table, batchId,
+              tableIsNew = delivered < 0L)
+          } finally coded.unpersist(blocking = false)
+        } else {
+          // replayed batch: verify the pre-dedup input size recorded at
+          // delivery (what the batch CONTRIBUTED depends on the history
+          // it first saw, so the delivered-row count proves nothing)
+          val recorded = spark.table(qualified)
+            .filter(col(StreamingDelivery.BatchIdCol) === batchId)
+            .agg(max(col(InputRowsCol))).collect()(0).getLong(0)
+          val incoming = snap.count()
+          if (incoming != recorded)
+            throw new IllegalStateException(
+              s"$qualified batch $batchId was delivered from $recorded input rows " +
+                s"but the replayed batch carries $incoming — checkpoint and ledger " +
+                "disagree (checkpoint reset over a changed source?)")
+        }
+      } finally snap.unpersist(blocking = false)
+  }
+
+  /** Wire a streaming embeddings frame `(vec_id, v)` into a
+    * semantically-deduped warehouse table. */
+  def start(vectors: DataFrame, table: String, checkpointDir: String,
+      database: String = WarehouseSink.DefaultDatabase,
+      threshold: Double = 0.45, bands: Int = 4, planes: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(dedupBatch(table, database, threshold, bands, planes))
+      .start()
+}
