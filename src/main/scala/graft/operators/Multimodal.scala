@@ -158,15 +158,29 @@ object Multimodal {
     * downstream (NearDup.components memoizes on it); invalidated when
     * the registry entry is gone (Bench's isolation pass, Engine.close),
     * the owning session stopped, or the data dir differs. */
-  private val phashPairsMemo =
-    new java.util.concurrent.atomic.AtomicReference[(String, SparkSession, DataFrame)]()
+  /** Band-bucket population bound for [[phashPairs]]: candidate work is
+    * bucket-quadratic (a band value shared by B blobs contributes B²/2
+    * pairs), and a DEGENERATE corpus — thousands of byte-identical or
+    * near-identical blobs — concentrates into single buckets, turning
+    * the banded plan back into the n² scan it exists to avoid (the sf1
+    * scale run measured exactly this: a 10× corpus whose perceptual
+    * hashes collided across replicas densified the pair graph 685×).
+    * 2^14 blobs in ONE band bucket (≥ 1.3e8 candidate pairs from that
+    * bucket alone) is past what a verify pass should absorb silently;
+    * above it the kernel refuses with guidance rather than burning the
+    * cluster, mirroring [[Embeddings.AllPairsMaxRows]]. */
+  val MaxBandBucket: Long = 1L << 14
 
-  private[operators] def phashPairs(s: SparkSession, dir: String): DataFrame = {
+  private val phashPairsMemo =
+    new java.util.concurrent.atomic.AtomicReference[(String, SparkSession, Long, DataFrame)]()
+
+  private[operators] def phashPairs(s: SparkSession, dir: String,
+      maxBandBucket: Long = MaxBandBucket): DataFrame = {
     val memo = phashPairsMemo.get()
     if (memo != null && memo._1 == dir && (memo._2 eq s) &&
-      !s.sparkContext.isStopped &&
+      memo._3 == maxBandBucket && !s.sparkContext.isStopped &&
       graft.CacheRegistry.entries.contains("media.pairs"))
-      return memo._3
+      return memo._4
     import s.implicits._
     val media = decode(fromDocuments(tbl(s, dir, "documents")))
     // retained: the banded self-join references the hash frame twice
@@ -195,6 +209,17 @@ object Multimodal {
           expr(s"shiftright($src, ${(b % 4) * 8}) & 255").as("bv"))
       }: _*)).as("bd"))
       .select($"doc_id", $"h0", $"h1", $"bd.bi".as("bi"), $"bd.bv".as("bv"))
+    // hot-bucket gate: one count pass over the (retained) hash frame
+    // before committing to the bucket-quadratic join
+    val hottest = bands.groupBy($"bi", $"bv").count()
+      .agg(max($"count")).head.getLong(0)
+    if (hottest > maxBandBucket)
+      throw new IllegalStateException(
+        s"media near-dup band bucket holds $hottest blobs (> $maxBandBucket): " +
+          "the corpus is perceptually degenerate (mass-duplicated media) and the " +
+          "banded join would degrade toward all-pairs. Exact-dedup the blobs " +
+          "first (m06/d01 composition) or raise maxBandBucket explicitly if the " +
+          "quadratic cost is budgeted.")
     val verified = bands.as("a").join(bands.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -210,7 +235,7 @@ object Multimodal {
     // pair set is the shared product both re-read warm (pair count ≪
     // corpus: 65 / 3660 rows at sf0.01 / sf0.1)
     val out = graft.CacheRegistry.retain("media.pairs", verified)
-    phashPairsMemo.set((dir, s, out))
+    phashPairsMemo.set((dir, s, maxBandBucket, out))
     out
   }
 

@@ -81,6 +81,25 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.rdd.getNumPartitions == 3)
   }
 
+  test("phashPairs refuses a perceptually degenerate corpus (hot band bucket)") {
+    // 200 byte-identical texts → identical blobs → ONE bucket holds all
+    // 200 in every band: past the (lowered) gate the banded join would
+    // be the n² scan it exists to avoid — the kernel must refuse with
+    // guidance, not grind (the sf1 scale run's 685× densification is
+    // the regime this protects; the real bound is 2^14)
+    val dir = java.nio.file.Files.createTempDirectory("phashdeg").toString
+    (0L until 200L).map(i => (i, "identical media text payload"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.CacheRegistry.unpersistAll()
+    val e = intercept[IllegalStateException] {
+      Multimodal.phashPairs(spark, dir, maxBandBucket = 100L).count()
+    }
+    assert(e.getMessage.contains("band bucket holds 200"))
+    assert(e.getMessage.contains("raise maxBandBucket"))
+    graft.CacheRegistry.unpersistAll()
+  }
+
   test("m05 banded phash pairs == driver-side brute-force aHash (pigeonhole exhaustive)") {
     val sf = "/root/testdata/sf0.001"
     def ahash(text: String): (Long, Long) = {
