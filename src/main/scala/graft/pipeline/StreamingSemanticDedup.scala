@@ -85,6 +85,30 @@ object StreamingSemanticDedup {
               else spark.table(codesQualified)
                 .filter(col(StreamingDelivery.BatchIdCol) =!= batchId)
                 .select("vec_id", "band", "code", "v", "nrm")
+            // the kernel's ida < idb predicate NEVER fires on equal ids,
+            // so a duplicate vec_id — within the batch or re-sent after
+            // an earlier batch — would sail through both probes and
+            // deliver twice. The monotone-id contract the parity claim
+            // rests on makes both illegal; enforce it loudly (the
+            // StreamingUpsert duplicate-key discipline) instead of
+            // corrupting the table: one aggregate over the batch, one
+            // single-column max over the pruned history ledger.
+            val stats = snap.agg(count(lit(1)), countDistinct(col("vec_id")),
+              min(col("vec_id"))).collect()(0)
+            if (stats.getLong(0) != stats.getLong(1))
+              throw new IllegalStateException(
+                s"batch $batchId carries duplicate vec_ids " +
+                  s"(${stats.getLong(0)} rows, ${stats.getLong(1)} distinct) — " +
+                  "semantic dedup keys on vec_id; dedup the feed first")
+            if (codesDelivered >= 0L && stats.getLong(0) > 0L) {
+              val maxSeen = history.agg(max(col("vec_id"))).collect()(0)
+              if (!maxSeen.isNullAt(0) && stats.getLong(2) <= maxSeen.getLong(0))
+                throw new IllegalStateException(
+                  s"batch $batchId min vec_id ${stats.getLong(2)} does not exceed " +
+                    s"the history's max ${maxSeen.getLong(0)} — ids must be " +
+                    "monotone across batches (a re-sent id would deliver twice " +
+                    "and the batch-parity contract assumes ascending ingest)")
+            }
             // earlier = resident history ∪ this batch's own rows; the
             // ida < idb predicate inside the kernel orders the batch
             // internally AND (under monotone ids) places history first

@@ -127,6 +127,43 @@ class StreamingSemanticDedupSpec extends SparkSpec {
       s"wrong failure: ${causeMessages(e)}")
   }
 
+  test("duplicate vec_ids in a batch fail loudly (equal ids evade the drop rule)") {
+    val dir = Files.createTempDirectory("ssddup").toString
+    Seq(1L -> u1, 1L -> u1).toDF("vec_id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val src = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = StreamingSemanticDedup.start(
+      src, "vecs_dup", Files.createTempDirectory("ssdcp4").toString, database = db)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(causeMessages(e).exists(_.contains("duplicate vec_ids")),
+      s"wrong failure: ${causeMessages(e)}")
+  }
+
+  test("a non-monotone batch (id at or below the history) fails loudly") {
+    val dir = Files.createTempDirectory("ssdmono").toString
+    Seq(5L -> u1, 6L -> v5).toDF("vec_id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val cp = Files.createTempDirectory("ssdcp5").toString
+    val run1 = StreamingSemanticDedup.start(
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir),
+      "vecs_mono", cp, database = db)
+    run1.awaitTermination()
+    // second file re-sends id 5 (and adds a genuinely new 7)
+    Seq(5L -> u1, 7L -> z2).toDF("vec_id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val run2 = StreamingSemanticDedup.start(
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir),
+      "vecs_mono", cp, database = db)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run2.awaitTermination()
+    }
+    assert(causeMessages(e).exists(_.contains("must be monotone")),
+      s"wrong failure: ${causeMessages(e)}")
+  }
+
   test("a foreign codes table fails with a clear error") {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
     // carries a ledger column (so the generic foreign-ledger guard in
