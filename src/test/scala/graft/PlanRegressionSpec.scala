@@ -221,6 +221,28 @@ class PlanRegressionSpec extends SparkSpec {
       s"no (day,user) dedup aggregate below the explode — fan-out hits raw events:\n${p.take(3000)}")
   }
 
+  test("p06: the cluster frame broadcasts; the unit hash is a projection, not a shuffle") {
+    val p = planOf("p06_leakage_safe_splits")
+    // the pairs-sized cluster metadata must broadcast into the corpus
+    // join — a shuffled join here would exchange the whole corpus to
+    // meet a frame thousands of times smaller
+    assert(p.contains("BroadcastHashJoin"),
+      s"cluster join does not broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "no cartesian/nested-loop in the split assignment")
+  }
+
+  test("v20: band candidates come from an equi-join — no cartesian, no nested loop") {
+    val p = planOf("v20_semantic_greedy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidate generation degraded to all-pairs:\n${p.take(3000)}")
+    // the ida < idb ordering must be a post-join FILTER on the band
+    // equi-join, not the join condition of a nested loop
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"no hash/merge equi-join in the candidate plan:\n${p.take(3000)}")
+  }
+
   test("q25: lineitem scan reads only the two z-order key columns") {
     val p = planOf("q25_zorder_layout")
     assert(!p.contains("l_orderkey") && !p.contains("l_quantity") &&
