@@ -148,6 +148,43 @@ object Curation {
     Splits.assign(deduped, "doc_id", weights)
   }
 
+  /** The full pretraining-corpus recipe in ONE call — every stage of
+    * the catalog's ladder composed in the published order:
+    *
+    *  1. [[scrub]] — PII redaction (t12), so duplicates differing only
+    *     in redacted spans dedup together;
+    *  2. [[cutSpans]] — duplicate-SPAN removal (d08/d10, Lee et al.),
+    *     before the gate so post-cut text is re-judged;
+    *  3. [[curate]] / [[curateSemantic]] — quality gate, exact dedup,
+    *     lexical near-dup prune at the catalog's Jaccard 0.5 (d01/d03/
+    *     d05), plus the SemDeDup stage when `vectors` is supplied (d07);
+    *  4. [[Splits.assignLeakageSafe]] at `splitThreshold` — the
+    *     deliberate asymmetry of the recipe: REMOVAL uses the strict
+    *     0.5 (only true near-dups are dropped), while SPLIT ISOLATION
+    *     uses a looser net, so borderline-similar survivors — too
+    *     distinct to delete, too similar for one to train while the
+    *     other evaluates — still land on the same side of the cut.
+    *     This replaces curate's per-doc `split` column (which is
+    *     leak-free only against pairs the prune already removed).
+    *
+    * Everything inside is hash/rule-based — re-runs over the same corpus
+    * reproduce byte-identical output. */
+  def pretrainingCorpus(docs: DataFrame, vectors: Option[DataFrame] = None,
+      minTokens: Int = 5, minUniqRatio: Double = 0.1, spanK: Int = 8,
+      splitThreshold: Double = 0.3, holdoutPm: Long = 100L,
+      cells: Int = 8, iters: Int = 3, semThreshold: Double = 0.45): DataFrame = {
+    require(splitThreshold <= 0.5,
+      s"splitThreshold ($splitThreshold) must not exceed the 0.5 prune " +
+        "threshold: split isolation is the LOOSER net")
+    val cleaned = cutSpans(scrub(docs), spanK).drop("n_span_tokens_removed")
+    val deduped = vectors match {
+      case Some(v) => curateSemantic(cleaned, v, cells, iters, semThreshold,
+        minTokens, minUniqRatio)
+      case None => curate(cleaned, minTokens, minUniqRatio)
+    }
+    Splits.assignLeakageSafe(deduped.drop("split"), splitThreshold, holdoutPm)
+  }
+
   /** [[curate]] plus the SemDeDup stage (the standard third leg of LLM
     * dedup after exact and lexical near-dup): after quality gating and
     * lexical dedup, drop documents whose EMBEDDING is a within-cell

@@ -90,6 +90,53 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pretrainingCorpus: the one-call recipe == its published stages; borderline pairs co-locate") {
+    // base corpus plus two planted cases:
+    //  - 9001/9002: a TRUE near-dup pair (1 edit, jaccard .71 > .5) —
+    //    the prune must remove the larger id entirely;
+    //  - a/b: a BORDERLINE pair (3 edits apart, jaccard .33: under the
+    //    .5 prune, over the .3 split net) whose ids per-doc hashing
+    //    provably separates — both must survive AND share a split.
+    def side(id: Long): Boolean =
+      (Math.floorMod(id, 1048573L) * 2654435761L) % 1000 < 100
+    val a = (9100L to 9400L).find(side).get
+    val b = (9100L to 9400L).find(id => !side(id)).get
+    val t = (1 to 20).map(i => s"w$i").toVector // near-dup family
+    val u = (1 to 20).map(i => s"u$i").toVector // borderline family
+    def edited(base: Vector[String], edits: (Int, String)*): String =
+      edits.foldLeft(base) { case (v, (i, w)) => v.updated(i, w) }.mkString(" ")
+    // edit positions ≤ 7 tokens apart so the pairs share NO 8-token run:
+    // cutSpans (stage 2) must not splice the planted similarity away
+    // before the prune/split stages judge it
+    val planted = Seq(
+      (9001L, t.mkString(" "), "xx", "srcX", 1L),
+      // 2 edits, j 12/24 = .5 ≥ .5 → pruned
+      (9002L, edited(t, 5 -> "q1", 13 -> "q2"), "xx", "srcX", 1L),
+      (math.min(a, b), u.mkString(" "), "xx", "srcX", 1L),
+      // 3 edits apart: j 9/27 = .33 — under the .5 prune, over the .3 net
+      (math.max(a, b), edited(u, 2 -> "e1", 8 -> "e2", 14 -> "e3"), "xx", "srcX", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = docs.limit(80).unionByName(planted)
+
+    val out = Curation.pretrainingCorpus(corpus).cache()
+    // wiring claim: identical to applying the published stages by hand
+    val manual = Splits.assignLeakageSafe(
+      Curation.curate(Curation.cutSpans(Curation.scrub(corpus))
+          .drop("n_span_tokens_removed"))
+        .drop("split"), threshold = 0.3)
+    val om = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mm = manual.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(om == mm, "one-call recipe diverges from its published stages")
+    // true near-dup pruned; borderline pair survives and co-locates
+    assert(om.contains(9001L) && !om.contains(9002L))
+    assert(om.contains(a) && om.contains(b), s"borderline pair pruned: $a/$b")
+    assert(side(a) != side(b), "fixture must separate under per-doc hashing")
+    assert(om(a) == om(b), "borderline survivors must share a split")
+    out.unpersist()
+  }
+
   test("curateSemantic == curate ∩ semanticDedup over the lexical survivors") {
     val vectors = spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
