@@ -717,7 +717,46 @@ object Relational {
           UNION ALL SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
         SELECT measure, COUNT(*) AS n, ${sumExactSql("value")} AS total,
                CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
-        FROM m GROUP BY 1 ORDER BY 1"""))
+        FROM m GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q33_copurchase_pairs",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Market-basket co-occurrence: support (order count) of every
+        // unordered part pair bought in the same order, top 20 by
+        // (support desc, part_a, part_b) — the frequent-itemset k=2
+        // workload the catalog lacked. Scale shape: pairs are generated
+        // MAP-SIDE from each order's sorted distinct part set (one
+        // groupBy(orderkey) exchange; TPC-H baskets are ≤7 lines, so the
+        // per-order pair fan-out is a small constant, never a data-sized
+        // self-join), then the (part_a, part_b) count aggregates with
+        // map-side partials; hot pairs are just hot aggregate keys —
+        // Salting.saltedCounts is the documented skew path. The
+        // (support, part_a, part_b) ordering is total (the pair IS the
+        // group key), so the top-20 cut is deterministic cross-engine.
+        // Oracle spells the same relation as the canonical orderkey
+        // self-join with part_a < part_b — checking the pair GENERATOR
+        // (sorted-set combinations), not just the counts.
+        tbl(s, dir, "lineitem").select($"l_orderkey", $"l_partkey").distinct()
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+              transform(slice(ps, i + 2, size(ps) - i - 1),
+                y -> struct(x AS part_a, y AS part_b))))""")).as("p"))
+          .groupBy($"p.part_a".as("part_a"), $"p.part_b".as("part_b"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy($"support".desc, $"part_a", $"part_b")
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS support
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY support DESC, part_a, part_b
+        LIMIT 20"""))
   )
 
   /** Shared with the write-side layout job ([[graft.plans.ZOrder]]): one

@@ -29,4 +29,26 @@ class RelationalSpec extends SparkSpec {
     val want = spark.read.parquet(s"$sf/lineitem.parquet").count()
     assert(total == want, s"bucket counts sum $total != table rows $want")
   }
+
+  test("q33 pair generator emits exactly the sorted 2-combinations of each basket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same generator expression as the catalog query, on planted baskets:
+    // {3,1,2} (dup row included), a singleton, and a 2-set
+    val li = Seq((10L, 3L), (10L, 1L), (10L, 2L), (10L, 2L),
+        (11L, 7L), (12L, 5L), (12L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val pairs = li.distinct()
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .select($"l_orderkey", explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          transform(slice(ps, i + 2, size(ps) - i - 1),
+            y -> struct(x AS part_a, y AS part_b))))""")).as("p"))
+      .select($"l_orderkey", $"p.part_a", $"p.part_b")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 1L, 2L), (10L, 1L, 3L), (10L, 2L, 3L),
+      (12L, 4L, 5L)),
+      s"expected sorted 2-combinations per basket, got $pairs")
+  }
 }
