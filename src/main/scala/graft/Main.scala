@@ -12,10 +12,11 @@ import org.apache.spark.sql.SparkSession
   * the poll daemon on any cluster manager (`bin/graft-run` wraps the
   * local form; `bin/graft-setup` scaffolds a deployment directory).
   *
-  * Session policy: an already-running session (spark-submit, tests) is
-  * adopted as-is; standalone launches fall back to [[Sessions.build]]
-  * with every core, so the SAME session semantics back the daemon as
-  * back Bench/Verify.
+  * Session policy: an already-running session (tests, programmatic
+  * embedding) is adopted as-is; otherwise [[Sessions.adopt]] builds one
+  * honoring any submitted `spark.master` (so `--master yarn|k8s` stays
+  * a cluster launch) and sizing local fallbacks from the machine's
+  * actual cores, under the SAME shared confs as Bench/Verify.
   */
 object Main {
 
@@ -25,7 +26,7 @@ object Main {
     val loaded = EngineProperties.load(Paths.get(args(0)))
     val spark = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
-      .getOrElse(Sessions.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")))
+      .getOrElse(Sessions.adopt(sys.env.get("SPARK_GRAFT_CPUS")))
     val engine = Engine.start(spark, loaded.config)
     try args.lift(1).getOrElse("run") match {
       case "poll-once" => engine.pollOnce()

@@ -210,9 +210,10 @@ object Multimodal {
       }: _*)).as("bd"))
       .select($"doc_id", $"h0", $"h1", $"bd.bi".as("bi"), $"bd.bv".as("bv"))
     // hot-bucket gate: one count pass over the (retained) hash frame
-    // before committing to the bucket-quadratic join
-    val hottest = bands.groupBy($"bi", $"bv").count()
-      .agg(max($"count")).head.getLong(0)
+    // before committing to the bucket-quadratic join; max over an empty
+    // corpus is NULL, which means zero buckets — nothing to gate
+    val hottest = Option(bands.groupBy($"bi", $"bv").count()
+      .agg(max($"count")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
     if (hottest > maxBandBucket)
       throw new IllegalStateException(
         s"media near-dup band bucket holds $hottest blobs (> $maxBandBucket): " +

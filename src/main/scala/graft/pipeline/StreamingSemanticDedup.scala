@@ -34,18 +34,27 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * row one of batch one can be coded immediately — the reason this rule
   * streams where d07's k-means cells cannot.
   *
-  * Crash ordering is StreamingCuration's: codes append FIRST under their
-  * own ledger; a death between the two appends replays the batch with
-  * the codes ledger set (skip re-append) and the delivered ledger empty
-  * (re-run), and the own-batch exclusion on the probe makes that re-run
-  * correct rather than self-matching. A fully replayed batch
-  * short-circuits on the delivered ledger and verifies the recorded
-  * pre-dedup `_input_rows` stamp against the replayed batch — a
-  * checkpoint reset over a grown or re-chunked source fails loudly.
+  * Crash ordering is StreamingCuration's, plus a completion stamp:
+  * codes append FIRST under their own ledger, survivors second, and a
+  * one-row per-batch stamp into `<table>_done` LAST. Completion is
+  * judged on the stamp — not the delivered row count, which cannot
+  * distinguish "batch completed with zero survivors" (every vector was
+  * a near-dup) from "batch never ran"; before the stamp existed a
+  * zero-survivor batch re-ran its dedup on every restart and the
+  * grown-source guard silently never covered it. A death between any
+  * two appends replays the batch with the later ledgers empty: the
+  * codes ledger skips its re-append, the own-batch exclusion on the
+  * probe makes the dedup re-run correct rather than self-matching, and
+  * the delivered ledger skips a double survivor append. A fully
+  * replayed batch short-circuits on the stamp and verifies its recorded
+  * pre-dedup `_input_rows` against the replayed batch — a checkpoint
+  * reset over a grown or re-chunked source fails loudly, zero-survivor
+  * batches included.
   */
 object StreamingSemanticDedup {
 
   val CodesSuffix = "_codes"
+  val DoneSuffix = "_done"
   val InputRowsCol: String = StreamingCuration.InputRowsCol
 
   /** `foreachBatch` function: code → probe history ∪ own batch → deliver
@@ -57,13 +66,17 @@ object StreamingSemanticDedup {
       WarehouseSink.requireIdent(database, "database")
       WarehouseSink.requireIdent(table, "destination table")
       val spark = batch.sparkSession
+      import spark.implicits._
       val snap = batch.localCheckpoint()
       try {
         spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
         val qualified = s"`$database`.`$table`"
+        val doneTable = table + DoneSuffix
+        val doneStamps =
+          StreamingDelivery.deliveredRowCount(spark, database, doneTable, batchId)
         val delivered =
           StreamingDelivery.deliveredRowCount(spark, database, table, batchId)
-        if (delivered <= 0L) {
+        if (doneStamps <= 0L) {
           val coded = Embeddings.bandCodes(
             snap.select(col("vec_id"), col("v")), bands, planes).localCheckpoint()
           try {
@@ -119,20 +132,31 @@ object StreamingSemanticDedup {
             if (codesDelivered <= 0L)
               StreamingDelivery.appendLedgered(coded, database, codesTable, batchId,
                 tableIsNew = codesDelivered < 0L)
-            StreamingDelivery.appendLedgered(survivors, database, table, batchId,
-              tableIsNew = delivered < 0L)
+            // delivered > 0 happens only on a crash-replay that died
+            // between the survivor append and the stamp append below —
+            // re-appending would double those rows
+            if (delivered <= 0L)
+              StreamingDelivery.appendLedgered(survivors, database, table, batchId,
+                tableIsNew = delivered < 0L)
+            // stamp LAST: the batch is complete (and its input size
+            // recorded) even when it delivered zero survivors
+            val doneStamped = StreamingDelivery.deliveredRowCount(
+              spark, database, doneTable, batchId)
+            StreamingDelivery.appendLedgered(
+              Seq(snap.count()).toDF(InputRowsCol).select(col(InputRowsCol)),
+              database, doneTable, batchId, tableIsNew = doneStamped < 0L)
           } finally coded.unpersist(blocking = false)
         } else {
           // replayed batch: verify the pre-dedup input size recorded at
-          // delivery (what the batch CONTRIBUTED depends on the history
+          // completion (what the batch CONTRIBUTED depends on the history
           // it first saw, so the delivered-row count proves nothing)
-          val recorded = spark.table(qualified)
+          val recorded = spark.table(s"`$database`.`$doneTable`")
             .filter(col(StreamingDelivery.BatchIdCol) === batchId)
             .agg(max(col(InputRowsCol))).collect()(0).getLong(0)
           val incoming = snap.count()
           if (incoming != recorded)
             throw new IllegalStateException(
-              s"$qualified batch $batchId was delivered from $recorded input rows " +
+              s"$qualified batch $batchId completed from $recorded input rows " +
                 s"but the replayed batch carries $incoming — checkpoint and ledger " +
                 "disagree (checkpoint reset over a changed source?)")
         }

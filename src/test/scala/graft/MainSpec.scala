@@ -51,6 +51,19 @@ class MainSpec extends SparkSpec {
     assert(e.getMessage.contains("graft.csvOutDir"))
   }
 
+  test("Sessions.adopt rejects a non-integer SPARK_GRAFT_CPUS before Spark sees it") {
+    // the env var sizes spark.sql.shuffle.partitions, which rejects
+    // non-int values only on FIRST USE — deep inside the daemon's first
+    // job. Fail at session build instead, with the reason.
+    for (bad <- Seq("*", "0", "", "-4", "eight")) {
+      val e = intercept[IllegalArgumentException] { Sessions.adopt(Some(bad)) }
+      assert(e.getMessage.contains("SPARK_GRAFT_CPUS"), s"for '$bad'")
+    }
+    // a valid count (and the unset default) both yield a live session
+    assert(!Sessions.adopt(Some("8")).sparkContext.isStopped)
+    assert(!Sessions.adopt(None).sparkContext.isStopped)
+  }
+
   test("unknown mode fails loudly") {
     val e = intercept[IllegalArgumentException] {
       Main.main(Array(deployment().toString, "flood"))

@@ -164,6 +164,30 @@ class StreamingSemanticDedupSpec extends SparkSpec {
       s"wrong failure: ${causeMessages(e)}")
   }
 
+  test("a zero-survivor batch stamps completion: replay short-circuits and the grown-source guard covers it") {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    val fn = StreamingSemanticDedup.dedupBatch("vecs_zero", database = db)
+    fn(Seq(1L -> u1).toDF("vec_id", "v"), 0L)
+    fn(Seq(2L -> u1).toDF("vec_id", "v"), 1L) // exact dup of 1 → 0 survivors
+    assert(spark.table(s"`$db`.`vecs_zero`")
+      .select("vec_id").as[Long].collect().toSeq == Seq(1L))
+    assert(spark.table(s"`$db`.`vecs_zero_done`").count() == 2,
+      "every batch — zero-survivor included — must carry a completion stamp")
+    // fresh-checkpoint replay: both batches short-circuit on the stamp;
+    // a re-run would append a SECOND stamp row per batch
+    fn(Seq(1L -> u1).toDF("vec_id", "v"), 0L)
+    fn(Seq(2L -> u1).toDF("vec_id", "v"), 1L)
+    assert(spark.table(s"`$db`.`vecs_zero`").count() == 1)
+    assert(spark.table(s"`$db`.`vecs_zero_done`").count() == 2)
+    assert(spark.table(s"`$db`.`vecs_zero_codes`").count() == 2 * 4)
+    // a checkpoint reset that re-batches the ZERO-survivor batch now
+    // fails loudly — before the stamp, this batch silently re-ran
+    val e = intercept[IllegalStateException] {
+      fn(Seq(2L -> u1, 3L -> z2).toDF("vec_id", "v"), 1L)
+    }
+    assert(e.getMessage.contains("checkpoint and ledger"))
+  }
+
   test("a foreign codes table fails with a clear error") {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
     // carries a ledger column (so the generic foreign-ledger guard in

@@ -29,23 +29,28 @@ def main():
     full = json.load(open(allp))
     names = sorted(set(full) - BRUTE)
     n_pass = n_fail = n_to = 0
-    for name in names:
-        with open(cur, "w") as fh:
-            json.dump({name: full[name]}, fh)
-        t0 = time.time()
-        try:
-            r = subprocess.run(
-                [sys.executable, "tools/check_oracle.py", sfdir, outdir],
-                capture_output=True, text=True, timeout=per_query)
-            line = next((l for l in r.stdout.splitlines()
-                         if l.startswith(("PASS", "FAIL"))), "NO-OUTPUT " + name)
-        except subprocess.TimeoutExpired:
-            line = f"TIMEOUT {name} (oracle > {per_query}s DuckDB budget)"
-        dt = time.time() - t0
-        print(f"{line}  [{dt:.0f}s]", flush=True)
-        n_pass += line.startswith("PASS")
-        n_fail += line.startswith("FAIL")
-        n_to += line.startswith("TIMEOUT")
+    try:
+        for name in names:
+            with open(cur, "w") as fh:
+                json.dump({name: full[name]}, fh)
+            t0 = time.time()
+            try:
+                r = subprocess.run(
+                    [sys.executable, "tools/check_oracle.py", sfdir, outdir],
+                    capture_output=True, text=True, timeout=per_query)
+                line = next((l for l in r.stdout.splitlines()
+                             if l.startswith(("PASS", "FAIL"))), "NO-OUTPUT " + name)
+            except subprocess.TimeoutExpired:
+                line = f"TIMEOUT {name} (oracle > {per_query}s DuckDB budget)"
+            dt = time.time() - t0
+            print(f"{line}  [{dt:.0f}s]", flush=True)
+            n_pass += line.startswith("PASS")
+            n_fail += line.startswith("FAIL")
+            n_to += line.startswith("TIMEOUT")
+    finally:
+        # restore the full catalog map so a later direct check_oracle.py
+        # run checks every query, not just the sweep's last singleton
+        shutil.copy(allp, cur)
     print(f"\n== sf1 sweep: {n_pass} pass, {n_fail} fail, {n_to} oracle-timeout, "
           f"{len(BRUTE & set(full))} excluded-brute ==")
     print(f"excluded: {sorted(BRUTE & set(full))}")
