@@ -177,15 +177,6 @@ object Bench {
     // the line. The complete JSON is also written to BENCH_full.json in
     // the repo so the official artifact never depends on capture size.
     val line = s"""{"metric":"total","unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_first":$qsFirst$iso$errs,"notes":$notes,"sf":${util.Json.quote(sfDir)},"reps":$reps,"gc_ms_shared":$gcShared,"gc_ms_isolated":$gcIso,"heap_max_mb":$heapMaxMb,"value_first":$totalFirst,"value":$total}"""
-    // Compact summary printed as the FINAL stdout line: the driver's
-    // artifact keeps only the last ~2000 chars of stdout (minus sbt's
-    // ~150-char success trailer), so the full line above has lost its
-    // front in every round so far ("parsed": null in BENCH_r01..r08).
-    // This line is a complete, self-contained JSON object small enough
-    // to always survive the tail capture; the full per-query data lives
-    // in the line above and in BENCH_full.json.
-    val slowest = qmap(medians.sortBy(-_._2).take(8)
-      .map { case (k, v) => k -> math.rint(v * 1000) / 1000 })
     // anchor the artifact to the repo (the sbt project dir that forked
     // this JVM, exported as SPARK_GRAFT_REPO in build.sbt), not the
     // process cwd — a bench launched from elsewhere must not drop the
@@ -207,7 +198,14 @@ object Bench {
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val defaultName =
       if (sfName == "sf0.1") "BENCH_full.json" else s"BENCH_full.$sfName.json"
-    val compact = s"""{"metric":"total","unit":"sec","value":${math.rint(total * 1000) / 1000},"value_first":${math.rint(totalFirst * 1000) / 1000},"sf":${util.Json.quote(sfDir)},"reps":$reps,"queries_n":${results.size},"coupled_n":${isolated.size},"errors_n":${failures.size},"gc_ms_shared":$gcShared,"gc_ms_isolated":$gcIso,"heap_max_mb":$heapMaxMb,"slowest_median":$slowest,"full":${util.Json.quote(defaultName)}}"""
+    // <300 chars INCLUDING sbt's "[info] " prefix: nine rounds of driver
+    // artifacts carried parsed:null because this line only survives the
+    // ~2000-char stdout tail if it fits AFTER everything sbt and Spark
+    // emit behind it. Totals + counts only — gc/heap/slowest live in the
+    // full line and BENCH_full.json. Printed twice (before the full line
+    // and again last, after spark.stop() so shutdown logging cannot trail
+    // it) so at least one copy sits inside the captured tail.
+    val compact = s"""{"metric":"total","unit":"sec","value":${math.rint(total * 1000) / 1000},"value_first":${math.rint(totalFirst * 1000) / 1000},"sf":${util.Json.quote(sfDir)},"reps":$reps,"queries_n":${results.size},"coupled_n":${isolated.size},"errors_n":${failures.size},"full":${util.Json.quote(defaultName)}}"""
     val basePath = sys.env.get("SPARK_GRAFT_BENCH_FULL").map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_REPO", "."), defaultName))
@@ -218,9 +216,10 @@ object Bench {
     try java.nio.file.Files.write(fullPath,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] $fullPath write failed: $e") }
-    println(line)
     println(compact)
+    println(line)
     spark.stop()
+    println(compact)
     if (failures.nonEmpty) {
       failures.reverse.foreach { case (k, m) => System.err.println(s"[bench] $k FAILED: $m") }
       sys.exit(1)
