@@ -528,19 +528,54 @@ object Embeddings {
       .select(col("vec_id"), col("cell"))
   }
 
-  /** v02's deterministic sign-LSH bucket (bit 8 = sign of dim 0 … bit 1 =
-    * sign of dim 3) as a column expression — the index build and any
+  /** Corpus-sized sign-LSH plane count: the smallest `p` in
+    * `[minPlanes, maxPlanes]` whose `2^p` buckets hold on average at
+    * most `targetBucket` vectors (i.e. `targetBucket * 2^p >= n`),
+    * capped at `maxPlanes`. Bucketed kernels are bucket-QUADRATIC, so a
+    * fixed plane count silently degrades toward all-pairs as the corpus
+    * grows (the 4-plane shape measured n²/16 at 60k vectors); deriving
+    * `p` from `n` pins the average bucket population — and therefore the
+    * per-vector candidate work — as the corpus scales, making total cost
+    * ~linear in `n`. Pure integer arithmetic so a SQL oracle derives the
+    * IDENTICAL count from `COUNT(*)` with no float-log rounding hazard
+    * (the cross-engine contract: `MIN(i) WHERE (512 << i) >= n OR i =
+    * cap` over a generated series). Above the cap (n > targetBucket *
+    * 2^maxPlanes) buckets grow again — raise the cap toward the vector
+    * dimensionality, or move to the trained-cell families (v09/v18). */
+  def lshPlanes(n: Long, minPlanes: Int, maxPlanes: Int,
+      targetBucket: Long = 512L): Int = {
+    require(minPlanes >= 1 && maxPlanes >= minPlanes && maxPlanes <= 62,
+      s"bad plane range: $minPlanes..$maxPlanes")
+    require(targetBucket >= 1, s"targetBucket must be positive: $targetBucket")
+    var p = minPlanes
+    while (p < maxPlanes && (targetBucket << p) < n) p += 1
+    p
+  }
+
+  /** The SQL fragment of [[lshPlanes]] — a params CTE deriving the
+    * identical plane count from `COUNT(*) over `embeddings``, integer
+    * arithmetic only. Splice as the first CTE of a bucketed oracle. */
+  private def lshPlanesSql(minPlanes: Int, maxPlanes: Int): String =
+    s"""params AS (
+          SELECT CAST((SELECT MIN(i) FROM generate_series($minPlanes, $maxPlanes) g(i)
+                       WHERE (512::BIGINT << i) >= t.n OR i = $maxPlanes) AS INT) AS p
+          FROM (SELECT COUNT(*) AS n FROM embeddings) t)"""
+
+  /** v02's deterministic sign-LSH bucket over `planes` leading
+    * coordinates (bit `planes-1-j` = sign of dim `j` — dim 0 is the
+    * HIGH bit) as a column expression — the index build and any
     * cross-engine oracle reconstruct it identically. */
-  private val SignBucketCol: Column =
-    (0 until 4).map(p => when(col("v").getItem(p) >= 0.0, lit(8L >> p)).otherwise(lit(0L)))
+  private def signBucketCol(planes: Int): Column =
+    (0 until planes).map(j =>
+      when(col("v").getItem(j) >= 0.0, lit(1L << (planes - 1 - j))).otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** The stored index row: sign-LSH bucket, id, vector, precomputed norm.
     * One definition for build and append, so the two write paths cannot
     * diverge on the code/norm arithmetic. */
-  private def indexRows(vectors: DataFrame): DataFrame = {
+  private def indexRows(vectors: DataFrame, planes: Int): DataFrame = {
     graft.functions.FixedPointDot.install(vectors.sparkSession)
-    vectors.select(SignBucketCol.as("bucket"), col("vec_id").cast("long").as("vec_id"),
+    vectors.select(signBucketCol(planes).as("bucket"), col("vec_id").cast("long").as("vec_id"),
       col("v"), expr(NormSql).as("nrm"))
   }
 
@@ -555,19 +590,28 @@ object Embeddings {
     * enter via [[appendToIndex]] without touching the resident files.
     * Rebuilding into an existing name always succeeds — stale warehouse
     * directories from earlier JVMs are replaced, not tripped over (see
-    * writeBucketed). Returns the qualified `database.table` name. */
-  def buildIndex(vectors: DataFrame, database: String, table: String): String =
+    * writeBucketed). Returns the qualified `database.table` name.
+    *
+    * `planes` is the index GEOMETRY — size it for the corpus the index
+    * will ultimately hold ([[lshPlanes]] over the anticipated count, as
+    * the v08/v11 catalog entries do), because [[appendToIndex]] must
+    * reuse the build-time value (a persisted bucket layout cannot be
+    * re-coded incrementally; when the corpus outgrows its geometry,
+    * rebuild). */
+  def buildIndex(vectors: DataFrame, database: String, table: String,
+      planes: Int = 4): String =
     graft.plans.CoLocated.writeBucketed(
-      indexRows(vectors), database, table, "bucket", buckets = 16)
+      indexRows(vectors, planes), database, table, "bucket", buckets = 16)
 
   /** Incremental index maintenance: bucket-code + norm the NEW vectors
     * only and append them into the existing [[buildIndex]] table (same
-    * bucket spec, so the layout invariant [[queryIndex]] relies on is
-    * preserved). Append-then-query equals a full rebuild over the union —
-    * pinned in EmbeddingsSpec. */
-  def appendToIndex(vectors: DataFrame, database: String, table: String): String =
+    * bucket spec AND the same `planes` geometry, so the layout invariant
+    * [[queryIndex]] relies on is preserved). Append-then-query equals a
+    * full rebuild over the union — pinned in EmbeddingsSpec. */
+  def appendToIndex(vectors: DataFrame, database: String, table: String,
+      planes: Int = 4): String =
     graft.plans.CoLocated.appendBucketed(
-      indexRows(vectors), database, table, "bucket", buckets = 16)
+      indexRows(vectors, planes), database, table, "bucket", buckets = 16)
 
   /** Top-3 neighbors per vector from a [[buildIndex]] table. The read is
     * `groupBy(bucket).as[…].flatMapGroups` — grouping on the STORED
@@ -1021,14 +1065,20 @@ object Embeddings {
     * serves top-3 per query. v08 gates build-then-query; v11 gates
     * build-on-subset + append-then-query — both must equal this full
     * reconstruction, which is exactly the append-invisibility claim. */
+  /** Shared by v02/v08/v11: replays the corpus-sized sign bucket
+    * ([[lshPlanes]] from COUNT(*), integer arithmetic — see
+    * [[lshPlanesSql]]), the within-bucket fixed-point cosine, and the
+    * (cosine desc, id asc) rank. `base` is MATERIALIZED: it is
+    * referenced twice by the bucket self-join and DuckDB re-inlines
+    * plain CTEs per reference (the list-comprehension bucket would be
+    * recomputed per side). */
   private val SignIndexOracleSql: String =
-    """WITH base AS (
+    s"""WITH ${lshPlanesSql(4, 16)},
+        base AS MATERIALIZED (
           SELECT vec_id, embedding::DOUBLE[] AS v,
-                 CAST(CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
-                    + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
-                    + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
-                    + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
-          FROM embeddings),
+                 CAST(list_sum([CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (p.p - i)) ELSE 0::BIGINT END
+                                FOR i IN generate_series(1, p.p)]) AS BIGINT) AS bucket
+          FROM embeddings, params p),
         n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
                FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
         dots AS (SELECT qid, cid, bkt, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
@@ -1842,24 +1892,37 @@ object Embeddings {
     QueryDef("v02_ann_bucketed",
       (s: SparkSession, dir: String) => {
         import s.implicits._
-        // LSH bucket: sign pattern of dims 0..3 (fixed axis-aligned
-        // hyperplanes). Neighbors are searched WITHIN the bucket only.
+        // LSH bucket: sign pattern of the leading [[lshPlanes]] dims
+        // (axis-aligned hyperplanes, plane count derived from COUNT(*)
+        // so the average bucket population — and the bucket-quadratic
+        // kernel's per-vector work — stays pinned at ~512 as the corpus
+        // grows: 4 planes to 8k vectors, then one more per doubling up
+        // to 16). Neighbors are searched WITHIN the bucket only.
         //
-        // Execution: ONE shuffle keyed on the bucket, then a primitive-
-        // array kernel per bucket group (norms + dot products + a bounded
-        // top-3 insertion per query). The earlier declarative form — a
-        // bucket-keyed self-join with an `aggregate()` lambda fold per
-        // candidate pair — paid an interpreted 64-term HOF outside
-        // whole-stage codegen on every candidate plus a row_number window
-        // over the n²/16 candidate rows; the kernel does the identical
-        // fixed-point arithmetic (bit-for-bit — the oracle is unchanged)
-        // at memory bandwidth. Per-task memory is one bucket; at 100 TB
-        // raise the plane count (buckets shrink exponentially) and/or
-        // apply v04's block decomposition inside oversized buckets.
+        // Execution: one column-pruned COUNT(*), then ONE shuffle keyed
+        // on the bucket, then a primitive-array kernel per bucket group
+        // (norms + dot products + a bounded top-3 insertion per query).
+        // The earlier declarative form — a bucket-keyed self-join with
+        // an `aggregate()` lambda fold per candidate pair — paid an
+        // interpreted 64-term HOF outside whole-stage codegen on every
+        // candidate plus a row_number window over the bucket-quadratic
+        // candidate rows; the kernel does the identical fixed-point
+        // arithmetic (bit-for-bit — the oracle replays the same derived
+        // planes from its own COUNT(*)) at memory bandwidth. Per-task
+        // memory is one bucket; past the 16-plane cap (33M vectors)
+        // apply v04's block decomposition inside oversized buckets or
+        // move to the trained-cell families.
         val ds = based(s, dir).as[(Long, Array[Double])]
-        def bucketOf(v: Array[Double]): Long =
-          ((if (v(0) >= 0.0) 8 else 0) + (if (v(1) >= 0.0) 4 else 0)
-            + (if (v(2) >= 0.0) 2 else 0) + (if (v(3) >= 0.0) 1 else 0)).toLong
+        val planes = lshPlanes(ds.count(), minPlanes = 4, maxPlanes = 16)
+        def bucketOf(v: Array[Double]): Long = {
+          var b = 0L
+          var j = 0
+          while (j < planes) {
+            if (v(j) >= 0.0) b |= 1L << (planes - 1 - j)
+            j += 1
+          }
+          b
+        }
         ds.groupByKey { case (_, v) => bucketOf(v) }
           .flatMapGroups { (bkt, iter) =>
             val items = iter.toArray
@@ -1887,28 +1950,9 @@ object Embeddings {
           .toDF("query_id", "rnk", "neighbor_id", "bucket", "cosine")
           .orderBy($"query_id", $"rnk")
       },
-      Some("""WITH base AS (
-          SELECT vec_id, embedding::DOUBLE[] AS v,
-                 CAST(CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
-                    + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
-                    + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
-                    + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
-          FROM embeddings),
-        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
-               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
-        dots AS (SELECT qid, cid, bkt, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
-                 FROM (SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket AS bkt,
-                              unnest(q.v) AS qx, unnest(c.v) AS cx
-                       FROM base q, base c
-                       WHERE q.bucket = c.bucket AND q.vec_id <> c.vec_id)
-                 GROUP BY 1, 2, 3),
-        scored AS (SELECT qid AS query_id, cid AS neighbor_id, bkt AS bucket,
-                          dot / (a.nrm * b.nrm) AS cosine,
-                          row_number() OVER (PARTITION BY qid
-                            ORDER BY dot / (a.nrm * b.nrm) DESC, cid) AS rnk
-                   FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id)
-        SELECT query_id, rnk, neighbor_id, bucket, cosine FROM scored
-        WHERE rnk <= 3 ORDER BY query_id, rnk""")),
+      // same oracle as v08/v11: the rebuilt-from-scratch and persisted-
+      // index forms must agree exactly, planes derivation included
+      Some(SignIndexOracleSql)),
 
     QueryDef("v05_topk_aggregated",
       (s: SparkSession, dir: String) => {
@@ -2094,7 +2138,9 @@ object Embeddings {
         // table name from the SANITIZED dir string, not dir.hashCode —
         // a 32-bit hash lets two dirs collide and silently share an index
         val table = "v08_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
-        Embeddings.buildIndex(based(s, dir), "graft_index", table)
+        val base = based(s, dir)
+        Embeddings.buildIndex(base, "graft_index", table,
+          planes = lshPlanes(base.count(), minPlanes = 4, maxPlanes = 16))
         Embeddings.queryIndex(s, "graft_index", table)
           .orderBy($"query_id", $"rnk")
       },
@@ -2116,8 +2162,12 @@ object Embeddings {
         // (same stale-warehouse discipline as v08).
         val table = "v11_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
         val all = based(s, dir)
-        Embeddings.buildIndex(all.filter($"vec_id" % 3 =!= 0), "graft_index", table)
-        Embeddings.appendToIndex(all.filter($"vec_id" % 3 === 0), "graft_index", table)
+        // geometry sized for the FULL corpus the index will hold (see
+        // buildIndex's scaladoc): append must reuse the build-time plane
+        // count, and the oracle derives planes from the full COUNT(*)
+        val planes = lshPlanes(all.count(), minPlanes = 4, maxPlanes = 16)
+        Embeddings.buildIndex(all.filter($"vec_id" % 3 =!= 0), "graft_index", table, planes)
+        Embeddings.appendToIndex(all.filter($"vec_id" % 3 === 0), "graft_index", table, planes)
         Embeddings.queryIndex(s, "graft_index", table)
           .orderBy($"query_id", $"rnk")
       },
@@ -2444,29 +2494,37 @@ object Embeddings {
         WHERE rnk <= 10 ORDER BY query_id, rnk""")),
 
     QueryDef("v20_semantic_greedy",
-      (s: SparkSession, dir: String) =>
+      (s: SparkSession, dir: String) => {
         // greedy ONLINE semantic dedup (see [[semanticGreedy]]): the
         // single-pass drop rule the streaming ingest honors per
         // micro-batch, under the hash gate in its batch form. 6 bands ×
-        // 6 sign planes (36 of the 64 coordinates): 2^6 = 64 buckets per
-        // band keeps the candidate volume ~bucket-quadratic instead of
-        // (n/16)-quadratic — the 4×4 shape measured 50M candidate pairs
-        // at 20k vectors (sf1), the 6×6 shape ~3M. Exact fp cosine
-        // verify on band-sharing candidates only — never all-pairs.
-        semanticGreedy(based(s, dir), threshold = 0.45, bands = 6, planes = 6)
-          .orderBy(col("vec_id")),
-      // oracle replays bands, candidates, fp cosine and the min-earlier
-      // dropper; DuckDB arrays are 1-based like element_at
-      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        // [[lshPlanes]](n, 6..10) sign planes: the per-band bucket count
+        // grows with the corpus so candidate volume stays ~linear — the
+        // fixed 4×4 shape measured 50M candidate pairs at 20k vectors,
+        // 6×6 ~3M but trending quadratic again by 60k; deriving planes
+        // from COUNT(*) pins the average band-bucket population at ~512.
+        // Cap 10 (6 bands × 10 planes = 60 of the 64 coordinates): past
+        // 524k vectors buckets grow again — raise bands via explicit
+        // [[semanticGreedy]] params or pre-partition the id space.
+        // Exact fp cosine verify on band-sharing candidates — never
+        // all-pairs. The oracle derives the SAME plane count from its
+        // own COUNT(*) (integer arithmetic both sides).
+        val base = based(s, dir)
+        val planes = lshPlanes(base.count(), minPlanes = 6, maxPlanes = 10)
+        semanticGreedy(base, threshold = 0.45, bands = 6, planes = planes)
+          .orderBy(col("vec_id"))
+      },
+      // oracle replays the derived planes, bands, candidates, fp cosine
+      // and the min-earlier dropper; DuckDB arrays are 1-based like
+      // element_at. codes is MATERIALIZED: the band self-join references
+      // it twice and DuckDB re-inlines plain CTEs per reference.
+      Some(s"""WITH ${lshPlanesSql(6, 10)},
+        base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         bands AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5)) t(b)),
-        codes AS (SELECT vec_id, b,
-            CAST((CASE WHEN v[b*6+1] >= 0 THEN 1 ELSE 0 END)
-               + (CASE WHEN v[b*6+2] >= 0 THEN 2 ELSE 0 END)
-               + (CASE WHEN v[b*6+3] >= 0 THEN 4 ELSE 0 END)
-               + (CASE WHEN v[b*6+4] >= 0 THEN 8 ELSE 0 END)
-               + (CASE WHEN v[b*6+5] >= 0 THEN 16 ELSE 0 END)
-               + (CASE WHEN v[b*6+6] >= 0 THEN 32 ELSE 0 END) AS BIGINT) AS code
-          FROM base, bands),
+        codes AS MATERIALIZED (SELECT vec_id, b,
+            CAST(list_sum([CASE WHEN v[b * p.p + i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END
+                           FOR i IN generate_series(1, p.p)]) AS BIGINT) AS code
+          FROM base, bands, params p),
         n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
                FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
         cand AS (SELECT DISTINCT a.vec_id AS ida, c.vec_id AS idb

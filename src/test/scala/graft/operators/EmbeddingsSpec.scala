@@ -198,12 +198,13 @@ class EmbeddingsSpec extends SparkSpec {
   test("v02 bucketed ANN: neighbors share the query's sign bucket") {
     val df = Catalog.byName("v02_ann_bucketed").run(spark, sf)
     import org.apache.spark.sql.functions._
-    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-      .select(col("vec_id"),
-        (when(col("embedding").getItem(0) >= 0f, 8).otherwise(0)
-          + when(col("embedding").getItem(1) >= 0f, 4).otherwise(0)
-          + when(col("embedding").getItem(2) >= 0f, 2).otherwise(0)
-          + when(col("embedding").getItem(3) >= 0f, 1).otherwise(0)).cast("long").as("true_bucket"))
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+    // independently replay the corpus-sized plane derivation
+    val planes = Embeddings.lshPlanes(raw.count(), minPlanes = 4, maxPlanes = 16)
+    val emb = raw.select(col("vec_id"),
+      (0 until planes).map(j =>
+          when(col("embedding").getItem(j) >= 0f, 1L << (planes - 1 - j)).otherwise(0L))
+        .reduce(_ + _).cast("long").as("true_bucket"))
     val bad = df.join(emb, df("query_id") === emb("vec_id"))
       .filter(col("bucket") =!= col("true_bucket")).count()
     assert(bad == 0)
