@@ -139,16 +139,38 @@ object Multimodal {
   def sizeBalanced(frames: DataFrame, partitions: Int): DataFrame =
     frames.repartition(partitions, pmod(length(col("payload")), lit(partitions)))
 
-  /** Verified media near-dup pairs `(doc_a, doc_b, hamming)` — the shared
-    * engine of m05 (pair listing) and m06 (cluster + canonical pick).
-    * Classic average-hash: decode → resize to the 8×8 canonical grid
-    * (64 bytes) → bit i = value_i ≥ mean, computed as the INTEGER
-    * comparison v*64 ≥ sum so both engines agree exactly (no division).
-    * The 64-bit hash travels as two BIGINT halves (bit 63 would overflow
-    * signed); candidate pairs come from an 8×8-bit banded self-join —
-    * hamming ≤ 6 < 8 bands forces a shared band (pigeonhole, d04's
-    * argument), so the banded plan EQUALS the n² scan the oracle runs,
-    * without n² cost. Hamming verify = bit_count(xor) on candidates. */
+  /** Verified media near-dup pairs `(doc_a, doc_b, hamming)` over
+    * exact-payload REPRESENTATIVES — the shared engine of m05 (pair
+    * listing) and m06 (cluster + canonical pick).
+    *
+    * Stage 1, exact collapse: byte-identical blobs (same decoded
+    * payload) are collapsed to one representative — the smallest
+    * doc_id — via a map-side-combining reduceGroups on the payload md5.
+    * Mass-duplicated media (the degenerate regime the r9 scale run hit:
+    * replicated corpora whose identical blobs densified the pair graph
+    * 685×) collapses BEFORE any quadratic work, and the within-group
+    * pairs (all hamming 0, quadratic in group size by definition) are
+    * deliberately not emitted: exact-dup group membership is the
+    * md5-group itself (d01's composition), not a near-dup finding.
+    *
+    * Stage 2, classic average-hash on representatives: resize to the
+    * 8×8 canonical grid (64 bytes) → bit i = value_i ≥ mean, computed
+    * as the INTEGER comparison v*64 ≥ sum so both engines agree exactly
+    * (no division). The 64-bit hash travels as two BIGINT halves (bit
+    * 63 would overflow signed).
+    *
+    * Stage 3, banded kernel: candidates share one of eight 8-bit bands
+    * — hamming ≤ 6 < 8 bands forces a shared band (pigeonhole, d04's
+    * argument), so the banded result EQUALS the n² scan the oracle
+    * runs, without n² cost. One shuffle keyed on (band, value), then a
+    * primitive-array kernel per bucket: XOR + popcount per pair, and a
+    * pair is emitted ONLY in its first matching band — cross-band
+    * de-duplication by construction, where the previous join-shaped
+    * form paid a distinct() exchange over every candidate ROW (with
+    * both hash halves aboard) and collapsed under structural skew (at
+    * 30× scale, ~46k short-doc blobs share h1 = 0 and therefore four
+    * whole band values; the kernel grinds that bucket at register
+    * speed instead of materializing 1e9 candidate rows). */
   /** Warm-call memo for [[phashPairs]]: the hash frame is rooted on a
     * map-closure, so the registry's plan matching can never reuse it
     * across calls — without this every m05/m06 invocation re-paid the
@@ -158,18 +180,18 @@ object Multimodal {
     * downstream (NearDup.components memoizes on it); invalidated when
     * the registry entry is gone (Bench's isolation pass, Engine.close),
     * the owning session stopped, or the data dir differs. */
-  /** Band-bucket population bound for [[phashPairs]]: candidate work is
-    * bucket-quadratic (a band value shared by B blobs contributes B²/2
-    * pairs), and a DEGENERATE corpus — thousands of byte-identical or
-    * near-identical blobs — concentrates into single buckets, turning
-    * the banded plan back into the n² scan it exists to avoid (the sf1
-    * scale run measured exactly this: a 10× corpus whose perceptual
-    * hashes collided across replicas densified the pair graph 685×).
-    * 2^14 blobs in ONE band bucket (≥ 1.3e8 candidate pairs from that
-    * bucket alone) is past what a verify pass should absorb silently;
-    * above it the kernel refuses with guidance rather than burning the
-    * cluster, mirroring [[Embeddings.AllPairsMaxRows]]. */
-  val MaxBandBucket: Long = 1L << 14
+  /** Band-bucket population bound for [[phashPairs]]: kernel work is
+    * bucket-quadratic (a band value shared by B representatives costs
+    * B²/2 XOR+popcount probes). Exact duplicates are already collapsed
+    * before banding, so a bucket this hot means >65k perceptually-
+    * concentrated-but-byte-distinct blobs share one 8-bit hash slice —
+    * ~2e9 probes (tens of seconds) in ONE task, and growing
+    * quadratically from there. Above the bound the kernel refuses with
+    * guidance rather than burning the cluster, mirroring
+    * [[Embeddings.AllPairsMaxRows]]; raise it explicitly when the
+    * quadratic cost is budgeted (the probes are register-speed — the
+    * bound is a skew/wall-clock guard, not a memory one). */
+  val MaxBandBucket: Long = 1L << 16
 
   private val phashPairsMemo =
     new java.util.concurrent.atomic.AtomicReference[(String, SparkSession, Long, DataFrame)]()
@@ -183,12 +205,20 @@ object Multimodal {
       return memo._4
     import s.implicits._
     val media = decode(fromDocuments(tbl(s, dir, "documents")))
-    // retained: the banded self-join references the hash frame twice
+    // stage 1: exact-payload collapse. reduceGroups combines map-side,
+    // so a mass-duplicated corpus never ships its duplicate payloads
+    // through the shuffle — only one survivor per (partition, md5)
+    val reps = media.groupByKey { r =>
+      val d = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+      java.util.Base64.getEncoder.encodeToString(d)
+    }.reduceGroups((a, b) => if (a.doc_id <= b.doc_id) a else b)
+      .map(_._2)
+    // retained: the banded kernel and the gate both read the hash frame
     // (same reason d04 retains `neardup.simhash`) — without it the
-    // encode-UDF + decode + resize + hash pipeline can execute once
-    // per join side whenever the planner doesn't reuse the exchange
+    // encode-UDF + decode + collapse + resize + hash pipeline executes
+    // once per consumer
     val hashed = graft.CacheRegistry.retain("media.phash",
-      resize(media, w = 8, h = 8).map { r =>
+      resize(reps, w = 8, h = 8).map { r =>
         var sum = 0L
         r.payload.foreach(b => sum += (b & 0xFF).toLong)
         var h0 = 0L
@@ -202,36 +232,68 @@ object Multimodal {
         }
         (r.doc_id, h0, h1)
       }.toDF("doc_id", "h0", "h1"))
-    val bands = hashed.select($"doc_id", $"h0", $"h1",
-      explode(array((0 until 8).map { b =>
-        val src = if (b < 4) "h0" else "h1"
-        struct(lit(b).as("bi"),
-          expr(s"shiftright($src, ${(b % 4) * 8}) & 255").as("bv"))
-      }: _*)).as("bd"))
-      .select($"doc_id", $"h0", $"h1", $"bd.bi".as("bi"), $"bd.bv".as("bv"))
+    def bandSlice(b: Int, h0: Long, h1: Long): Long =
+      if (b < 4) (h0 >>> (b * 8)) & 255L else (h1 >>> ((b - 4) * 8)) & 255L
+    val banded = hashed.as[(Long, Long, Long)].flatMap { case (id, h0, h1) =>
+      (0 until 8).iterator.map(b => (b, bandSlice(b, h0, h1), id, h0, h1))
+    }
     // hot-bucket gate: one count pass over the (retained) hash frame
-    // before committing to the bucket-quadratic join; max over an empty
-    // corpus is NULL, which means zero buckets — nothing to gate
-    val hottest = Option(bands.groupBy($"bi", $"bv").count()
+    // before committing to the bucket-quadratic kernel; max over an
+    // empty corpus is NULL, which means zero buckets — nothing to gate
+    val hottest = Option(banded.toDF("bi", "bv", "doc_id", "h0", "h1")
+      .groupBy($"bi", $"bv").count()
       .agg(max($"count")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
     if (hottest > maxBandBucket)
       throw new IllegalStateException(
         s"media near-dup band bucket holds $hottest blobs (> $maxBandBucket): " +
-          "the corpus is perceptually degenerate (mass-duplicated media) and the " +
-          "banded join would degrade toward all-pairs. Exact-dedup the blobs " +
-          "first (m06/d01 composition) or raise maxBandBucket explicitly if the " +
-          "quadratic cost is budgeted.")
-    val verified = bands.as("a").join(bands.as("b"),
-        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.h0").as("h0a"), col("a.h1").as("h1a"),
-        col("b.h0").as("h0b"), col("b.h1").as("h1b"))
-      .distinct()
-      .withColumn("hamming",
-        expr("bit_count(h0a ^ h0b) + bit_count(h1a ^ h1b)").cast("long"))
-      .filter($"hamming" <= 6)
-      .select($"doc_a", $"doc_b", $"hamming")
+          "byte-identical blobs are already collapsed, so the corpus " +
+          "concentrates this many DISTINCT payloads into one 8-bit hash " +
+          "slice and the kernel task owning it would run quadratically — " +
+          "raise maxBandBucket explicitly if the quadratic cost is budgeted, " +
+          "or pre-cluster the corpus (m03 features + d07) before pairing.")
+    // stage 3: per-bucket primitive kernel. A qualifying pair is emitted
+    // only in its FIRST matching band, so the output carries no
+    // cross-band duplicates and needs no distinct() exchange.
+    val verified = banded.groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Long), iter: Iterator[(Int, Long, Long, Long, Long)]) =>
+        val bi = key._1
+        // unbox ONCE into primitive arrays: the probe loop below runs
+        // bucket²/2 times (1e9+ in a structurally hot bucket) and must
+        // touch nothing but longs — probing boxed tuples measured ~50×
+        // slower at 30× scale
+        val items = iter.toArray
+        val n = items.length
+        val ids = new Array[Long](n)
+        val h0s = new Array[Long](n)
+        val h1s = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val t = items(i)
+          ids(i) = t._3; h0s(i) = t._4; h1s(i) = t._5
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        i = 0
+        while (i < n) {
+          val ida = ids(i); val a0 = h0s(i); val a1 = h1s(i)
+          var j = i + 1
+          while (j < n) {
+            val ham = java.lang.Long.bitCount(a0 ^ h0s(j)) +
+              java.lang.Long.bitCount(a1 ^ h1s(j))
+            if (ham <= 6) {
+              var fb = 0
+              while (bandSlice(fb, a0, a1) != bandSlice(fb, h0s(j), h1s(j))) fb += 1
+              if (fb == bi) {
+                val idb = ids(j)
+                out += ((math.min(ida, idb), math.max(ida, idb), ham.toLong))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }.toDF("doc_a", "doc_b", "hamming")
     // retained: m05 orders this frame, m06 clusters it — the verified
     // pair set is the shared product both re-read warm (pair count ≪
     // corpus: 65 / 3660 rows at sf0.01 / sf0.1)
@@ -382,23 +444,33 @@ object Multimodal {
         // perceptual-hash near-dup for MEDIA — dedup extended across
         // modalities (the text side has d01-d09; this is the image/
         // audio/video analog); pair generation shared with m06's
-        // clustering via [[phashPairs]].
+        // clustering via [[phashPairs]]. Pairs are between exact-payload
+        // REPRESENTATIVES (byte-identical blobs collapse first — see
+        // phashPairs stage 1); exact-dup membership itself is d01's
+        // composition, not a near-dup finding.
         phashPairs(s, dir).orderBy($"doc_a", $"doc_b")
       },
       // oracle: closed-form container arithmetic (code point % 128 = the
-      // decoded byte, zero-pad past the text) + the full n² hamming scan
+      // decoded byte, zero-pad past the text), the exact-payload collapse
+      // (one rep — min doc_id — per identical full-length code list),
+      // then the full n² hamming scan over representatives
       Some("""WITH pos AS (SELECT unnest(generate_series(1, 64)) AS i),
           ch AS (SELECT d.doc_id, p.i,
                    CASE WHEN p.i <= length(d.text)
                      THEN ascii(substr(d.text, p.i, 1)) % 128 ELSE 0 END AS v
                  FROM documents d, pos p),
+          reps AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM (
+                   SELECT doc_id, list_transform(generate_series(1, length(text)),
+                     i -> ascii(substr(text, i, 1)) % 128) AS k
+                   FROM documents) GROUP BY k),
           sums AS MATERIALIZED (SELECT doc_id, SUM(v) AS s FROM ch GROUP BY doc_id),
           hs AS MATERIALIZED (SELECT c.doc_id,
                    CAST(SUM(CASE WHEN c.i <= 32 AND c.v * 64 >= s.s
                      THEN (CAST(1 AS BIGINT) << (c.i - 1)) ELSE 0 END) AS BIGINT) AS h0,
                    CAST(SUM(CASE WHEN c.i > 32 AND c.v * 64 >= s.s
                      THEN (CAST(1 AS BIGINT) << (c.i - 33)) ELSE 0 END) AS BIGINT) AS h1
-                 FROM ch c JOIN sums s USING (doc_id) GROUP BY c.doc_id)
+                 FROM ch c JOIN sums s USING (doc_id) JOIN reps r USING (doc_id)
+                 GROUP BY c.doc_id)
         SELECT doc_a, doc_b, hamming FROM (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS BIGINT) AS hamming
@@ -428,13 +500,18 @@ object Multimodal {
                    CASE WHEN p.i <= length(d.text)
                      THEN ascii(substr(d.text, p.i, 1)) % 128 ELSE 0 END AS v
                  FROM documents d, pos p),
+          repset AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM (
+                   SELECT doc_id, list_transform(generate_series(1, length(text)),
+                     i -> ascii(substr(text, i, 1)) % 128) AS k
+                   FROM documents) GROUP BY k),
           sums AS MATERIALIZED (SELECT doc_id, SUM(v) AS s FROM ch GROUP BY doc_id),
           hs AS MATERIALIZED (SELECT c.doc_id,
                    CAST(SUM(CASE WHEN c.i <= 32 AND c.v * 64 >= s.s
                      THEN (CAST(1 AS BIGINT) << (c.i - 1)) ELSE 0 END) AS BIGINT) AS h0,
                    CAST(SUM(CASE WHEN c.i > 32 AND c.v * 64 >= s.s
                      THEN (CAST(1 AS BIGINT) << (c.i - 33)) ELSE 0 END) AS BIGINT) AS h1
-                 FROM ch c JOIN sums s USING (doc_id) GROUP BY c.doc_id),
+                 FROM ch c JOIN sums s USING (doc_id) JOIN repset r USING (doc_id)
+                 GROUP BY c.doc_id),
           prs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS BIGINT) AS hamming

@@ -81,19 +81,29 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.rdd.getNumPartitions == 3)
   }
 
-  test("phashPairs refuses a perceptually degenerate corpus (hot band bucket)") {
-    // 200 byte-identical texts → identical blobs → ONE bucket holds all
-    // 200 in every band: past the (lowered) gate the banded join would
-    // be the n² scan it exists to avoid — the kernel must refuse with
-    // guidance, not grind (the sf1 scale run's 685× densification is
-    // the regime this protects; the real bound is 2^14)
+  test("phashPairs collapses byte-identical blobs; refuses DISTINCT perceptual concentration") {
+    // 200 byte-identical texts used to trip the gate; the exact-payload
+    // pre-pass now collapses them to ONE representative before banding,
+    // so the kernel sails through a corpus that is merely mass-duplicated
     val dir = java.nio.file.Files.createTempDirectory("phashdeg").toString
     (0L until 200L).map(i => (i, "identical media text payload"))
       .toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     graft.CacheRegistry.unpersistAll()
+    // one rep → zero pairs, no refusal even under a tiny bound
+    assert(Multimodal.phashPairs(spark, dir, maxBandBucket = 100L).count() == 0)
+    graft.CacheRegistry.unpersistAll()
+    // 200 DISTINCT short texts: every blob is < 33 bytes, so h1 = 0 and
+    // bands 4-7 all carry value 0 — the structural-skew regime the 30×
+    // scale run hit (~46k short docs in one band bucket). The collapse
+    // cannot help (payloads differ) and the kernel must refuse with
+    // guidance, not grind.
+    val dir2 = java.nio.file.Files.createTempDirectory("phashdeg2").toString
+    (0L until 200L).map(i => (i, s"short text $i"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
     val e = intercept[IllegalStateException] {
-      Multimodal.phashPairs(spark, dir, maxBandBucket = 100L).count()
+      Multimodal.phashPairs(spark, dir2, maxBandBucket = 100L).count()
     }
     assert(e.getMessage.contains("band bucket holds 200"))
     assert(e.getMessage.contains("raise maxBandBucket"))
@@ -113,9 +123,14 @@ class MultimodalSpec extends SparkSpec {
       }
       (h0, h1)
     }
-    val hs = spark.read.parquet(s"$sf/documents.parquet")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> ahash(r.getString(1)))
+      .map(r => r.getLong(0) -> r.getString(1))
+    // replay the exact-payload collapse: one rep (min doc_id) per
+    // identical full-length code-point list
+    val hs = docs.groupBy { case (_, t) => t.codePoints().toArray.map(_ & 0x7F).toSeq }
+      .map { case (_, g) => g.minBy(_._1) }
+      .map { case (id, t) => id -> ahash(t) }.toArray
     val brute = (for {
       (a, (a0, a1)) <- hs; (b, (b0, b1)) <- hs if a < b
       h = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
