@@ -162,6 +162,42 @@ object Documents {
       .orderBy(col("source"))
   }
 
+  /** Fixed-size overlapping token chunking — the retrieval/indexing
+    * preprocessor (RAG chunking, long-doc training windows) that sits
+    * between raw documents and the v-family: each document yields
+    * windows of `chunkToks` whitespace tokens starting every
+    * `chunkToks - overlap` tokens (the final window may be shorter;
+    * every token of the doc appears in at least one chunk). Emits one
+    * row per chunk — `chunk_id` (0-based, in token order), `tok_start`
+    * (0-based token offset), `n_toks`, `chunk_text` — with every other
+    * input column passed through (`text` itself is dropped; it is
+    * replaced by the chunk bodies).
+    *
+    * Scale shape: a pure map-side generator — tokenize + an exploded
+    * integer sequence per row, all codegen-friendly expressions, no
+    * shuffle, no UDF; chunking 100 TB is a single scan whose output
+    * feeds straight into [[packDocuments]] (chunks pack like docs) or
+    * an embedding join keyed on (doc_id, chunk_id). Deterministic pure
+    * function of `text`, so re-runs and appends chunk identically. */
+  def chunkDocuments(docs: DataFrame, chunkToks: Int, overlap: Int = 0): DataFrame = {
+    require(chunkToks > 0, s"chunkToks must be positive, got $chunkToks")
+    require(overlap >= 0 && overlap < chunkToks,
+      s"overlap must be in [0, chunkToks), got $overlap for chunkToks $chunkToks")
+    val step = chunkToks - overlap
+    docs
+      .withColumn("_toks", split(col("text"), " "))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .select(col("*"),
+        posexplode(expr(s"sequence(0, int(_n - 1), $step)")).as(Seq("_cid", "_start")))
+      .withColumn("chunk_id", col("_cid").cast("long"))
+      .withColumn("tok_start", col("_start").cast("long"))
+      .withColumn("n_toks",
+        least(lit(chunkToks.toLong), col("_n") - col("tok_start")))
+      .withColumn("chunk_text",
+        array_join(expr(s"slice(_toks, int(_start) + 1, $chunkToks)"), " "))
+      .drop("_toks", "_n", "_cid", "_start", "text")
+  }
+
   /** Misra-Gries frequent-items sketch over a token stream — the
     * approximate heavy-hitters dual of t03's exact frequency table, the
     * third sketch in the family (HLL distinct = e07, KLL percentiles =
@@ -1623,6 +1659,30 @@ object Documents {
                 THEN 'holdout' ELSE 'train' END AS split
          FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
          ORDER BY d.doc_id""")),
+
+    QueryDef("p07_doc_chunks",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // RAG/long-doc chunking under the hash gate: 64-token windows
+        // every 48 tokens (16-token overlap) — see [[chunkDocuments]]
+        // for the map-side scale shape. The oracle replays tokenize +
+        // window arithmetic + the 1-based slice join; chunk_id = start
+        // DIV step exactly because starts are step multiples.
+        chunkDocuments(
+          tbl(s, dir, "documents").select($"doc_id", $"text"),
+          chunkToks = 64, overlap = 16)
+          .select($"doc_id", $"chunk_id", $"tok_start", $"n_toks", $"chunk_text")
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some("""SELECT doc_id, CAST(i // 48 AS BIGINT) AS chunk_id,
+          CAST(i AS BIGINT) AS tok_start,
+          CAST(LEAST(64, n - i) AS BIGINT) AS n_toks,
+          array_to_string(toks[i+1 : i+64], ' ') AS chunk_text
+        FROM (SELECT doc_id, toks, n, unnest(generate_series(0, n-1, 48)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                    FROM documents))
+        ORDER BY doc_id, chunk_id""")),
 
     QueryDef("t14_bigram_entropy",
       (s: SparkSession, dir: String) => {

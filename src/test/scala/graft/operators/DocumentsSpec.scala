@@ -433,4 +433,74 @@ class DocumentsSpec extends SparkSpec {
     assert(fracs.last._2 > fracs.head._2,
       s"quality upsampling not visible: $fracs")
   }
+
+  test("chunkDocuments: spans, overlap, short final chunk, passthrough, guards") {
+    import spark.implicits._
+    // 10 tokens, chunks of 4 every 3 → starts 0,3,6,9; final chunk short
+    val toks = (0 until 10).map(i => s"w$i")
+    val docs = Seq((7L, "en", toks.mkString(" "))).toDF("doc_id", "lang", "text")
+    val out = Documents.chunkDocuments(docs, chunkToks = 4, overlap = 1)
+      .orderBy("chunk_id")
+      .select("doc_id", "lang", "chunk_id", "tok_start", "n_toks", "chunk_text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      (7L, "en", 0L, 0L, 4L, "w0 w1 w2 w3"),
+      (7L, "en", 1L, 3L, 4L, "w3 w4 w5 w6"),
+      (7L, "en", 2L, 6L, 4L, "w6 w7 w8 w9"),
+      (7L, "en", 3L, 9L, 1L, "w9")), s"got ${out.toSeq}")
+    // overlap 0 partitions the doc exactly; every token appears once
+    val exact = Documents.chunkDocuments(docs, chunkToks = 4)
+      .orderBy("chunk_id").select("chunk_text").as[String].collect()
+    assert(exact.flatMap(_.split(" ")).toSeq == toks)
+    intercept[IllegalArgumentException] {
+      Documents.chunkDocuments(docs, chunkToks = 4, overlap = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Documents.chunkDocuments(docs, chunkToks = 0)
+    }
+  }
+
+  test("chunkDocuments composes with packDocuments: chunks pack like documents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // chunk the corpus, then pack the CHUNKS into 128-token training
+    // sequences — the long-doc pipeline shape (chunk → pack). The chunk
+    // key (doc_id, chunk_id) flattens to a packable id preserving token
+    // order; replay the cumsum on the driver for the exact assignment.
+    val chunks = Documents.chunkDocuments(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select($"doc_id", lit("all").as("lang"), $"text"), 64, 16)
+      .withColumn("cid", $"doc_id" * 1000000L + $"chunk_id")
+    val packed = Documents.packSequences(
+      chunks.select($"lang", $"cid".as("doc_id"), $"n_toks"), budget = 128)
+      .select($"doc_id", $"n_toks", $"seq_id", $"seq_off").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.nonEmpty)
+    var cum = 0L
+    val want = packed.sortBy(_._1).map { case (id, n, _, _) =>
+      val r = (id, n, cum / 128, cum % 128); cum += n; r
+    }
+    assert(packed.sortBy(_._1).toSeq == want.toSeq,
+      "chunk packing must equal the ordered-cumsum replay")
+  }
+
+  test("chunkDocuments composes with the v-family: chunk-level embedding join") {
+    import spark.implicits._
+    // the retrieval-serving shape: every chunk carries its document's
+    // embedding (doc-level vectors joined down to chunk granularity) —
+    // no chunk may be lost or duplicated by the join
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val chunks = Documents.chunkDocuments(docs, 64, 16)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".as("doc_id"), $"embedding".cast("array<double>").as("v"))
+    val joined = chunks.join(vecs, Seq("doc_id"), "left")
+    assert(joined.count() == chunks.count(), "join must preserve chunk cardinality")
+    val chunksWithVecs = joined.filter($"v".isNotNull).count()
+    val docsWithVecs = docs.join(vecs, Seq("doc_id"), "left_semi").count()
+    assert(docsWithVecs > 0 && chunksWithVecs >= docsWithVecs,
+      s"expected every embedded doc's chunks to carry its vector " +
+        s"($chunksWithVecs chunk rows vs $docsWithVecs docs)")
+  }
 }
