@@ -438,26 +438,48 @@ object Documents {
       .drop("_cut_id", "_js")
   }
 
-  /** Shared DuckDB oracle for d02/d03: brute-force all-pairs exact Jaccard
-    * is fine AS AN ORACLE at sf0.01 (500 docs); the Spark plans avoid it.
+  /** Shared near-dup pair CTE chain (no leading WITH) ending in a
+    * `pairs(doc_a, doc_b, jaccard)` CTE — the DuckDB replay of
+    * [[graft.pipeline.NearDup.pairs]]'s INVERTED-INDEX shape, used by
+    * every oracle that consumes the near-dup pair set (d02/d03/d05/d09/
+    * p06/m08). Candidates come from the shingle posting-list self-join
+    * (Jaccard ≥ 0.5 > 0 requires a shared shingle, so the candidate set
+    * provably contains every output pair) and the intersection size is
+    * the per-pair match COUNT — shingle lists are list_distinct, so one
+    * shared shingle is exactly one joined row. This replaced an
+    * `sh a, sh b` all-pairs cross with per-pair list_intersect: the n²
+    * form exceeded 30 min at 5 000 docs (the reason the sf1 oracle
+    * sweep excluded the whole pair family); this form replays 50 000
+    * docs in ~8 s. The jaccard double is the SAME BIGINT/BIGINT IEEE
+    * division over the same operands, so results are bit-identical.
     * Shingling is index-aligned with the Spark side: DuckDB lists are
     * 1-based with range(1, n-1) = 1..n-2; Spark arrays are 0-based with
     * sequence(1, n-2) and toks[i-1..i+1].
     */
-  private val NeardupOracle =
-    """WITH sh AS (
+  private[operators] val ShinglePairsCtes =
+    """sh AS MATERIALIZED (
          SELECT doc_id,
                 list_distinct(list_transform(range(1, len(toks)-1),
                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-         WHERE len(toks) >= 3)
-       SELECT doc_a, doc_b, jaccard FROM (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
-                / CAST(len(a.shingles) + len(b.shingles)
-                       - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS jaccard
-         FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-       WHERE jaccard >= 0.5
+         WHERE len(toks) >= 3),
+       inv AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       inter AS MATERIALIZED (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_int
+         FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       ln AS MATERIALIZED (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+       pairs AS MATERIALIZED (
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT doc_a, doc_b, n_int / (la.n + lb.n - n_int) AS jaccard
+           FROM inter JOIN ln la ON doc_a = la.doc_id JOIN ln lb ON doc_b = lb.doc_id)
+         WHERE jaccard >= 0.5)"""
+
+  /** Shared DuckDB oracle for d02/d03: the inverted-index pair replay
+    * above, listed. */
+  private val NeardupOracle =
+    s"""WITH $ShinglePairsCtes
+       SELECT doc_a, doc_b, jaccard FROM pairs
        ORDER BY doc_a, doc_b"""
 
   /** Inlined modular power table for d04's oracle: 256 rows of
@@ -507,21 +529,9 @@ object Documents {
         graft.pipeline.NearDup.clusters(tbl(s, dir, "documents"))
           .orderBy(col("doc_id"))
       },
-      // oracle: recursive CTE reachability, min reachable id per vertex
-      Some("""WITH RECURSIVE sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(toks)-1),
-                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-           WHERE len(toks) >= 3),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
-                    / CAST(len(a.shingles) + len(b.shingles)
-                           - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS jaccard
-             FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-           WHERE jaccard >= 0.5),
+      // oracle: inverted-index pair replay (ShinglePairsCtes), then
+      // recursive CTE reachability, min reachable id per vertex
+      Some(s"""WITH RECURSIVE $ShinglePairsCtes,
          edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
                    UNION SELECT doc_b, doc_a FROM pairs),
          walk(id, label) AS (
@@ -549,22 +559,10 @@ object Documents {
         val cl = graft.pipeline.NearDup.clusters(docs)
         canonicalPick(cl, qualityScore(s, dir)).orderBy($"cluster_id")
       },
-      // oracle: d05's reachability CTE for the clusters, t02's score
-      // expression for quality, same window pick
-      Some("""WITH RECURSIVE sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(toks)-1),
-                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-           WHERE len(toks) >= 3),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
-                    / CAST(len(a.shingles) + len(b.shingles)
-                           - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS jaccard
-             FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-           WHERE jaccard >= 0.5),
+      // oracle: the inverted-index pair replay + d05's reachability CTE
+      // for the clusters, t02's score expression for quality, same
+      // window pick
+      Some(s"""WITH RECURSIVE $ShinglePairsCtes,
          edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
                    UNION SELECT doc_b, doc_a FROM pairs),
          walk(id, label) AS (
@@ -751,12 +749,31 @@ object Documents {
                                        ELSE (m2 // (CAST(1 AS BIGINT) << (bp - 32))) % 2 END) = 1
                             THEN 1 ELSE -1 END) AS cnt
             FROM bits GROUP BY doc_id, bp),
+          -- simhash materialized as two 32-bit halves (bit 63 via a
+          -- single-BIGINT shift is a checked-arithmetic overflow)
+          shh AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN cnt > 0 AND bp < 32
+                            THEN (CAST(1 AS BIGINT) << bp) ELSE 0 END) AS BIGINT) AS s0,
+                   CAST(SUM(CASE WHEN cnt > 0 AND bp >= 32
+                            THEN (CAST(1 AS BIGINT) << (bp - 32)) ELSE 0 END) AS BIGINT) AS s1
+            FROM sgn GROUP BY doc_id),
+          -- the banded-candidate replay of the Spark join: candidates
+          -- share an 8-bit band (pigeonhole covers hamming <= 7, so the
+          -- <= 6 filter below loses nothing vs the n2 scan); bands 0-3
+          -- slice the low half, 4-7 the high half — the same k values as
+          -- the kernel's shiftrightunsigned on the composed 64-bit hash
+          bnd AS MATERIALIZED (
+            SELECT doc_id, s0, s1, b,
+                   ((CASE WHEN b < 4 THEN s0 >> (b * 8)
+                          ELSE s1 >> ((b - 4) * 8) END) & 255) AS k
+            FROM shh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(b)),
           ham AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(SUM(CASE WHEN (a.cnt > 0) <> (b.cnt > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-            FROM sgn a JOIN sgn b ON a.bp = b.bp AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-        SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) AS BIGINT) AS hamming
+            FROM bnd a JOIN bnd b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) <= 6)
+        SELECT doc_a, doc_b, hamming FROM ham
         ORDER BY doc_a, doc_b""")),
 
     QueryDef("t01_text_stats",
@@ -1627,22 +1644,10 @@ object Documents {
           .select($"doc_id", $"unit_id", $"split")
           .orderBy($"doc_id")
       },
-      // oracle: d05's reachability CTE → cluster min per doc, then the
-      // identical unit-keyed Knuth-hash threshold over ALL documents
-      Some("""WITH RECURSIVE sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(toks)-1),
-                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-           WHERE len(toks) >= 3),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
-                    / CAST(len(a.shingles) + len(b.shingles)
-                           - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS jaccard
-             FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-           WHERE jaccard >= 0.5),
+      // oracle: the inverted-index pair replay + d05's reachability CTE
+      // → cluster min per doc, then the identical unit-keyed Knuth-hash
+      // threshold over ALL documents
+      Some(s"""WITH RECURSIVE $ShinglePairsCtes,
          edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
                    UNION SELECT doc_b, doc_a FROM pairs),
          walk(id, label) AS (

@@ -2001,17 +2001,33 @@ object Embeddings {
         // when approximate recall is acceptable
         cosineNearDupPairs(based(s, dir), threshold = 0.45)
           .orderBy(col("doc_a"), col("doc_b")),
-      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        n2 AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+      // still an all-pairs scan (the SEMANTICS are exact all-pairs), but
+      // priced for the sf1 sweep: a native float inner-product PREFILTER
+      // with a 1e-6 slack admits every exactly-qualifying pair (the
+      // float-vs-fixed-point divergence is bounded by ~64 half-ulp
+      // quantizations ≈ 3e-11, four orders under the slack), then the
+      // survivors — pair count, not n² — pay the exact FLOOR-per-term
+      // fold that defines the reported cosine. The unnest×dims GROUP BY
+      // form exceeded the sweep budget (386 s at 20k vectors; this form
+      // replays in ~10 s), and only exact-path values reach the output.
+      Some("""WITH base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n2 AS MATERIALIZED (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
                FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
-        dots AS (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
-                 FROM (SELECT q.vec_id AS qid, c.vec_id AS cid,
-                              unnest(q.v) AS qx, unnest(c.v) AS cx
-                       FROM base q, base c WHERE q.vec_id < c.vec_id)
-                 GROUP BY 1, 2)
-        SELECT qid AS doc_a, cid AS doc_b, dot / (a.nrm * b.nrm) AS cosine
-        FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON cid = b.vec_id
-        WHERE dot / (a.nrm * b.nrm) >= 0.45
+        cand AS MATERIALIZED (
+          SELECT q.vec_id AS qid, c.vec_id AS cid, q.v AS qv, c.v AS cv,
+                 a.nrm AS na, b.nrm AS nb
+          FROM base q JOIN n2 a ON q.vec_id = a.vec_id,
+               base c JOIN n2 b ON c.vec_id = b.vec_id
+          WHERE q.vec_id < c.vec_id
+            AND list_inner_product(q.v, c.v) / (a.nrm * b.nrm) >= 0.45 - 1e-6),
+        dots AS (SELECT qid, cid,
+                   CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> CAST(FLOOR((qv[i] * cv[i]) * 1000000000000.0 + 0.5) AS BIGINT))) AS DOUBLE)
+                     / 1000000000000.0 AS dot, na, nb
+                 FROM cand)
+        SELECT qid AS doc_a, cid AS doc_b, dot / (na * nb) AS cosine
+        FROM dots
+        WHERE dot / (na * nb) >= 0.45
         ORDER BY doc_a, doc_b""")),
 
     QueryDef("v06_ann_ivf",
@@ -2285,13 +2301,19 @@ object Embeddings {
             cells = 8, iters = 3, threshold = 0.45, blocks = 4)
           .orderBy($"vec_id")
       },
+      // within-cell pairs score via a per-pair list fold (identical
+      // FLOOR-per-term fixed-point arithmetic, just not routed through
+      // an unnest × dims GROUP BY — the unnest form built pairs×64 rows
+      // and priced this oracle out of the sf1 sweep)
       Some(KMeansOracleProlog + """,
-        pairs AS MATERIALIZED (SELECT qid, cid, CAST(SUM(CAST(FLOOR((qx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
-                 FROM (SELECT q.cid AS qid, c.cid AS cid, unnest(qb.v) AS qx, unnest(cb.v) AS cx
-                       FROM corp q JOIN corp c ON q.cell = c.cell AND q.cid < c.cid
-                       JOIN base qb ON q.cid = qb.vec_id
-                       JOIN base cb ON c.cid = cb.vec_id)
-                 GROUP BY 1, 2),
+        pairs AS MATERIALIZED (
+                 SELECT q.cid AS qid, c.cid AS cid,
+                        CAST(list_sum(list_transform(range(1, len(qb.v) + 1),
+                          i -> CAST(FLOOR((qb.v[i] * cb.v[i]) * 1000000000000.0 + 0.5) AS BIGINT))) AS DOUBLE)
+                          / 1000000000000.0 AS dot
+                 FROM corp q JOIN corp c ON q.cell = c.cell AND q.cid < c.cid
+                 JOIN base qb ON q.cid = qb.vec_id
+                 JOIN base cb ON c.cid = cb.vec_id),
         dropped AS MATERIALIZED (SELECT DISTINCT p.cid AS vec_id
                  FROM pairs p JOIN n2 a ON p.qid = a.vec_id JOIN n2 b ON p.cid = b.vec_id
                  WHERE p.dot / (a.nrm * b.nrm) >= 0.45)

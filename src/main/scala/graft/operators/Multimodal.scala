@@ -470,12 +470,17 @@ object Multimodal {
                    CAST(SUM(CASE WHEN c.i > 32 AND c.v * 64 >= s.s
                      THEN (CAST(1 AS BIGINT) << (c.i - 33)) ELSE 0 END) AS BIGINT) AS h1
                  FROM ch c JOIN sums s USING (doc_id) JOIN reps r USING (doc_id)
-                 GROUP BY c.doc_id)
-        SELECT doc_a, doc_b, hamming FROM (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS BIGINT) AS hamming
-          FROM hs a, hs b WHERE a.doc_id < b.doc_id)
-        WHERE hamming <= 6 ORDER BY doc_a, doc_b""")),
+                 GROUP BY c.doc_id),
+          bnd AS MATERIALIZED (
+            SELECT doc_id, h0, h1, b,
+                   ((CASE WHEN b < 4 THEN h0 >> (b * 8)
+                          ELSE h1 >> ((b - 4) * 8) END) & 255) AS bv
+            FROM hs, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(b))
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS BIGINT) AS hamming
+        FROM bnd a JOIN bnd b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 6
+        ORDER BY doc_a, doc_b""")),
 
     QueryDef("m06_media_canonical",
       (s: SparkSession, dir: String) => {
@@ -512,11 +517,15 @@ object Multimodal {
                      THEN (CAST(1 AS BIGINT) << (c.i - 33)) ELSE 0 END) AS BIGINT) AS h1
                  FROM ch c JOIN sums s USING (doc_id) JOIN repset r USING (doc_id)
                  GROUP BY c.doc_id),
-          prs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS BIGINT) AS hamming
-              FROM hs a, hs b WHERE a.doc_id < b.doc_id)
-            WHERE hamming <= 6),
+          bnd AS MATERIALIZED (
+            SELECT doc_id, h0, h1, b,
+                   ((CASE WHEN b < 4 THEN h0 >> (b * 8)
+                          ELSE h1 >> ((b - 4) * 8) END) & 255) AS bv
+            FROM hs, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(b)),
+          prs AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bnd a JOIN bnd b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 6),
           edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM prs
                     UNION SELECT doc_b, doc_a FROM prs),
           walk(id, label) AS (
@@ -632,22 +641,12 @@ object Multimodal {
           .agg(count(lit(1)).as("n_items"), sum($"nb").as("shard_bytes"))
           .orderBy($"kind", $"shard_id")
       },
-      // d02's shingle/Jaccard pair CTE + m06's quality CTE + m07's
-      // packing, composed — each leg is the single-modal oracle's exact
-      // spelling, so the only new thing under test is the composition.
-      Some("""WITH sh AS MATERIALIZED (
-          SELECT doc_id,
-                 list_distinct(list_transform(range(1, len(toks)-1),
-                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-          WHERE len(toks) >= 3),
-        dup AS (SELECT DISTINCT doc_b AS doc_id FROM (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
-                 / CAST(len(a.shingles) + len(b.shingles)
-                        - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS jaccard
-          FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-          WHERE jaccard >= 0.5),
+      // d02's inverted-index pair replay (Documents.ShinglePairsCtes) +
+      // m06's quality CTE + m07's packing, composed — each leg is the
+      // single-modal oracle's exact spelling, so the only new thing
+      // under test is the composition.
+      Some(s"""WITH ${Documents.ShinglePairsCtes},
+        dup AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
         qual AS (SELECT doc_id,
                    ((n_uniq / n_toks) * 0.6) + ((1.0 - (n_stop / n_toks)) * 0.4) AS score
                  FROM (SELECT doc_id,

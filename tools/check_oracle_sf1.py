@@ -2,22 +2,21 @@
 """sf1 (10x bench scale) oracle sweep driver: runs tools/check_oracle.py
 ONE QUERY AT A TIME with a per-query DuckDB timeout, streaming results, so
 a single heavy oracle can neither stall the sweep invisibly nor sink it.
-A timeout is an ORACLE-COST property (all-pairs / big-replay SQL), not an
-engine failure — the Spark side of every query already ran in Verify; the
-documented brute-force set is excluded up front exactly as the sf0.1
-sweep excludes it (SURVEY: d02/v04-family all-pairs CTEs exceed 30 min at
-5000 docs; reachability/within-cell oracles ride on the same pair CTEs).
+A timeout is an ORACLE-COST property, not an engine failure — the Spark
+side of every query already ran in Verify. The former brute-force
+exclusion set is EMPTY since round 10: every pair-family oracle was
+rewritten as a candidate replay (inverted-index shingle posting lists for
+the Jaccard family, 8-bit band joins for the hamming family, a
+native-inner-product prefilter with a proven 1e-6 slack for v04's exact
+all-pairs, list-fold fixed-point dots for the within-cell family) — the
+n2 CTE forms exceeded 30 min at 5000 docs; the replays run the 50k-doc
+sweep in seconds each.
 
 Usage: python3 tools/check_oracle_sf1.py <sfDir> <verifyOutDir> [timeout_s]
 """
 import sys, os, json, subprocess, shutil, time
 
-BRUTE = {  # all-pairs / reachability-over-all-pairs oracles: excluded
-    "d02_neardup_jaccard", "d03_neardup_minhash", "d04_simhash_neardup",
-    "d05_neardup_clusters", "d07_semantic_dedup", "d09_canonical_pick",
-    "p06_leakage_safe_splits", "v04_cosine_neardup",
-    "m05_phash_neardup", "m06_media_canonical", "m08_caption_media_join",
-}
+BRUTE = set()  # empty since r10; kept for ad-hoc exclusions
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
