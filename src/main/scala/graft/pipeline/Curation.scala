@@ -50,7 +50,23 @@ object Splits {
     * the unit hash and split label are map-side expressions. Nothing
     * here shuffles the corpus — the near-dup pair generation inside
     * [[NearDup.clusters]] (banded, df-capped) is the only heavy stage,
-    * and it is shared with d05/d09 via the registry cache. */
+    * and it is shared with d05/d09 via the registry cache.
+    *
+    * GROWTH semantics (the streaming-ingest question, spec-pinned in
+    * CurationSpec): assignment is a pure function of the corpus
+    * SNAPSHOT, and under ascending-id ingest (StreamingCuration's
+    * monotone contract) re-assigning over a grown corpus changes an
+    * existing doc's unit — and possibly its label — in exactly ONE
+    * case: a new doc BRIDGES two previously-separate units, whose merge
+    * takes the smaller unit id. A new doc can never lower an existing
+    * cluster's min (its id exceeds every resident id), so non-bridging
+    * growth — unrelated docs, or near-dups of a single existing unit —
+    * leaves every resident label untouched. The bridge drift is
+    * leakage-safety WORKING: once linked, the merged cluster must not
+    * straddle the cut, so freezing labels at ingest would silently
+    * reintroduce the contamination this exists to prevent; pipelines
+    * that need frozen labels must re-derive holdout membership from the
+    * FROZEN snapshot they evaluated on, not from the grown corpus. */
   def assignLeakageSafe(docs: DataFrame, threshold: Double = 0.5,
       holdoutPm: Long = 100L): DataFrame = {
     require(holdoutPm >= 0 && holdoutPm <= 1000, s"holdoutPm out of range: $holdoutPm")

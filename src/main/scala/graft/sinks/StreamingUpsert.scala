@@ -90,13 +90,25 @@ object StreamingUpsert {
 
   /** The `foreachBatch` function. `keys` identify a row; `orderBy`
     * orders versions WITHIN a batch (latest wins); rows whose
-    * `tombstoneCol` is true delete their key. */
+    * `tombstoneCol` is true delete their key.
+    *
+    * NULL tombstone values default to "keep" (`<=> true` below) — the
+    * lenient reading for feeds where the delete flag is simply absent on
+    * upserts. `strictTombstones = true` instead fails the batch loudly
+    * on ANY NULL tombstone value (checked on the RAW batch, before
+    * per-key reduction, so a malformed row cannot hide behind a newer
+    * version of its key): in a CDC feed that always stamps the flag, a
+    * NULL usually means a malformed row, and silently upserting it
+    * corrupts current state. */
   def upsertBatch(table: String, keys: Seq[String],
       orderBy: Seq[String] = Nil, numBuckets: Int = 64,
       tombstoneCol: Option[String] = None,
-      database: String = WarehouseSink.DefaultDatabase): (DataFrame, Long) => Unit = {
+      database: String = WarehouseSink.DefaultDatabase,
+      strictTombstones: Boolean = false): (DataFrame, Long) => Unit = {
     require(keys.nonEmpty, "upsert requires at least one key column")
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(!strictTombstones || tombstoneCol.nonEmpty,
+      "strictTombstones requires a tombstoneCol")
     (batch, _) =>
       WarehouseSink.requireIdent(database, "database")
       WarehouseSink.requireIdent(table, "destination table")
@@ -109,6 +121,16 @@ object StreamingUpsert {
       // discipline: the plan must run exactly once under the harness
       val snap = batch.localCheckpoint()
       try {
+        for (tc <- tombstoneCol if strictTombstones) {
+          val bad = snap.filter(col(tc).isNull)
+            .select(keys.map(col): _*).limit(1).collect()
+          if (bad.nonEmpty)
+            throw new IllegalStateException(
+              s"batch carries a NULL $tc tombstone value (key " +
+                s"${bad(0).toSeq.mkString(",")}) — strict tombstone mode treats " +
+                "a NULL delete flag as a malformed CDC row; clean the feed or " +
+                "disable strictTombstones to default NULL to keep")
+        }
         val reduced = latestPerKey(snap, keys, orderBy)
         // NULL-safe: a NULL tombstone means "not a delete". A plain
         // `=== true` predicate is NULL for such rows, so BOTH filters
@@ -208,12 +230,14 @@ object StreamingUpsert {
       tombstoneCol: Option[String] = None,
       database: String = WarehouseSink.DefaultDatabase,
       trigger: Trigger = Trigger.AvailableNow(),
-      outputMode: String = "append"): StreamingQuery =
+      outputMode: String = "append",
+      strictTombstones: Boolean = false): StreamingQuery =
     df.writeStream
       .outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch(upsertBatch(table, keys, orderBy, numBuckets, tombstoneCol, database))
+      .foreachBatch(upsertBatch(table, keys, orderBy, numBuckets, tombstoneCol,
+        database, strictTombstones))
       .start()
 
   /** Compact an upsert-delivered table's buckets: every micro-batch

@@ -90,6 +90,48 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("assignLeakageSafe growth semantics: stable under non-bridging ingest, drifts ONLY on a bridge merge") {
+    // the streaming-ingest question (ascending-id contract): when does a
+    // doc's unit — and hence possibly its label — change as the corpus
+    // grows? Pinned answer (see Splits scaladoc): ONLY when a new doc
+    // bridges two previously-separate units; everything else is stable
+    // because a later arrival's id can never lower an existing unit min.
+    // Shingle algebra: A="a b c d"→{abc,bcd}, B="b c d e"→{bcd,cde}
+    // (J(A,B)=1/3 < 0.5, separate), D="a b c d e"→all three (J(D,A)=
+    // J(D,B)=2/4=0.5, the bridge); F="a b c d f" pairs with A only.
+    graft.CacheRegistry.unpersistAll()
+    def units(rows: Seq[(Long, String)]): Map[Long, Long] = {
+      graft.CacheRegistry.unpersistAll()
+      val out = Splits.assignLeakageSafe(rows.toDF("doc_id", "text"))
+        .select("doc_id", "unit_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.CacheRegistry.unpersistAll()
+      out
+    }
+    val base = Seq(1L -> "a b c d", 2L -> "b c d e", 3L -> "p q r s t")
+    val u1 = units(base)
+    assert(u1 == Map(1L -> 1L, 2L -> 2L, 3L -> 3L),
+      s"A and B are below threshold and must start as separate units: $u1")
+    // non-bridging growth: an unrelated doc and a near-dup of A alone —
+    // every RESIDENT unit is untouched, the newcomers join/self-assign
+    val grown = base ++ Seq(11L -> "u v w x y", 12L -> "a b c d f")
+    val u2 = units(grown)
+    assert(base.forall { case (id, _) => u2(id) == u1(id) },
+      s"non-bridging growth must not move resident units: $u2")
+    assert(u2(11L) == 11L && u2(12L) == 1L)
+    // bridge growth: D links A's and B's units; the merge takes the
+    // SMALLER unit id, so B drifts 2→1 — leakage-safety working (the
+    // merged cluster must not straddle the cut), not a bug
+    val bridged = grown :+ (20L -> "a b c d e")
+    val u3 = units(bridged)
+    assert(u3(2L) == 1L, s"bridge must merge B into A's unit: $u3")
+    assert(Seq(1L, 2L, 12L, 20L).map(u3).distinct == Seq(1L),
+      "the merged cluster is one atomic unit")
+    assert(u3(3L) == 3L && u3(11L) == 11L, "unrelated docs stay put")
+    // and the drift is exactly the no-straddle property: all members of
+    // the merged unit necessarily share one split label (same unit hash)
+  }
+
   test("pretrainingCorpus: the one-call recipe == its published stages; borderline pairs co-locate") {
     // base corpus plus two planted cases:
     //  - 9001/9002: a TRUE near-dup pair (1 edit, jaccard .71 > .5) —

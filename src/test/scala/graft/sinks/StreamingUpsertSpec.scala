@@ -94,6 +94,30 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(stateOf(t) == Map(1L -> ("keep", 1.0), 2L -> ("null-tomb", 2.0)))
   }
 
+  test("strict tombstone mode fails loudly on a NULL delete flag instead of defaulting to keep") {
+    val t = "cdc_strict_tomb"
+    val fn = StreamingUpsert.upsertBatch(t, Seq("k"),
+      tombstoneCol = Some("del"), numBuckets = 4, database = db,
+      strictTombstones = true)
+    // clean batch: strict mode changes nothing
+    fn(Seq((1L, "a", 1.0, Some(false)), (2L, "b", 2.0, Some(true)))
+      .toDF("k", "s", "v", "del"), 0L)
+    assert(stateOf(t) == Map(1L -> ("a", 1.0)))
+    // a NULL flag is a malformed CDC row under strict mode — and it must
+    // be caught on the RAW batch even when a newer version of the same
+    // key would win the per-key reduction
+    val e = intercept[IllegalStateException] {
+      fn(Seq((3L, "v1", 1.0, None), (3L, "v2", 2.0, Some(false)))
+        .toDF("k", "s", "v", "del"), 1L)
+    }
+    assert(e.getMessage.contains("strict tombstone mode"))
+    assert(stateOf(t) == Map(1L -> ("a", 1.0)), "failed batch must deliver nothing")
+    // strict mode without a tombstone column is a config error
+    intercept[IllegalArgumentException] {
+      StreamingUpsert.upsertBatch(t, Seq("k"), strictTombstones = true)
+    }
+  }
+
   test("orderBy ties resolve deterministically regardless of partitioning") {
     // equal orderBy values: row_number over a partial order is
     // nondeterministic, so a crash-replay could converge to a different
