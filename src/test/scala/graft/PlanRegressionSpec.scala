@@ -67,6 +67,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n${p.take(3000)}")
   }
 
+  test("p07: chunking is a pure map-side generator — no shuffle before the presentation sort") {
+    val p = planOf("p07_doc_chunks")
+    // tokenize + sequence + posexplode + slice are all expressions over
+    // the scan; the ONLY exchange may be the final global orderBy (range
+    // partitioning). A join or aggregation sneaking in would shuffle the
+    // corpus to chunk it.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"chunking must not hash-shuffle:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "chunking must not join")
+    assert(p.contains("Generate"), "the chunk generator (posexplode) is missing")
+  }
+
   test("v10: query panel broadcasts; top-k runs as partial WindowGroupLimit") {
     val p = planOf("v10_ann_int8")
     // few-queries-vs-corpus: the 10-query side must broadcast so the

@@ -486,6 +486,27 @@ class DocumentsSpec extends SparkSpec {
       "chunk packing must equal the ordered-cumsum replay")
   }
 
+  test("chunkDocuments composes onto a streaming frame unchanged (stateless generator)") {
+    import spark.implicits._
+    // chunking carries no state, watermark or shuffle, so the SAME call
+    // drops into a streaming ingest ahead of StreamingCuration — pin it
+    val dir = java.nio.file.Files.createTempDirectory("chunk-stream").toString
+    val rows = Seq((5L, "w0 w1 w2 w3 w4 w5 w6"))
+    rows.toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val sdf = spark.readStream.schema("doc_id LONG, text STRING").parquet(s"$dir/in")
+    val q = Documents.chunkDocuments(sdf, 4, 1).writeStream.format("memory")
+      .queryName("chunk_stream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "chunk_id", "tok_start", "n_toks", "chunk_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).sortBy(t => (t._1, t._2)).toSeq
+    val streamed = canon(spark.table("chunk_stream"))
+    val batch = canon(Documents.chunkDocuments(rows.toDF("doc_id", "text"), 4, 1))
+    assert(streamed == batch && batch.nonEmpty,
+      s"streaming chunks $streamed != batch $batch")
+  }
+
   test("chunkDocuments composes with the v-family: chunk-level embedding join") {
     import spark.implicits._
     // the retrieval-serving shape: every chunk carries its document's
