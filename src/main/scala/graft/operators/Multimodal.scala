@@ -517,24 +517,49 @@ object Multimodal {
                      THEN (CAST(1 AS BIGINT) << (c.i - 33)) ELSE 0 END) AS BIGINT) AS h1
                  FROM ch c JOIN sums s USING (doc_id) JOIN repset r USING (doc_id)
                  GROUP BY c.doc_id),
+          -- reachability runs over the CONTRACTED graph of DISTINCT
+          -- pHash values, not docs: docs sharing a hash are pairwise
+          -- near-dups (hamming 0, all bands shared), so the doc graph is
+          -- exactly the hash graph with each node expanded to a clique —
+          -- same components, and the recursive closure no longer
+          -- materializes clique² rows (the doc-level walk over the 10×
+          -- corpus's 2.5M densified pairs exceeded the sweep budget;
+          -- this replays in seconds). Node id = the hash's min doc_id.
+          hnode AS MATERIALIZED (
+            SELECT h0, h1, MIN(doc_id) AS node, COUNT(*) AS n_docs
+            FROM hs GROUP BY h0, h1),
           bnd AS MATERIALIZED (
-            SELECT doc_id, h0, h1, b,
+            SELECT node, h0, h1, b,
                    ((CASE WHEN b < 4 THEN h0 >> (b * 8)
                           ELSE h1 >> ((b - 4) * 8) END) & 255) AS bv
-            FROM hs, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(b)),
-          prs AS MATERIALIZED (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bnd a JOIN bnd b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+            FROM hnode, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(b)),
+          hedge AS MATERIALIZED (
+            SELECT DISTINCT a.node AS src, b.node AS dst
+            FROM bnd a JOIN bnd b ON a.b = b.b AND a.bv = b.bv AND a.node < b.node
             WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 6),
-          edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM prs
-                    UNION SELECT doc_b, doc_a FROM prs),
+          edges AS MATERIALIZED (SELECT src, dst FROM hedge
+                    UNION SELECT dst, src FROM hedge),
           walk(id, label) AS (
             SELECT DISTINCT src, src FROM edges
             UNION
             SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id),
-          clusters AS MATERIALIZED (
-            SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+          hcomp AS MATERIALIZED (
+            SELECT id AS node, CAST(MIN(label) AS BIGINT) AS comp
             FROM walk GROUP BY id),
+          -- expand back to docs: a doc is CLUSTERED iff its component
+          -- holds >= 2 docs (same-hash clique or a hash edge — both are
+          -- pairs); cluster_id = the component's min doc_id
+          compdocs AS MATERIALIZED (
+            SELECT d.doc_id, COALESCE(hc.comp, hn.node) AS comp
+            FROM hs d JOIN hnode hn USING (h0, h1)
+            LEFT JOIN hcomp hc ON hn.node = hc.node),
+          csize AS MATERIALIZED (
+            SELECT comp, COUNT(*) AS n_docs, MIN(doc_id) AS cluster_id
+            FROM compdocs GROUP BY comp),
+          clusters AS MATERIALIZED (
+            SELECT cd.doc_id, CAST(s.cluster_id AS BIGINT) AS cluster_id
+            FROM compdocs cd JOIN csize s USING (comp)
+            WHERE s.n_docs >= 2),
           qual AS MATERIALIZED (
             SELECT doc_id,
                    ((n_uniq / n_toks) * 0.6) + ((1.0 - (n_stop / n_toks)) * 0.4) AS score
