@@ -1156,6 +1156,53 @@ object Documents {
         CAST(length(text) AS BIGINT) AS n_chars_txt
         FROM documents ORDER BY doc_id""")),
 
+    QueryDef("t16_quality_classifier",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // MODEL-BASED quality filtering — the fastText/CCNet-style
+        // classifier gate real pipelines run after the heuristic
+        // screens (t02's ratios catch boilerplate; a trained linear
+        // model catches fluent-but-worthless text). The full serving
+        // shape is here and exact: hashed bag-of-words featurization
+        // (per-token t06 char fold → Knuth mix → one of 64 buckets),
+        // a linear score Σ w[bucket] over the token stream summed in
+        // BIGINT fixed-point, length-normalized once at the end, and a
+        // threshold keep decision. The WEIGHTS are a deterministic
+        // stub — w[b] = (b·2654435761) mod 1997 − 998, the same
+        // honest-stub discipline as the media decode: swapping in
+        // trained weights is one broadcast array, and everything the
+        // engine owns (featurize, score, decide, cross-engine
+        // exactness) is under the hash gate today. Scale shape: pure
+        // map-side expressions over the scan — scoring 100 TB is one
+        // pass with no shuffle before the presentation sort; the
+        // integer fold keeps the score a pure function both engines
+        // compute bit-identically (single terminal BIGINT/BIGINT IEEE
+        // division, t02's discipline).
+        toked(s, dir)
+          .select($"doc_id",
+            size($"toks").cast("long").as("n_toks"),
+            expr("""aggregate(transform(toks, t ->
+                ((aggregate(transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT)),
+                   CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)
+                  * 2654435761) % 64 * 2654435761) % 1997 - 998),
+              CAST(0 AS BIGINT), (acc, w) -> acc + w)""").as("score_fp"))
+          .withColumn("score", $"score_fp" / $"n_toks")
+          .withColumn("keep", $"score" > 0.0)
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, n_toks, score_fp, score_fp / n_toks AS score,
+          score_fp / n_toks > 0.0 AS keep
+        FROM (SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_toks,
+                CAST(COALESCE(list_sum(list_transform(toks, t ->
+                  ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split_regex(t, ''),
+                        c -> CAST(unicode(c) AS BIGINT))),
+                    (acc, c) -> (acc * 31 + c) % 1000000007)
+                   * 2654435761) % 64 * 2654435761) % 1997 - 998)), 0) AS BIGINT) AS score_fp
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        ORDER BY doc_id""")),
+
     QueryDef("t05_lang_id",
       (s: SparkSession, dir: String) => {
         import s.implicits._

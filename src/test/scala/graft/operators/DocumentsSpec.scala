@@ -434,6 +434,38 @@ class DocumentsSpec extends SparkSpec {
       s"quality upsampling not visible: $fracs")
   }
 
+  test("t16 quality classifier: full driver replay of hash, weights, score and keep") {
+    // independent reimplementation of the serving pipeline: per-token
+    // char fold -> Knuth mix -> 64-bucket weight -> BIGINT sum ->
+    // length-normalized threshold. Run on the corpus so every doc is a
+    // test vector.
+    def score(text: String): (Long, Long) = {
+      val toks = text.split(" ", -1)
+      var s = 0L
+      toks.foreach { t =>
+        var h = 0L
+        t.foreach(c => h = (h * 31 + c.toLong) % 1000000007L)
+        val b = (h * 2654435761L) % 64L
+        s += (b * 2654435761L) % 1997L - 998L
+      }
+      (toks.length.toLong, s)
+    }
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> score(r.getString(1))).toMap
+    val got = Catalog.byName("t16_quality_classifier").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got.length == want.size)
+    got.foreach { case (id, n, fp, sc, keep) =>
+      assert((n, fp) == want(id), s"doc $id")
+      assert(sc == fp.toDouble / n && keep == (sc > 0.0), s"doc $id")
+    }
+    // the stub weights are ~zero-mean, so the gate must actually split
+    // the corpus — an all-keep or all-drop outcome means a dead model
+    val kept = got.count(_._5)
+    assert(kept > 0 && kept < got.length, s"degenerate keep rate: $kept/${got.length}")
+  }
+
   test("chunkDocuments: spans, overlap, short final chunk, passthrough, guards") {
     import spark.implicits._
     // 10 tokens, chunks of 4 every 3 → starts 0,3,6,9; final chunk short
