@@ -40,7 +40,14 @@ object Main {
 /** Properties-file form of [[EngineConfig]]. Every deployment-varying
   * value the reference hardcodes (document folder, control-sheet name,
   * output dataset, poll cadence) is a key here; missing required keys
-  * fail together in one message rather than one NPE at a time. */
+  * fail together in one message rather than one NPE at a time.
+  *
+  * RELATIVE paths in the file resolve against the PROPERTIES FILE's own
+  * directory, not the process cwd: graft-setup writes paths verbatim
+  * from whatever form the deploy dir was named in, and the launcher
+  * (bin/graft-run, spark-submit from an arbitrary directory, a
+  * container entrypoint) owns the cwd — config-relative is the only
+  * resolution that survives all of them. */
 object EngineProperties {
 
   final case class Loaded(config: EngineConfig, pollMillis: Long,
@@ -60,11 +67,13 @@ object EngineProperties {
     val missing = Required.filter(get(_).isEmpty)
     require(missing.isEmpty,
       s"missing required config keys in $path: ${missing.mkString(", ")}")
+    val base = path.toAbsolutePath.getParent
+    def resolve(p: String): Path = base.resolve(p).normalize()
     val config = EngineConfig(
-      sourceRoot = Paths.get(get("graft.sourceRoot").get),
-      controlPath = Paths.get(get("graft.controlPath").get),
-      runLogPath = Paths.get(get("graft.runLogPath").get),
-      csvOutDir = get("graft.csvOutDir").get,
+      sourceRoot = resolve(get("graft.sourceRoot").get),
+      controlPath = resolve(get("graft.controlPath").get),
+      runLogPath = resolve(get("graft.runLogPath").get),
+      csvOutDir = resolve(get("graft.csvOutDir").get).toString,
       identity = get("graft.identity").getOrElse("graft-engine"),
       maxConcurrentJobs = get("graft.maxConcurrentJobs").map(_.toInt).getOrElse(1))
     require(config.maxConcurrentJobs >= 1,

@@ -15,37 +15,55 @@ object Sessions {
     * Unlike [[build]] this NEVER forces a master: a `spark-submit
     * --master yarn|k8s://…` launch sets `spark.master` before `main`
     * runs, and forcing `local[…]` here would silently demote the
-    * cluster launch to driver-local execution. Only a bare
+    * cluster launch to driver-local execution. For the same reason a
+    * SUBMITTED launch keeps every `--conf` the user passed: builder
+    * options override spark-submit system properties, so the shared
+    * defaults below are applied only where no submitted value exists
+    * (a 4-core driver must not stamp shuffle.partitions=4 over a
+    * cluster's `--conf spark.sql.shuffle.partitions=800`). Only a bare
     * `java -cp … graft.Main` (no master anywhere) gets a local master
     * sized from the actual machine — `SPARK_GRAFT_CPUS` must be a
     * positive int when set because it also sizes
-    * `spark.sql.shuffle.partitions`, which rejects non-int values. */
+    * `spark.sql.shuffle.partitions`, which rejects non-int values
+    * (`toIntOption` so an overflowing digit string still gets THIS
+    * message, not a bare NumberFormatException). */
   def adopt(cpusEnv: Option[String]): SparkSession = {
     val submitted = sys.props.get("spark.master").exists(_.nonEmpty)
     val cpus = cpusEnv.map { c =>
-      require(c.forall(_.isDigit) && c.nonEmpty && c.toInt >= 1,
+      require(c.toIntOption.exists(_ >= 1),
         s"SPARK_GRAFT_CPUS must be a positive integer (got '$c'); " +
           "it sizes spark.sql.shuffle.partitions")
       c
     }.getOrElse(Runtime.getRuntime.availableProcessors().toString)
-    val base = SparkSession.builder()
-    finish(shared(if (submitted) base else base.master(s"local[$cpus]"),
-      shufflePartitions = cpus))
+    if (!submitted)
+      return finish(shared(SparkSession.builder().master(s"local[$cpus]"),
+        shufflePartitions = cpus))
+    // submitted launch: defaults yield to any user-submitted conf
+    val defaults = SharedConf(shufflePartitions = cpus)
+      .filter { case (k, _) => !sys.props.get(k).exists(_.nonEmpty) }
+    finish(defaults.foldLeft(SparkSession.builder()) {
+      case (b, (k, v)) => b.config(k, v)
+    })
   }
 
+  private def SharedConf(shufflePartitions: String): Seq[(String, String)] = Seq(
+    "spark.sql.shuffle.partitions" -> shufflePartitions,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.codegen.cache.maxEntries" -> "2000",
+    "spark.ui.enabled" -> "false")
+
+  // codegen.cache sizing: the default 100 entries thrash once ~70
+  // queries x ~8 codegen stages have run in one session, so late
+  // queries (and d05's per-round CC loop) recompile identical code —
+  // measured as the residual isolated-pass inflation after the r6 heap
+  // fix. A resident analytics session should hold its whole catalog's
+  // generated classes.
   private def shared(b: SparkSession.Builder,
       shufflePartitions: String): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // size the generated-class cache to the catalog: the default 100
-      // entries thrash once ~70 queries x ~8 codegen stages have run in
-      // one session, so late queries (and d05's per-round CC loop)
-      // recompile identical code — measured as the residual isolated-
-      // pass inflation after the r6 heap fix. A resident analytics
-      // session should hold its whole catalog's generated classes.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .config("spark.ui.enabled", "false")
+    SharedConf(shufflePartitions).foldLeft(b) {
+      case (acc, (k, v)) => acc.config(k, v)
+    }
 
   private def finish(b: SparkSession.Builder): SparkSession = {
     val s = b.getOrCreate()

@@ -2003,13 +2003,18 @@ object Embeddings {
           .orderBy(col("doc_a"), col("doc_b")),
       // still an all-pairs scan (the SEMANTICS are exact all-pairs), but
       // priced for the sf1 sweep: a native float inner-product PREFILTER
-      // with a 1e-6 slack admits every exactly-qualifying pair (the
-      // float-vs-fixed-point divergence is bounded by ~64 half-ulp
-      // quantizations ≈ 3e-11, four orders under the slack), then the
-      // survivors — pair count, not n² — pay the exact FLOOR-per-term
-      // fold that defines the reported cosine. The unnest×dims GROUP BY
-      // form exceeded the sweep budget (386 s at 20k vectors; this form
-      // replays in ~10 s), and only exact-path values reach the output.
+      // admits every exactly-qualifying pair, then the survivors — pair
+      // count, not n² — pay the exact FLOOR-per-term fold that defines
+      // the reported cosine. The slack is NORM-RELATIVE and the test
+      // division-free (dot + 1e-6·(‖a‖‖b‖+1) ≥ 0.45·‖a‖‖b‖): the
+      // float-vs-fixed divergence is ≤ 64·u·Σ|xᵢyᵢ| ≤ ~1e-12·‖a‖‖b‖
+      // (Cauchy-Schwarz) plus ≤ 3.2e-11 absolute from the half-ulp
+      // quantizations, both dominated by the slack at EVERY norm scale
+      // — a cosine-scale absolute slack would be outrun by tiny-norm
+      // vectors (3e-11/‖a‖‖b‖ grows without bound) and a dot-scale one
+      // by huge-norm vectors. The unnest×dims GROUP BY form exceeded
+      // the sweep budget (386 s at 20k vectors; this form replays in
+      // ~10 s), and only exact-path values reach the output.
       Some("""WITH base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         n2 AS MATERIALIZED (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
                FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
@@ -2019,7 +2024,8 @@ object Embeddings {
           FROM base q JOIN n2 a ON q.vec_id = a.vec_id,
                base c JOIN n2 b ON c.vec_id = b.vec_id
           WHERE q.vec_id < c.vec_id
-            AND list_inner_product(q.v, c.v) / (a.nrm * b.nrm) >= 0.45 - 1e-6),
+            AND list_inner_product(q.v, c.v) + 1e-6 * (a.nrm * b.nrm + 1)
+                >= 0.45 * (a.nrm * b.nrm)),
         dots AS (SELECT qid, cid,
                    CAST(list_sum(list_transform(range(1, len(qv) + 1),
                      i -> CAST(FLOOR((qv[i] * cv[i]) * 1000000000000.0 + 0.5) AS BIGINT))) AS DOUBLE)

@@ -302,6 +302,32 @@ object Multimodal {
     out
   }
 
+  /** Shared m05/m06 oracle prolog (no leading WITH): closed-form
+    * container arithmetic (code point % 128 = the decoded byte,
+    * zero-pad past the text), the exact-payload collapse (one rep —
+    * min doc_id — per identical full-length code list), and the aHash
+    * halves `hs(doc_id, h0, h1)` over representatives. ONE definition
+    * so the pair listing and the clustering oracle cannot drift on the
+    * hash or the collapse key (the ShinglePairsCtes discipline). */
+  private val MediaHashCtes =
+    """pos AS (SELECT unnest(generate_series(1, 64)) AS i),
+          ch AS (SELECT d.doc_id, p.i,
+                   CASE WHEN p.i <= length(d.text)
+                     THEN ascii(substr(d.text, p.i, 1)) % 128 ELSE 0 END AS v
+                 FROM documents d, pos p),
+          reps AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM (
+                   SELECT doc_id, list_transform(generate_series(1, length(text)),
+                     i -> ascii(substr(text, i, 1)) % 128) AS k
+                   FROM documents) GROUP BY k),
+          sums AS MATERIALIZED (SELECT doc_id, SUM(v) AS s FROM ch GROUP BY doc_id),
+          hs AS MATERIALIZED (SELECT c.doc_id,
+                   CAST(SUM(CASE WHEN c.i <= 32 AND c.v * 64 >= s.s
+                     THEN (CAST(1 AS BIGINT) << (c.i - 1)) ELSE 0 END) AS BIGINT) AS h0,
+                   CAST(SUM(CASE WHEN c.i > 32 AND c.v * 64 >= s.s
+                     THEN (CAST(1 AS BIGINT) << (c.i - 33)) ELSE 0 END) AS BIGINT) AS h1
+                 FROM ch c JOIN sums s USING (doc_id) JOIN reps r USING (doc_id)
+                 GROUP BY c.doc_id)"""
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("m01_media_stats",
       (s: SparkSession, dir: String) => {
@@ -450,27 +476,9 @@ object Multimodal {
         // composition, not a near-dup finding.
         phashPairs(s, dir).orderBy($"doc_a", $"doc_b")
       },
-      // oracle: closed-form container arithmetic (code point % 128 = the
-      // decoded byte, zero-pad past the text), the exact-payload collapse
-      // (one rep — min doc_id — per identical full-length code list),
-      // then the full n² hamming scan over representatives
-      Some("""WITH pos AS (SELECT unnest(generate_series(1, 64)) AS i),
-          ch AS (SELECT d.doc_id, p.i,
-                   CASE WHEN p.i <= length(d.text)
-                     THEN ascii(substr(d.text, p.i, 1)) % 128 ELSE 0 END AS v
-                 FROM documents d, pos p),
-          reps AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM (
-                   SELECT doc_id, list_transform(generate_series(1, length(text)),
-                     i -> ascii(substr(text, i, 1)) % 128) AS k
-                   FROM documents) GROUP BY k),
-          sums AS MATERIALIZED (SELECT doc_id, SUM(v) AS s FROM ch GROUP BY doc_id),
-          hs AS MATERIALIZED (SELECT c.doc_id,
-                   CAST(SUM(CASE WHEN c.i <= 32 AND c.v * 64 >= s.s
-                     THEN (CAST(1 AS BIGINT) << (c.i - 1)) ELSE 0 END) AS BIGINT) AS h0,
-                   CAST(SUM(CASE WHEN c.i > 32 AND c.v * 64 >= s.s
-                     THEN (CAST(1 AS BIGINT) << (c.i - 33)) ELSE 0 END) AS BIGINT) AS h1
-                 FROM ch c JOIN sums s USING (doc_id) JOIN reps r USING (doc_id)
-                 GROUP BY c.doc_id),
+      // oracle: the shared MediaHashCtes prolog (collapse + aHash), then
+      // the banded hamming replay over representatives
+      Some(s"""WITH $MediaHashCtes,
           bnd AS MATERIALIZED (
             SELECT doc_id, h0, h1, b,
                    ((CASE WHEN b < 4 THEN h0 >> (b * 8)
@@ -500,23 +508,7 @@ object Multimodal {
         Documents.canonicalPick(cl, Documents.qualityScore(s, dir))
           .orderBy($"cluster_id")
       },
-      Some("""WITH RECURSIVE pos AS (SELECT unnest(generate_series(1, 64)) AS i),
-          ch AS (SELECT d.doc_id, p.i,
-                   CASE WHEN p.i <= length(d.text)
-                     THEN ascii(substr(d.text, p.i, 1)) % 128 ELSE 0 END AS v
-                 FROM documents d, pos p),
-          repset AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM (
-                   SELECT doc_id, list_transform(generate_series(1, length(text)),
-                     i -> ascii(substr(text, i, 1)) % 128) AS k
-                   FROM documents) GROUP BY k),
-          sums AS MATERIALIZED (SELECT doc_id, SUM(v) AS s FROM ch GROUP BY doc_id),
-          hs AS MATERIALIZED (SELECT c.doc_id,
-                   CAST(SUM(CASE WHEN c.i <= 32 AND c.v * 64 >= s.s
-                     THEN (CAST(1 AS BIGINT) << (c.i - 1)) ELSE 0 END) AS BIGINT) AS h0,
-                   CAST(SUM(CASE WHEN c.i > 32 AND c.v * 64 >= s.s
-                     THEN (CAST(1 AS BIGINT) << (c.i - 33)) ELSE 0 END) AS BIGINT) AS h1
-                 FROM ch c JOIN sums s USING (doc_id) JOIN repset r USING (doc_id)
-                 GROUP BY c.doc_id),
+      Some(s"""WITH RECURSIVE $MediaHashCtes,
           -- reachability runs over the CONTRACTED graph of DISTINCT
           -- pHash values, not docs: docs sharing a hash are pairwise
           -- near-dups (hamming 0, all bands shared), so the doc graph is

@@ -139,12 +139,13 @@ object StreamingSemanticDedup {
               StreamingDelivery.appendLedgered(survivors, database, table, batchId,
                 tableIsNew = delivered < 0L)
             // stamp LAST: the batch is complete (and its input size
-            // recorded) even when it delivered zero survivors
-            val doneStamped = StreamingDelivery.deliveredRowCount(
-              spark, database, doneTable, batchId)
+            // recorded) even when it delivered zero survivors. Nothing
+            // writes the done table between the entry probe and here,
+            // so the entry value decides tableIsNew — no second
+            // metastore round-trip per batch.
             StreamingDelivery.appendLedgered(
               Seq(snap.count()).toDF(InputRowsCol).select(col(InputRowsCol)),
-              database, doneTable, batchId, tableIsNew = doneStamped < 0L)
+              database, doneTable, batchId, tableIsNew = doneStamps < 0L)
           } finally coded.unpersist(blocking = false)
         } else {
           // replayed batch: verify the pre-dedup input size recorded at

@@ -40,6 +40,37 @@ class MainSpec extends SparkSpec {
     assert(spark.table("g_sheets.main_t1").count() == 3)
   }
 
+  test("relative config paths resolve against the properties file, not the cwd") {
+    // graft-setup writes paths verbatim from however the deploy dir was
+    // named; the launcher (bin/graft-run, spark-submit, a container)
+    // owns the cwd — so config-relative is the only resolution that
+    // works from anywhere. The cwd here is the sbt project root, which
+    // contains none of these paths.
+    val dep = Files.createTempDirectory("reldep")
+    Files.createDirectory(dep.resolve("docs"))
+    Files.writeString(dep.resolve("engine.properties"),
+      """graft.sourceRoot=docs
+        |graft.controlPath=control.csv
+        |graft.runLogPath=runlog.csv
+        |graft.csvOutDir=exports
+        |""".stripMargin)
+    val loaded = EngineProperties.load(dep.resolve("engine.properties"))
+    assert(loaded.config.sourceRoot == dep.resolve("docs").toAbsolutePath.normalize)
+    assert(loaded.config.controlPath == dep.resolve("control.csv").toAbsolutePath.normalize)
+    assert(loaded.config.csvOutDir ==
+      dep.resolve("exports").toAbsolutePath.normalize.toString)
+    // absolute paths pass through untouched
+    val abs = Files.createTempFile("absprops", ".properties")
+    Files.writeString(abs,
+      s"""graft.sourceRoot=${dep.resolve("docs")}
+         |graft.controlPath=${dep.resolve("control.csv")}
+         |graft.runLogPath=${dep.resolve("runlog.csv")}
+         |graft.csvOutDir=${dep.resolve("exports")}
+         |""".stripMargin)
+    assert(EngineProperties.load(abs).config.sourceRoot ==
+      dep.resolve("docs"))
+  }
+
   test("missing required keys fail together, loudly") {
     val props = Files.createTempFile("bad", ".properties")
     Files.writeString(props, "graft.sourceRoot=/tmp\n")
