@@ -223,6 +223,64 @@ object Events {
         COUNT(*) AS n, ${sumExactSql("value")} AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    QueryDef("e18_rolling_anomaly",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // Rolling z-score anomaly flagging over per-type hourly volumes
+        // — the ingest-monitoring query every pipeline runs over its own
+        // event stream. Window = the previous 24 OBSERVED hourly buckets
+        // per type (ROWS, not RANGE: observation-indexed history —
+        // compose with e17's gap fill when a time-indexed window over a
+        // sparse series is wanted); hours with a full window get
+        // z = (c·24 − S)/√(24·Q − S²) against that history, and the
+        // anomaly FLAG is the equivalent pure-integer predicate
+        // (c·24 − S)² > 9·(24·Q − S²) — |z| > 3 decided with zero float
+        // arithmetic, so the flag cannot drift between engines even
+        // where z itself is NULL (a constant history has variance 0:
+        // any deviation flags, z has no finite value). S and Q are
+        // exact BIGINT window sums; 24·Q − S² ≥ 0 by Cauchy-Schwarz.
+        // Scale shape: one hourly pre-aggregate (map-side partials cut
+        // the event stream to type×hour rows), then a window over the
+        // TINY aggregate partitioned by type — the window never sees
+        // raw events. Overflow-safe to ~1.2e8 events/hour/type (S² at
+        // the i64 edge); ANSI mode fails loudly past it.
+        val w = Window.partitionBy($"event_type").orderBy($"hour")
+          .rowsBetween(-24, -1)
+        eventsTbl(s, dir)
+          .groupBy($"event_type",
+            date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("w_cnt", count($"n").over(w))
+          .withColumn("s", sum($"n").over(w))
+          .withColumn("q", sum($"n" * $"n").over(w))
+          .filter($"w_cnt" === 24)
+          .withColumn("dev", $"n" * lit(24L) - $"s")
+          .withColumn("varn", lit(24L) * $"q" - $"s" * $"s")
+          .withColumn("z", when($"varn" > 0L, $"dev" / sqrt($"varn".cast("double"))))
+          .withColumn("is_anomaly", $"dev" * $"dev" > lit(9L) * $"varn")
+          .select($"event_type", $"hour", $"n", $"z", $"is_anomaly")
+          .orderBy($"event_type", $"hour")
+      },
+      Some("""WITH hourly AS (
+          SELECT event_type,
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        win AS (
+          SELECT event_type, hour, n,
+                 COUNT(n) OVER w AS w_cnt,
+                 CAST(SUM(n) OVER w AS BIGINT) AS s,
+                 CAST(SUM(n * n) OVER w AS BIGINT) AS q
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, hour, n,
+               CASE WHEN 24 * q - s * s > 0
+                    THEN (n * 24 - s) / sqrt(CAST(24 * q - s * s AS DOUBLE)) END AS z,
+               (n * 24 - s) * (n * 24 - s) > 9 * (24 * q - s * s) AS is_anomaly
+        FROM win WHERE w_cnt = 24
+        ORDER BY event_type, hour""")),
+
     QueryDef("e03_user_daily_active",
       (s: SparkSession, dir: String) => {
         import s.implicits._
