@@ -2569,8 +2569,144 @@ object Embeddings {
                      GROUP BY idb)
         SELECT base.vec_id, d.dropped_by IS NULL AS kept, d.dropped_by
         FROM base LEFT JOIN droppers d ON base.vec_id = d.vec_id
-        ORDER BY base.vec_id"""))
+        ORDER BY base.vec_id""")),
+
+    QueryDef("v21_mmr_rerank",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // MMR diversified re-ranking (Carbonell & Goldstein 1998,
+        // "The Use of MMR, Diversity-Based Reranking"): the standard
+        // RAG serving step between retrieval and the prompt — plain
+        // top-k hands the context window five paraphrases of the same
+        // passage; MMR greedily picks argmax λ·rel(d) − (1−λ)·max
+        // sim(d, selected) so each slot adds NEW information. Stage 1
+        // is v01's exact top-20 panel (broadcast queries, fixed-point
+        // cosines, WindowGroupLimit top-k); stage 2 is a per-query
+        // kernel over those 20 rows — the greedy loop touches 20
+        // vectors per query, model-sized work after the corpus-sized
+        // retrieval already paid. λ = 0.7, k = 5; every arithmetic
+        // step (fixed-point rel/sim doubles, the 0.7·rel − 0.3·maxSim
+        // combination, ties by id) is replayed by the oracle as five
+        // UNROLLED selection CTEs — greedy selection needs no
+        // recursion when k is fixed. Assumes non-degenerate vectors
+        // (a zero-norm candidate's NaN similarity would rank
+        // differently across engines; the corpus has none).
+        val base = based(s, dir).withColumn("nrm", expr(NormSql))
+        val queries = base.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val corpus = base
+          .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
+        val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        corpus.join(broadcast(queries), $"query_id" =!= $"neighbor_id")
+          .withColumn("cosine", expr(DotSql) / ($"qn" * $"cn"))
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 20)
+          .select($"query_id", $"neighbor_id", $"cosine".as("rel"), $"cv", $"cn")
+          .as[(Long, Long, Double, Array[Double], Double)]
+          .groupByKey(_._1)
+          .flatMapGroups { (qid, it) =>
+            val cs = it.toArray
+            val n = cs.length
+            val picked = new Array[Boolean](n)
+            (1 to math.min(5, n)).iterator.map { step =>
+              var best = -1
+              var bestScore = Double.NegativeInfinity
+              var i = 0
+              while (i < n) {
+                if (!picked(i)) {
+                  var maxSim = 0.0
+                  if (step > 1) {
+                    maxSim = Double.NegativeInfinity
+                    var j = 0
+                    while (j < n) {
+                      if (picked(j)) {
+                        val sim = fpCos(cs(i)._4, cs(j)._4, cs(i)._5, cs(j)._5)
+                        if (sim > maxSim) maxSim = sim
+                      }
+                      j += 1
+                    }
+                  }
+                  val score = 0.7 * cs(i)._3 - 0.3 * maxSim
+                  if (score > bestScore ||
+                      (score == bestScore && (best < 0 || cs(i)._2 < cs(best)._2))) {
+                    bestScore = score
+                    best = i
+                  }
+                }
+                i += 1
+              }
+              picked(best) = true
+              (qid, step.toLong, cs(best)._2, cs(best)._3, bestScore)
+            }
+          }
+          .toDF("query_id", "step", "neighbor_id", "rel", "mmr")
+          .orderBy($"query_id", $"step")
+      },
+      Some(MmrOracleSql))
   )
+
+  /** v21's oracle: top-20 exact panel, candidate-pair similarities, and
+    * the greedy MMR selection UNROLLED into five argmax CTEs (fixed k
+    * needs no recursion): sel_i picks, per query, the unselected
+    * candidate maximizing 0.7·rel − 0.3·max-sim-to-selected (ties by
+    * id), selup_i accumulates the chosen set. Generated by the same
+    * loop that defines the step count, so Spark's k and the SQL's
+    * unroll depth cannot drift. */
+  private def MmrOracleSql: String = {
+    val dotFold =
+      "CAST(list_sum(list_transform(range(1, len(__A__.v) + 1), " +
+        "i -> CAST(FLOOR((__A__.v[i] * __B__.v[i]) * 1000000000000.0 + 0.5) AS BIGINT))) AS DOUBLE)" +
+        " / 1000000000000.0"
+    def fold(a: String, b: String) = dotFold.replace("__A__", a).replace("__B__", b)
+    val steps = (2 to 5).map { i =>
+      s""",
+        msim$i AS (SELECT c.qid, c.d, MAX(s.sim) AS m
+            FROM cand c JOIN selup${i - 1} p ON p.qid = c.qid
+            JOIN sims s ON s.qid = c.qid AND s.da = c.d AND s.db = p.d
+            WHERE NOT EXISTS (SELECT 1 FROM selup${i - 1} x
+                              WHERE x.qid = c.qid AND x.d = c.d)
+            GROUP BY 1, 2),
+        sel$i AS (SELECT qid, d, rel, mmr FROM (
+            SELECT m.qid, m.d, c.rel, 0.7 * c.rel - 0.3 * m.m AS mmr,
+                   ROW_NUMBER() OVER (PARTITION BY m.qid
+                     ORDER BY 0.7 * c.rel - 0.3 * m.m DESC, m.d) AS rn
+            FROM msim$i m JOIN cand c ON c.qid = m.qid AND c.d = m.d)
+          WHERE rn = 1),
+        selup$i AS (SELECT qid, d FROM selup${i - 1}
+                    UNION ALL SELECT qid, d FROM sel$i)"""
+    }.mkString
+    val unions = (2 to 5).map(i =>
+      s"SELECT qid, CAST($i AS BIGINT) AS step, d, rel, mmr FROM sel$i")
+      .mkString("\n        UNION ALL ", "\n        UNION ALL ", "")
+    s"""WITH base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n2 AS MATERIALIZED (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
+               FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
+        rel0 AS (SELECT q.vec_id AS qid, c.vec_id AS d,
+                   ${fold("q", "c")} / (nq.nrm * nc.nrm) AS rel
+                 FROM base q JOIN n2 nq ON nq.vec_id = q.vec_id,
+                      base c JOIN n2 nc ON nc.vec_id = c.vec_id
+                 WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        cand AS MATERIALIZED (SELECT qid, d, rel FROM (
+            SELECT qid, d, rel,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, d) AS rn
+            FROM rel0)
+          WHERE rn <= 20),
+        sims AS MATERIALIZED (SELECT a.qid, a.d AS da, b.d AS db,
+                   ${fold("va", "vb")} / (na.nrm * nb.nrm) AS sim
+                 FROM cand a JOIN cand b ON a.qid = b.qid AND a.d <> b.d
+                 JOIN base va ON va.vec_id = a.d JOIN base vb ON vb.vec_id = b.d
+                 JOIN n2 na ON na.vec_id = a.d JOIN n2 nb ON nb.vec_id = b.d),
+        sel1 AS (SELECT qid, d, rel, 0.7 * rel - 0.3 * 0.0 AS mmr FROM (
+            SELECT qid, d, rel,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, d) AS rn
+            FROM cand)
+          WHERE rn = 1),
+        selup1 AS (SELECT qid, d FROM sel1)$steps
+        SELECT query_id, step, neighbor_id, rel, mmr FROM (
+          SELECT qid AS query_id, CAST(1 AS BIGINT) AS step, d AS neighbor_id, rel, mmr FROM sel1$unions
+        ) t(query_id, step, neighbor_id, rel, mmr)
+        ORDER BY query_id, step"""
+  }
 
   import org.apache.spark.sql.types.DecimalType
   private val DecimalType38 = DecimalType(38, 12)

@@ -237,6 +237,31 @@ class EmbeddingsSpec extends SparkSpec {
       "BM25 ordering must differ from the raw-overlap ordering on the fixture")
   }
 
+  test("v21 MMR: greedy invariants hold and the diversity term actually binds") {
+    val rows = Catalog.byName("v21_mmr_rerank").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { g =>
+      val s = g.sortBy(_._2)
+      // step 1 is pure relevance: mmr = 0.7*rel; selections never repeat
+      assert(s.head._5 == 0.7 * s.head._4 - 0.3 * 0.0)
+      assert(s.map(_._3).distinct.length == 5, "a doc was selected twice")
+      // later steps: mmr = 0.7*rel - 0.3*maxSim with maxSim in [-1, 1]
+      // (an anti-correlated selected set yields a diversity BONUS, so
+      // mmr <= 0.7*rel does NOT hold in general — only the band does)
+      s.tail.foreach { case (_, _, _, rel, mmr) =>
+        assert(math.abs(mmr - 0.7 * rel) <= 0.3 + 1e-12, s"rel=$rel mmr=$mmr") }
+    }
+    // the diversity term must CHANGE the ranking somewhere vs plain
+    // top-5 relevance (v01's panel) — else the second leg is dead weight
+    val top5 = Catalog.byName("v01_similarity_topk").run(spark, sf).collect()
+      .filter(_.getLong(1) <= 5)
+      .map(r => (r.getLong(0), r.getLong(1))  -> r.getLong(2)).toMap
+    val mmrSeq = rows.map(r => (r._1, r._2) -> r._3).toMap
+    assert(mmrSeq != top5, "MMR selection equals plain top-5 — diversity never bound")
+  }
+
   test("v08 persisted index: read-back plan has no Exchange/recompute; equals v02 rebuild") {
     import org.apache.spark.sql.functions._
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
