@@ -198,6 +198,54 @@ object Documents {
       .drop("_toks", "_n", "_cid", "_start", "text")
   }
 
+  /** Budget-constrained mixture allocation — exact integer WATER-FILLING
+    * over a `(source, w, avail)` frame: distribute `budget` tokens
+    * proportionally to the weights, cap every source at its
+    * availability, and redistribute the shortfall among the sources
+    * with headroom (the "mix 60% web / 30% code / 10% books under N
+    * tokens, degrade gracefully when a source runs short" recipe —
+    * p02/p03 sample by RATE, this enforces an absolute budget).
+    *
+    * Closed form, no iteration: sort sources by avail/w ascending
+    * (integer key `avail·10⁶ div w`, ties by source). A source
+    * saturates iff `avail·(W − cumW) ≤ (budget − cumA)·w` over the
+    * prefix sums of that order — and saturation is provably a PREFIX of
+    * it: if position i is unsaturated, the next water level
+    * (B′ − rᵢwᵢ)/(W′ − wᵢ) < B′/W′ ≤ rᵢ ≤ rᵢ₊₁, so everything after i
+    * is unsaturated too (the standard water-filling argument, replayed
+    * in the spec against an iterative reference). Unsaturated sources
+    * get `(R*·w) div W*` where R* and W* are the budget and weight mass
+    * left at the saturation boundary; the ≤ W*-token integer remainder
+    * stays unallocated (deterministic, documented). Pure integer
+    * arithmetic throughout — both engines replay it exactly.
+    *
+    * Scale shape: this runs on SOURCE-LEVEL METADATA (one row per
+    * source), so the global-order window is over a frame thousands of
+    * rows at most — the corpus-sized work (per-source token sums, the
+    * per-doc cumulative cut) stays distributed and keys on `source`. */
+  def allocateBudget(perSource: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be nonnegative, got $budget")
+    import org.apache.spark.sql.functions._
+    val wOrd = Window.orderBy(expr("(avail * 1000000) div w"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = perSource
+      .withColumn("_cum_a", coalesce(sum(col("avail")).over(wOrd), lit(0L)))
+      .withColumn("_cum_w", coalesce(sum(col("w")).over(wOrd), lit(0L)))
+      .withColumn("_wtot", sum(col("w")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("_sat",
+        col("avail") * (col("_wtot") - col("_cum_w")) <=
+          (lit(budget) - col("_cum_a")) * col("w"))
+    val bound = flagged.agg(
+      (lit(budget) - coalesce(sum(when(col("_sat"), col("avail"))), lit(0L))).as("_rstar"),
+      coalesce(sum(when(!col("_sat"), col("w"))), lit(0L)).as("_wstar"))
+    flagged.crossJoin(broadcast(bound))
+      .withColumn("alloc",
+        when(col("_sat"), col("avail"))
+          .otherwise(expr("(_rstar * w) div _wstar")))
+      .drop("_cum_a", "_cum_w", "_wtot", "_sat", "_rstar", "_wstar")
+  }
+
   /** Misra-Gries frequent-items sketch over a token stream — the
     * approximate heavy-hitters dual of t03's exact frequency table, the
     * third sketch in the family (HLL distinct = e07, KLL percentiles =
@@ -1735,6 +1783,76 @@ object Documents {
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n
                     FROM documents))
         ORDER BY doc_id, chunk_id""")),
+
+    QueryDef("p08_budget_mix",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // budget-constrained source mixing under the hash gate: weights
+        // 1 + 10·(source_idx mod 5) (aggressive spread) and budget =
+        // 2/3 of the corpus's total tokens — scale-relative, so at
+        // EVERY SF the high-weight sources' proportional shares exceed
+        // their availability (they saturate) while low-weight sources
+        // keep headroom (they absorb the redistribution): both
+        // water-filling branches stay under the gate as the corpus
+        // grows. [[allocateBudget]] computes per-source allocations on
+        // source-level metadata; each source then contributes docs in
+        // doc_id order while the tokens BEFORE them fit under its
+        // allocation (p04's cum_before < cap rule). Output: the
+        // per-source mix report.
+        val tk = toked(s, dir)
+          .select($"source", $"doc_id", size($"toks").cast("long").as("n_toks"),
+            (lit(1L) + lit(10L) *
+              (expr("CAST(substring(source, 4, 10) AS INT)") % 5)).cast("long").as("w"))
+        val per = tk.groupBy($"source")
+          .agg(max($"w").as("w"), sum($"n_toks").as("avail"))
+        val total = per.agg(sum($"avail")).head.getLong(0)
+        val alloc = allocateBudget(per, budget = total * 2 / 3)
+        val wDoc = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        tk.withColumn("cum_before", coalesce(sum($"n_toks").over(wDoc), lit(0L)))
+          .join(broadcast(alloc.select($"source", $"alloc")), Seq("source"))
+          .groupBy($"source")
+          .agg(
+            sum(when($"cum_before" < $"alloc", 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"cum_before" < $"alloc", $"n_toks").otherwise(0L)).as("kept_tokens"))
+          .join(alloc, Seq("source"))
+          .select($"source", $"w", $"avail", $"alloc", $"n_kept", $"kept_tokens")
+          .orderBy($"source")
+      },
+      Some("""WITH tk AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                 CAST(1 + 10 * (CAST(substr(source, 4, 10) AS INT) % 5) AS BIGINT) AS w
+          FROM documents),
+        per AS (SELECT source, MAX(w) AS w, CAST(SUM(n_toks) AS BIGINT) AS avail
+                FROM tk GROUP BY source),
+        ord AS (SELECT *,
+                  CAST(COALESCE(SUM(avail) OVER wp, 0) AS BIGINT) AS cum_a,
+                  CAST(COALESCE(SUM(w) OVER wp, 0) AS BIGINT) AS cum_w,
+                  CAST(SUM(w) OVER () AS BIGINT) AS wtot
+                FROM per
+                WINDOW wp AS (ORDER BY (avail * 1000000) // w, source
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        bdg AS (SELECT CAST((2 * SUM(avail)) // 3 AS BIGINT) AS b FROM per),
+        flg AS (SELECT ord.*, avail * (wtot - cum_w) <= (bdg.b - cum_a) * w AS sat
+                FROM ord, bdg),
+        bound AS (SELECT CAST(bdg.b - COALESCE(SUM(CASE WHEN sat THEN avail END), 0) AS BIGINT) AS rstar,
+                         CAST(COALESCE(SUM(CASE WHEN NOT sat THEN w END), 0) AS BIGINT) AS wstar
+                  FROM flg, bdg GROUP BY bdg.b),
+        alloc AS (SELECT f.source, f.w, f.avail,
+                         CASE WHEN f.sat THEN f.avail
+                              ELSE (b.rstar * f.w) // b.wstar END AS alloc
+                  FROM flg f, bound b),
+        kept AS (SELECT source, doc_id, n_toks,
+                   CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+                 FROM tk)
+        SELECT a.source, a.w, a.avail, a.alloc,
+               CAST(COALESCE(SUM(CASE WHEN k.cum_before < a.alloc THEN 1 END), 0) AS BIGINT) AS n_kept,
+               CAST(COALESCE(SUM(CASE WHEN k.cum_before < a.alloc THEN k.n_toks END), 0) AS BIGINT) AS kept_tokens
+        FROM alloc a JOIN kept k ON k.source = a.source
+        GROUP BY a.source, a.w, a.avail, a.alloc
+        ORDER BY a.source""")),
 
     QueryDef("t14_bigram_entropy",
       (s: SparkSession, dir: String) => {

@@ -434,6 +434,49 @@ class DocumentsSpec extends SparkSpec {
       s"quality upsampling not visible: $fracs")
   }
 
+  test("allocateBudget == iterative water-filling reference; invariants hold") {
+    import spark.implicits._
+    // the TRUE iterative algorithm: repeatedly give every unsaturated
+    // source its proportional share of the remaining budget; saturate
+    // any source whose share exceeds its availability; repeat until
+    // stable. The operator's closed-form prefix rule must agree.
+    def reference(rows: Seq[(String, Long, Long)], budget: Long): Map[String, Long] = {
+      var sat = Map.empty[String, Long]
+      var active = rows
+      var changed = true
+      while (changed) {
+        changed = false
+        val r = budget - sat.values.sum
+        val wsum = active.map(_._2).sum
+        val over = active.filter { case (_, w, avail) => avail * wsum <= r * w }
+        if (over.nonEmpty) {
+          sat ++= over.map(s => s._1 -> s._3)
+          active = active.filterNot(s => sat.contains(s._1))
+          changed = true
+        }
+      }
+      val r = budget - sat.values.sum
+      val wsum = active.map(_._2).sum
+      sat ++ active.map { case (src, w, _) => src -> (r * w / wsum) }
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 25).foreach { trial =>
+      val n = 1 + rnd.nextInt(12)
+      val rows = (0 until n).map(i =>
+        (f"s$i%02d", 1L + rnd.nextInt(40), 1L + rnd.nextInt(5000).toLong))
+      val budget = rnd.nextInt(2 * rows.map(_._3).sum.toInt + 1).toLong
+      val got = Documents.allocateBudget(
+          rows.toDF("source", "w", "avail"), budget)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      val want = reference(rows, budget)
+      assert(got == want, s"trial $trial budget=$budget rows=$rows")
+      // invariants: never exceed availability; never exceed the budget
+      val byS = rows.map(r => r._1 -> r._3).toMap
+      got.foreach { case (s, a) => assert(a >= 0 && a <= byS(s), s"$s") }
+      assert(got.values.sum <= budget)
+    }
+  }
+
   test("t16 quality classifier: full driver replay of hash, weights, score and keep") {
     // independent reimplementation of the serving pipeline: per-token
     // char fold -> Knuth mix -> 64-bucket weight -> BIGINT sum ->
