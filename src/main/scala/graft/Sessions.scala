@@ -30,7 +30,10 @@ object Sessions {
   def adopt(cpusEnv: Option[String]): SparkSession = {
     val submitted = sys.props.get("spark.master").exists(_.nonEmpty)
     val cpus = cpusEnv.map { c =>
-      require(c.toIntOption.exists(_ >= 1),
+      // digits-only AND parses: '+5' would build an invalid local[+5]
+      // master, and an over-i32 digit string must still get THIS
+      // message rather than a bare NumberFormatException
+      require(c.nonEmpty && c.forall(_.isDigit) && c.toIntOption.exists(_ >= 1),
         s"SPARK_GRAFT_CPUS must be a positive integer (got '$c'); " +
           "it sizes spark.sql.shuffle.partitions")
       c
@@ -38,18 +41,27 @@ object Sessions {
     if (!submitted)
       return finish(shared(SparkSession.builder().master(s"local[$cpus]"),
         shufflePartitions = cpus))
-    // submitted launch: defaults yield to any user-submitted conf
-    val defaults = SharedConf(shufflePartitions = cpus)
+    // submitted launch: TUNING defaults yield to any user-submitted
+    // conf, but the CORRECTNESS pins do not — a cluster's ambient
+    // spark-defaults.conf (indistinguishable from a deliberate --conf
+    // here) silently shifting the session timezone or the nanos
+    // parquet mapping would diverge the daemon's results from the
+    // Bench/Verify semantics this file exists to keep identical
+    val defaults = TuningConf(shufflePartitions = cpus)
       .filter { case (k, _) => !sys.props.get(k).exists(_.nonEmpty) }
-    finish(defaults.foldLeft(SparkSession.builder()) {
+    finish((CorrectnessConf ++ defaults).foldLeft(SparkSession.builder()) {
       case (b, (k, v)) => b.config(k, v)
     })
   }
 
-  private def SharedConf(shufflePartitions: String): Seq[(String, String)] = Seq(
-    "spark.sql.shuffle.partitions" -> shufflePartitions,
+  /** Confs that define RESULT semantics — forced on every session. */
+  private val CorrectnessConf: Seq[(String, String)] = Seq(
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Confs that only tune performance/surface — submitted values win. */
+  private def TuningConf(shufflePartitions: String): Seq[(String, String)] = Seq(
+    "spark.sql.shuffle.partitions" -> shufflePartitions,
     "spark.sql.codegen.cache.maxEntries" -> "2000",
     "spark.ui.enabled" -> "false")
 
@@ -61,7 +73,7 @@ object Sessions {
   // generated classes.
   private def shared(b: SparkSession.Builder,
       shufflePartitions: String): SparkSession.Builder =
-    SharedConf(shufflePartitions).foldLeft(b) {
+    (CorrectnessConf ++ TuningConf(shufflePartitions)).foldLeft(b) {
       case (acc, (k, v)) => acc.config(k, v)
     }
 

@@ -206,8 +206,17 @@ object Documents {
     * tokens, degrade gracefully when a source runs short" recipe —
     * p02/p03 sample by RATE, this enforces an absolute budget).
     *
-    * Closed form, no iteration: sort sources by avail/w ascending
-    * (integer key `avail·10⁶ div w`, ties by source). A source
+    * Closed form, no iteration: sort sources by avail/w ascending —
+    * the ratio compares through the TWO-COMPONENT integer key
+    * `(avail div w, (avail mod w)·10⁹ div w)` (whole part exact, the
+    * fractional part quantized to 1e-9; exact pairwise cross-multiply
+    * cannot be a sort key), ties by source. Two sources whose true
+    * ratios differ by less than 1e-9 order by name — BOTH engines
+    * apply the identical quantized order, so the result is the exact
+    * water-filling of the quantized instance: still deterministic,
+    * availability-capped and budget-feasible, merely attributing the
+    * boundary share to the name-ordered source when ratios are that
+    * close. A source
     * saturates iff `avail·(W − cumW) ≤ (budget − cumA)·w` over the
     * prefix sums of that order — and saturation is provably a PREFIX of
     * it: if position i is unsaturated, the next water level
@@ -224,9 +233,24 @@ object Documents {
     * rows at most — the corpus-sized work (per-source token sums, the
     * per-doc cumulative cut) stays distributed and keys on `source`. */
   def allocateBudget(perSource: DataFrame, budget: Long): DataFrame = {
-    require(budget >= 0, s"budget must be nonnegative, got $budget")
+    // bounds keep every product in-range: (avail mod w)·10⁹ < w·10⁹ ≤
+    // 1e15, avail·(W − cumW) ≤ 1e12·(sources·1e6), R*·w ≤ budget·1e6 —
+    // all under the i64 edge for any realistic deployment (1e12 tokens
+    // per source, million-scale weights); ANSI throws loudly beyond
+    require(budget >= 0 && budget <= 1000000000000L,
+      s"budget out of range [0, 1e12]: $budget")
     import org.apache.spark.sql.functions._
-    val wOrd = Window.orderBy(expr("(avail * 1000000) div w"), col("source"))
+    // one action over the SOURCE-LEVEL frame (tiny by contract)
+    val lim = perSource.agg(min(col("w")), max(col("w")), min(col("avail")),
+      max(col("avail"))).collect()(0)
+    if (!lim.isNullAt(0)) {
+      require(lim.getLong(0) >= 1 && lim.getLong(1) <= 1000000L,
+        s"weights out of range [1, 1e6]: ${lim.getLong(0)}..${lim.getLong(1)}")
+      require(lim.getLong(2) >= 0 && lim.getLong(3) <= 1000000000000L,
+        s"avail out of range [0, 1e12]: ${lim.getLong(2)}..${lim.getLong(3)}")
+    }
+    val wOrd = Window.orderBy(
+        expr("avail div w"), expr("((avail % w) * 1000000000) div w"), col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val flagged = perSource
       .withColumn("_cum_a", coalesce(sum(col("avail")).over(wOrd), lit(0L)))
@@ -1799,10 +1823,15 @@ object Documents {
         // doc_id order while the tokens BEFORE them fit under its
         // allocation (p04's cum_before < cap rule). Output: the
         // per-source mix report.
-        val tk = toked(s, dir)
+        // retained: the narrow (source, doc_id, n_toks, w) frame feeds
+        // the per-source aggregate (read again by the total action and
+        // twice inside allocateBudget) AND the per-doc cumulative cut —
+        // without the cache each of those passes re-pays the corpus
+        // tokenization scan
+        val tk = graft.CacheRegistry.retain("p08.tk", toked(s, dir)
           .select($"source", $"doc_id", size($"toks").cast("long").as("n_toks"),
             (lit(1L) + lit(10L) *
-              (expr("CAST(substring(source, 4, 10) AS INT)") % 5)).cast("long").as("w"))
+              (expr("CAST(substring(source, 4, 10) AS INT)") % 5)).cast("long").as("w")))
         val per = tk.groupBy($"source")
           .agg(max($"w").as("w"), sum($"n_toks").as("avail"))
         val total = per.agg(sum($"avail")).head.getLong(0)
@@ -1831,7 +1860,7 @@ object Documents {
                   CAST(COALESCE(SUM(w) OVER wp, 0) AS BIGINT) AS cum_w,
                   CAST(SUM(w) OVER () AS BIGINT) AS wtot
                 FROM per
-                WINDOW wp AS (ORDER BY (avail * 1000000) // w, source
+                WINDOW wp AS (ORDER BY avail // w, ((avail % w) * 1000000000) // w, source
                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         bdg AS (SELECT CAST((2 * SUM(avail)) // 3 AS BIGINT) AS b FROM per),
         flg AS (SELECT ord.*, avail * (wtot - cum_w) <= (bdg.b - cum_a) * w AS sat

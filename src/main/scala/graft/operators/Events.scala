@@ -242,8 +242,10 @@ object Events {
         // Scale shape: one hourly pre-aggregate (map-side partials cut
         // the event stream to type×hour rows), then a window over the
         // TINY aggregate partitioned by type — the window never sees
-        // raw events. Overflow-safe to ~1.2e8 events/hour/type (S² at
-        // the i64 edge); ANSI mode fails loudly past it.
+        // raw events. Overflow-safe to ~8.4e7 events/hour/type (the
+        // binding term is 9·(24·Q − S²), not S² — 1296·c² crosses the
+        // i64 edge first); ANSI mode fails loudly past it, and the
+        // streaming dual's BigInt arithmetic keeps answering there.
         val w = Window.partitionBy($"event_type").orderBy($"hour")
           .rowsBetween(-24, -1)
         eventsTbl(s, dir)

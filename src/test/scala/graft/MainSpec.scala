@@ -86,7 +86,7 @@ class MainSpec extends SparkSpec {
     // the env var sizes spark.sql.shuffle.partitions, which rejects
     // non-int values only on FIRST USE — deep inside the daemon's first
     // job. Fail at session build instead, with the reason.
-    for (bad <- Seq("*", "0", "", "-4", "eight")) {
+    for (bad <- Seq("*", "0", "", "-4", "eight", "+5", "99999999999")) {
       val e = intercept[IllegalArgumentException] { Sessions.adopt(Some(bad)) }
       assert(e.getMessage.contains("SPARK_GRAFT_CPUS"), s"for '$bad'")
     }

@@ -16,6 +16,31 @@ class AnomalyStreamSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("bucketing follows the session zone: half-hour offsets shift the hour boundaries") {
+    // batch e18 truncates in the SESSION timezone; the stream must
+    // agree even where the zone offset is not a whole hour — in
+    // Asia/Kolkata (+05:30) the hour containing 00:45Z starts at
+    // 00:30Z, not 00:00Z. Direct kernel check via TestGroupState.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def pendingKeys(zone: String): Set[Long] = {
+      val st = TestGroupState.create[AnomalyStream.St](
+        optionalState = org.apache.spark.api.java.Optional.empty(),
+        timeoutConf = GroupStateTimeout.EventTimeTimeout,
+        batchProcessingTimeMs = 0L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(0L),
+        hasTimedOut = false)
+      val ts = java.sql.Timestamp.from(java.time.Instant.parse("2020-01-01T00:45:00Z"))
+      AnomalyStream.process(java.time.ZoneId.of(zone))(
+        "t", Iterator(AnomalyStream.Ev(ts, "t")), st).toList
+      st.get._2.keySet
+    }
+    val utcHour = java.time.Instant.parse("2020-01-01T00:00:00Z").getEpochSecond * 1000000L
+    val istHour = java.time.Instant.parse("2020-01-01T00:30:00Z").getEpochSecond * 1000000L
+    assert(pendingKeys("UTC") == Set(utcHour))
+    assert(pendingKeys("Asia/Kolkata") == Set(istHour),
+      "the +05:30 zone's hour bucket must start at :30 UTC")
+  }
+
   test("streaming anomaly detection equals batch e18 across a 4-chunk replay") {
     val dir = Files.createTempDirectory("anomreplay").toString
     val ev = eventsTbl(spark, sf).select($"ts", $"event_type")
