@@ -36,3 +36,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // process cwd (a bench launched from elsewhere must not drop the
 // official artifact outside the repo)
 run / envVars += "SPARK_GRAFT_REPO" -> baseDirectory.value.getAbsolutePath
+// The bench contract is ONE machine-parseable JSON line as the LAST line
+// of stdout. sbt's default framing breaks that twice over: forked run
+// output is re-logged with an "[info] " prefix, and the "[success] Total
+// time" banner prints after the program exits. Pass forked run/runMain
+// output through verbatim and drop the banner so
+// `sbt "runMain graft.Bench"` ends with the bare JSON line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude
+// it from the unused-key lint so the warning doesn't precede run output
+Global / excludeLintKeys += showSuccess

@@ -242,12 +242,20 @@ object Documents {
     import org.apache.spark.sql.functions._
     // one action over the SOURCE-LEVEL frame (tiny by contract)
     val lim = perSource.agg(min(col("w")), max(col("w")), min(col("avail")),
-      max(col("avail"))).collect()(0)
+      max(col("avail")), sum(col("w"))).collect()(0)
     if (!lim.isNullAt(0)) {
       require(lim.getLong(0) >= 1 && lim.getLong(1) <= 1000000L,
         s"weights out of range [1, 1e6]: ${lim.getLong(0)}..${lim.getLong(1)}")
       require(lim.getLong(2) >= 0 && lim.getLong(3) <= 1000000000000L,
         s"avail out of range [0, 1e12]: ${lim.getLong(2)}..${lim.getLong(3)}")
+      // the per-bound ranges above admit instances the i64 arithmetic
+      // cannot serve: the saturation test's avail·(W − cumW) term is
+      // bounded by max(avail)·sum(w), which crosses the i64 edge once
+      // total weight mass passes ~9.2e6 at max avail. Reject HERE with
+      // a named message instead of letting ANSI throw mid-plan.
+      require(BigInt(lim.getLong(3)) * BigInt(lim.getLong(4)) <= Long.MaxValue,
+        s"max(avail) * sum(w) = ${lim.getLong(3)} * ${lim.getLong(4)} " +
+          "overflows the i64 saturation arithmetic; shrink weights or avail")
     }
     val wOrd = Window.orderBy(
         expr("avail div w"), expr("((avail % w) * 1000000000) div w"), col("source"))
@@ -1158,7 +1166,16 @@ object Documents {
         // Scale: the heavy shuffles are the (prev,cur)/(prev)/(term)
         // count tables (vocab-bounded) and the pair→doc_id regroup —
         // t09's shape plus one join; single-token docs drop out of both
-        // engines identically.
+        // engines identically. The three count-table joins against the
+        // pair stream stay BROADCAST through 30× (r11 adjudication:
+        // the one-shot 33 s sf3 reading was parquet-cold — warm probe
+        // reps 3.4/4.4 s ≈ 1.7× the sf1 median for 3× data, i.e.
+        // linear; a pre-joined (prev,cur,c_e9) score table measured
+        // 2-3× SLOWER warm because it trades three map-side broadcast
+        // joins for a full-stream shuffle join). If a 100 TB vocabulary
+        // ever outgrows the broadcast threshold, fold the three tables
+        // into that score table first — same values by construction —
+        // and pay ONE stream shuffle instead of three.
         val arr = toked(s, dir).select($"doc_id", $"toks")
           .filter(size($"toks") >= 2)
         val pairs = arr.select($"doc_id", explode(expr(
@@ -1834,7 +1851,10 @@ object Documents {
               (expr("CAST(substring(source, 4, 10) AS INT)") % 5)).cast("long").as("w")))
         val per = tk.groupBy($"source")
           .agg(max($"w").as("w"), sum($"n_toks").as("avail"))
-        val total = per.agg(sum($"avail")).head.getLong(0)
+        // sum over an empty source frame is NULL — coalesce so an empty
+        // corpus yields budget 0 and an empty mix report, not an opaque
+        // null-unbox throw (parity with the explicit empty gates elsewhere)
+        val total = per.agg(coalesce(sum($"avail"), lit(0L))).head.getLong(0)
         val alloc = allocateBudget(per, budget = total * 2 / 3)
         val wDoc = Window.partitionBy($"source").orderBy($"doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)

@@ -369,7 +369,7 @@ object Embeddings {
     * cache instead of accumulating one full corpus copy per call.
     */
   def ivfTopK(vectors: DataFrame, k: Int, cells: Int = 8, probes: Int = 2,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, queryPred: Long => Boolean = _ => true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(probes > 0 && probes <= cells, s"probes must be in 1..$cells, got $probes")
     val session = vectors.sparkSession
@@ -401,7 +401,13 @@ object Embeddings {
       }.toDF())
       .as[(Array[Long], Long, Array[Double], Double)]
     val corpus = tagged.map { case (pc, id, v, n) => (pc(0), id, v, n) }
-    val queries = tagged.flatMap { case (pc, id, v, n) => pc.iterator.map(c => (c, id, v, n)) }
+    // the query restriction prunes BEFORE the per-cell pair generation:
+    // a panel-sized query set does panel×cell work, not corpus×cell —
+    // serving q queries is O(q·probes·cellsize) however big the corpus
+    // (the default keeps the all-queries ANN-join form)
+    val qp = queryPred
+    val queries = tagged.filter(t => qp(t._2))
+      .flatMap { case (pc, id, v, n) => pc.iterator.map(c => (c, id, v, n)) }
     val K = k
     val scored = queries.groupByKey(_._1).cogroup(corpus.groupByKey(_._1)) { (_, qs, cs) =>
       val cand = cs.toArray
@@ -2263,16 +2269,20 @@ object Embeddings {
         // upgrades the pair from its recall-spec to a hash-match.
         // k=3/cells=8/probes=2/iters=3 keep the oracle's 8·n assignment
         // cross-join bounded; output restricted to the v06-style 10-query
-        // panel (the operator computes all queries; rank-per-query is
-        // unaffected by the post-filter).
+        // panel, and the restriction is PUSHED INTO candidate generation
+        // (queryPred) exactly like the oracle's own `qp` CTE — the r10
+        // form computed all n queries and post-filtered, paying the
+        // full n²/cells pair sweep for a 30-row answer (the measured
+        // 7.7×-for-3×-data superlinear at 30×; serving the panel is
+        // linear in corpus size).
         //
         // Every oracle CTE is MATERIALIZED: the Lloyd rounds reference
         // each other repeatedly, and DuckDB 1.0 re-inlines plain CTEs
         // per reference — the un-hinted form re-evaluates the chain
         // combinatorially (measured 199 s and memory-flaky vs 0.46 s
         // materialized, identical 30 rows).
-        Embeddings.ivfTopK(based(s, dir), k = 3, cells = 8, probes = 2, iters = 3)
-          .filter($"query_id" < 10)
+        Embeddings.ivfTopK(based(s, dir), k = 3, cells = 8, probes = 2, iters = 3,
+            queryPred = _ < 10)
           .orderBy($"query_id", $"rnk")
       },
       Some(KMeansOracleProlog + """,

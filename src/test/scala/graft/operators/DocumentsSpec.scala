@@ -599,4 +599,40 @@ class DocumentsSpec extends SparkSpec {
       s"expected every embedded doc's chunks to carry its vector " +
         s"($chunksWithVecs chunk rows vs $docsWithVecs docs)")
   }
+
+  test("p08 on an empty corpus yields an empty mix report, not a null unbox") {
+    import spark.implicits._
+    // sum(avail) over zero sources is NULL; the query must coalesce it
+    // to budget 0 and flow through to an empty frame with the full
+    // report schema (parity with the explicit empty-corpus gates
+    // elsewhere in the catalog)
+    val dir = java.nio.file.Files.createTempDirectory("p08empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Catalog.byName("p08_budget_mix").run(spark, dir)
+    assert(out.columns.toSeq ==
+      Seq("source", "w", "avail", "alloc", "n_kept", "kept_tokens"))
+    assert(out.count() == 0L)
+  }
+
+  test("allocateBudget rejects instances whose saturation arithmetic overflows i64") {
+    import spark.implicits._
+    // ten max-weight sources at max avail: every per-bound passes but
+    // avail·(W − cumW) crosses the i64 edge — the require() must name
+    // the problem instead of ANSI throwing mid-plan
+    val rows = (0 until 10).map(i => (f"s$i%02d", 1000000L, 1000000000000L))
+    val ex = intercept[IllegalArgumentException] {
+      Documents.allocateBudget(rows.toDF("source", "w", "avail"), 1000000000000L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("overflows"), ex.getMessage)
+    // just inside the envelope still computes: one max-avail source and
+    // total weight mass small enough that max(avail)·sum(w) fits
+    val ok = Documents.allocateBudget(
+        Seq(("s00", 1000000L, 1000000000000L), ("s01", 1000000L, 1000L))
+          .toDF("source", "w", "avail"), 500000000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ok("s01") == 1000L && ok("s00") <= 500000000000L - 1000L + 1000000L)
+  }
 }
