@@ -50,7 +50,8 @@ def main():
         # restore the full catalog map so a later direct check_oracle.py
         # run checks every query, not just the sweep's last singleton
         shutil.copy(allp, cur)
-    print(f"\n== sf1 sweep: {n_pass} pass, {n_fail} fail, {n_to} oracle-timeout, "
+    label = os.path.basename(os.path.normpath(sfdir))
+    print(f"\n== {label} sweep: {n_pass} pass, {n_fail} fail, {n_to} oracle-timeout, "
           f"{len(BRUTE & set(full))} excluded-brute ==")
     print(f"excluded: {sorted(BRUTE & set(full))}")
     sys.exit(1 if n_fail else 0)
