@@ -2341,12 +2341,19 @@ object Embeddings {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         // per-(label, dim) exact mean → centroid cosine per label pair,
-        // computed entirely as joins/aggs (no vector ever collected)
-        val comps = tbl(s, dir, "embeddings")
+        // computed entirely as joins/aggs (no vector ever collected).
+        // comps is referenced FOUR times downstream (both dot sides and
+        // both norm joins); without an explicit cache each reference
+        // replays the full corpus explode+aggregate — the r11 verdict's
+        // 6.1×-for-3× sf3 smell (PROBES_r12.md: warm sf3 6.0 s → 1.9 s
+        // once the |labels|×64-row frame is retained; AQE exchange reuse
+        // does not fire across the four branches because each wraps the
+        // shared Exchange in a different parent aggregate).
+        val comps = graft.CacheRegistry.retain("v03.comps", tbl(s, dir, "embeddings")
           .select($"label".cast("long").as("label"),
             posexplode($"embedding".cast("array<double>")).as(Seq("pos", "x")))
           .groupBy($"label", $"pos")
-          .agg((sum($"x".cast(DecimalType38)).cast("double") / count(lit(1))).as("m"))
+          .agg((sum($"x".cast(DecimalType38)).cast("double") / count(lit(1))).as("m")))
         val norms = comps.groupBy($"label")
           .agg(sqrt(sum(($"m" * $"m").cast(DecimalType38)).cast("double")).as("nrm"))
         val dots = comps.as("a")

@@ -697,17 +697,34 @@ object Relational {
         // unpivot desugaring), so the gate checks the reshape itself —
         // row multiplication, measure labels, null handling — not just
         // the sums. unpivot is a NARROW map-side generator (each input
-        // row emits its 4 pairs in place); the only shuffle is the
-        // 4-group aggregate, with map-side partials.
+        // row emits its 4 pairs in place). The distinct-order count is
+        // computed as a two-level aggregate — per-orderkey partials,
+        // then measure — instead of countDistinct: the single-distinct
+        // plan Expands the quadrupled stream AGAIN (8 projections/row,
+        // 144M rows into the partial agg at 30×). Aggregating per
+        // l_orderkey FIRST (one narrow scan, map-side partials) and
+        // unpivoting the 4 per-order sums afterward runs the Expand
+        // over orders (4.5M rows at 30×), not lineitems (18M), and
+        // shuffles one row per order instead of four
+        // (PROBES_r12.md: warm sf3 8.3 → measured). The fixed-point
+        // fold is association-safe (each row's value is floored to a
+        // BIGINT BEFORE any sum; partial sums then add exactly; one
+        // terminal divide), so the oracle hash is unchanged; l_orderkey
+        // is non-null, so group-count == COUNT(DISTINCT).
+        def ps(c: org.apache.spark.sql.Column) = sum(floor(c * lit(1e6) + lit(0.5)))
         tbl(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(count(lit(1)).as("pn"), ps($"l_discount").as("l_discount"),
+            ps($"l_extendedprice").as("l_extendedprice"),
+            ps($"l_quantity").as("l_quantity"), ps($"l_tax").as("l_tax"))
           .unpivot(
-            ids = Array($"l_orderkey"),
+            ids = Array($"l_orderkey", $"pn"),
             values = Array($"l_discount", $"l_extendedprice", $"l_quantity", $"l_tax"),
             variableColumnName = "measure",
             valueColumnName = "value")
           .groupBy($"measure")
-          .agg(count(lit(1)).as("n"), sumExact($"value").as("total"),
-            countDistinct($"l_orderkey").as("n_orders"))
+          .agg(sum($"pn").as("n"), (sum($"value").cast("double") / lit(1e6)).as("total"),
+            count(lit(1)).as("n_orders"))
           .orderBy($"measure")
       },
       Some(s"""WITH m AS (
