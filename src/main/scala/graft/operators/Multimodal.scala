@@ -196,6 +196,14 @@ object Multimodal {
   private val phashPairsMemo =
     new java.util.concurrent.atomic.AtomicReference[(String, SparkSession, Long, DataFrame)]()
 
+  /** Serve-path entry for the verified media pair set: freshness-check
+    * the persisted index (one fingerprint scan), build it only when the
+    * corpus changed, and hand consumers the SAME retained frame (m06's
+    * CC memo keys on object identity). The expensive
+    * decode→collapse→hash→banded-verify build lives in
+    * [[phashPairsCompute]] and its cost in the m00 builder row — the
+    * [[Embeddings.buildPqIndex]] "train rarely, serve from artifacts"
+    * split applied to the media family. */
   private[operators] def phashPairs(s: SparkSession, dir: String,
       maxBandBucket: Long = MaxBandBucket): DataFrame = {
     val memo = phashPairsMemo.get()
@@ -203,6 +211,50 @@ object Multimodal {
       memo._3 == maxBandBucket && !s.sparkContext.isStopped &&
       graft.CacheRegistry.entries.contains("media.pairs"))
       return memo._4
+    val pairsPath = ensureMediaIndex(s, dir, maxBandBucket = maxBandBucket)
+    val out = graft.CacheRegistry.retain("media.pairs",
+      s.read.parquet(pairsPath).select(col("doc_a"), col("doc_b"), col("hamming")))
+    phashPairsMemo.set((dir, s, maxBandBucket, out))
+    out
+  }
+
+  /** Build-once persisted media near-dup index: the verified pair set
+    * lands in `graft_index.media_<dir>_pairs` keyed by a `_meta`
+    * fingerprint of the documents corpus (+ the band-bucket gate it was
+    * built under), so a serve in ANY later JVM skips the full build
+    * after one map-side freshness scan. meta is invalidated FIRST and
+    * rewritten LAST — a crash mid-build leaves only a stale-fingerprint
+    * state the next build repairs. `force` is the named-builder path
+    * (m00): always rebuild, so the bench attributes the build cost to
+    * its own row instead of whichever serve query runs first. */
+  def ensureMediaIndex(s: SparkSession, dir: String, force: Boolean = false,
+      maxBandBucket: Long = MaxBandBucket): String = {
+    import s.implicits._
+    val table = "media_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+    def loc(suffix: String): String =
+      graft.plans.CoLocated.tableLocation(s, "graft_index", table + suffix).toString
+    val (n, fp) = graft.QueryHelpers.docsFingerprint(tbl(s, dir, "documents"))
+    val fresh = !force && (try {
+      val meta = s.read.parquet(loc("_meta"))
+        .select($"n", $"fp", $"gate").as[(Long, Long, Long)].head()
+      val fs = new org.apache.hadoop.fs.Path(loc("_meta"))
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      meta == ((n, fp, maxBandBucket)) &&
+        fs.exists(new org.apache.hadoop.fs.Path(loc("_pairs")))
+    } catch { case _: Exception => false })
+    if (!fresh) {
+      graft.plans.CoLocated.clearTable(s, "graft_index", s"${table}_meta")
+      graft.plans.CoLocated.replaceTable(
+        phashPairsCompute(s, dir, maxBandBucket), "graft_index", s"${table}_pairs")
+      graft.plans.CoLocated.replaceTable(
+        Seq((n, fp, maxBandBucket)).toDF("n", "fp", "gate"),
+        "graft_index", s"${table}_meta")
+    }
+    loc("_pairs")
+  }
+
+  private def phashPairsCompute(s: SparkSession, dir: String,
+      maxBandBucket: Long): DataFrame = {
     import s.implicits._
     val media = decode(fromDocuments(tbl(s, dir, "documents")))
     // stage 1: exact-payload collapse. reduceGroups combines map-side,
@@ -294,12 +346,10 @@ object Multimodal {
         }
         out.iterator
       }.toDF("doc_a", "doc_b", "hamming")
-    // retained: m05 orders this frame, m06 clusters it — the verified
-    // pair set is the shared product both re-read warm (pair count ≪
-    // corpus: 65 / 3660 rows at sf0.01 / sf0.1)
-    val out = graft.CacheRegistry.retain("media.pairs", verified)
-    phashPairsMemo.set((dir, s, maxBandBucket, out))
-    out
+    // the verified pair set (pair count ≪ corpus: 65 / 3660 rows at
+    // sf0.01 / sf0.1) is the build PRODUCT — ensureMediaIndex persists
+    // it and phashPairs retains the persisted read for m05/m06
+    verified
   }
 
   /** Shared m05/m06 oracle prolog (no leading WITH): closed-form
@@ -328,7 +378,49 @@ object Multimodal {
                  FROM ch c JOIN sums s USING (doc_id) JOIN reps r USING (doc_id)
                  GROUP BY c.doc_id)"""
 
+  /** Banded-hamming pair replay over [[MediaHashCtes]]'s `hs` — the
+    * continuation CTEs shared by m05 (pair listing) and m00 (builder
+    * summary), single-sourced so the two oracles cannot drift on band
+    * slicing or the threshold. */
+  private val MediaPairsCtes =
+    """bnd AS MATERIALIZED (
+            SELECT doc_id, h0, h1, b,
+                   ((CASE WHEN b < 4 THEN h0 >> (b * 8)
+                          ELSE h1 >> ((b - 4) * 8) END) & 255) AS bv
+            FROM hs, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(b)),
+          mpairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS BIGINT) AS hamming
+            FROM bnd a JOIN bnd b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 6)"""
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("m00_build_phash_index",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the NAMED BUILDER row for the media near-dup family: force a
+        // full decode→exact-collapse→aHash→banded-verify rebuild of the
+        // persisted pair index (ensureMediaIndex force=true) and return
+        // the index summary. m05/m06 SERVE from the artifact this
+        // publishes (fingerprint-skip, any JVM), so the bench attributes
+        // the family's build cost here — m00 sorts before every serve —
+        // instead of inside whichever serve query runs first (the r11
+        // verdict's "anonymous in-query build", m06 27.4 s isolated at
+        // 30×). Same split as v12 (in-session PQ train) vs v15
+        // (persisted serve). The summary aggregates the persisted pairs
+        // (count + hamming mass), so the oracle gates the BUILD OUTPUT,
+        // not just its row count.
+        val path = ensureMediaIndex(s, dir, force = true)
+        s.read.parquet(path)
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            coalesce(sum($"hamming"), lit(0L)).cast("long").as("sum_hamming"))
+      },
+      Some(s"""WITH $MediaHashCtes,
+          $MediaPairsCtes
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(hamming), 0) AS BIGINT) AS sum_hamming
+        FROM mpairs""")),
+
     QueryDef("m01_media_stats",
       (s: SparkSession, dir: String) => {
         import s.implicits._
@@ -479,15 +571,8 @@ object Multimodal {
       // oracle: the shared MediaHashCtes prolog (collapse + aHash), then
       // the banded hamming replay over representatives
       Some(s"""WITH $MediaHashCtes,
-          bnd AS MATERIALIZED (
-            SELECT doc_id, h0, h1, b,
-                   ((CASE WHEN b < 4 THEN h0 >> (b * 8)
-                          ELSE h1 >> ((b - 4) * 8) END) & 255) AS bv
-            FROM hs, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(b))
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS BIGINT) AS hamming
-        FROM bnd a JOIN bnd b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 6
+          $MediaPairsCtes
+        SELECT doc_a, doc_b, hamming FROM mpairs
         ORDER BY doc_a, doc_b""")),
 
     QueryDef("m06_media_canonical",
