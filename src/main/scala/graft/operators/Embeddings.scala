@@ -2320,9 +2320,16 @@ object Embeddings {
       // within-cell pairs score via a per-pair list fold (identical
       // FLOOR-per-term fixed-point arithmetic, just not routed through
       // an unnest × dims GROUP BY — the unnest form built pairs×64 rows
-      // and priced this oracle out of the sf1 sweep)
+      // and priced this oracle out of the sf1 sweep). pairs/dropped are
+      // deliberately NOT materialized: each is referenced exactly once
+      // (the re-inline hazard needs 2+ references), and the 30× corpus
+      // makes the within-cell pair stream ~200M rows — the r11-era
+      // MATERIALIZED hint forced DuckDB to STORE that stream (>100 GB
+      // RSS + 35 GB spill, OOM-killed in the first sf3 sweep) where the
+      // plain CTE pipelines it straight into the DISTINCT hash set
+      // (vector-count-bounded) and completes in minutes.
       Some(KMeansOracleProlog + """,
-        pairs AS MATERIALIZED (
+        pairs AS (
                  SELECT q.cid AS qid, c.cid AS cid,
                         CAST(list_sum(list_transform(range(1, len(qb.v) + 1),
                           i -> CAST(FLOOR((qb.v[i] * cb.v[i]) * 1000000000000.0 + 0.5) AS BIGINT))) AS DOUBLE)
@@ -2330,7 +2337,7 @@ object Embeddings {
                  FROM corp q JOIN corp c ON q.cell = c.cell AND q.cid < c.cid
                  JOIN base qb ON q.cid = qb.vec_id
                  JOIN base cb ON c.cid = cb.vec_id),
-        dropped AS MATERIALIZED (SELECT DISTINCT p.cid AS vec_id
+        dropped AS (SELECT DISTINCT p.cid AS vec_id
                  FROM pairs p JOIN n2 a ON p.qid = a.vec_id JOIN n2 b ON p.cid = b.vec_id
                  WHERE p.dot / (a.nrm * b.nrm) >= 0.45)
         SELECT g.cid AS vec_id, g.cell FROM corp g

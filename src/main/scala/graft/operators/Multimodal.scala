@@ -212,8 +212,17 @@ object Multimodal {
       graft.CacheRegistry.entries.contains("media.pairs"))
       return memo._4
     val pairsPath = ensureMediaIndex(s, dir, maxBandBucket = maxBandBucket)
+    // re-spread the read before caching: the persisted pair table is
+    // many small files (32.5M rows / 112 MB at 30×) that the scan packs
+    // into 2-3 input partitions, and a cache built at parallelism 3
+    // starves every downstream pass (m06's CC loop measured 32 s vs 14
+    // on a 32-partition frame — the whole serve-path win gone). One
+    // round-robin exchange at cold-serve buys full parallelism for the
+    // retained frame; order is irrelevant (consumers re-sort or
+    // aggregate).
     val out = graft.CacheRegistry.retain("media.pairs",
-      s.read.parquet(pairsPath).select(col("doc_a"), col("doc_b"), col("hamming")))
+      s.read.parquet(pairsPath).select(col("doc_a"), col("doc_b"), col("hamming"))
+        .repartition(s.sparkContext.defaultParallelism))
     phashPairsMemo.set((dir, s, maxBandBucket, out))
     out
   }
