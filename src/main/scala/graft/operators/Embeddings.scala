@@ -2320,26 +2320,27 @@ object Embeddings {
       // within-cell pairs score via a per-pair list fold (identical
       // FLOOR-per-term fixed-point arithmetic, just not routed through
       // an unnest × dims GROUP BY — the unnest form built pairs×64 rows
-      // and priced this oracle out of the sf1 sweep). pairs/dropped are
-      // deliberately NOT materialized: each is referenced exactly once
-      // (the re-inline hazard needs 2+ references), and the 30× corpus
-      // makes the within-cell pair stream ~200M rows — the r11-era
-      // MATERIALIZED hint forced DuckDB to STORE that stream (>100 GB
-      // RSS + 35 GB spill, OOM-killed in the first sf3 sweep) where the
-      // plain CTE pipelines it straight into the DISTINCT hash set
-      // (vector-count-bounded) and completes in minutes.
+      // and priced this oracle out of the sf1 sweep). Join SHAPE is the
+      // 30×-survival property: the corpus is enriched with its vector
+      // and norm FIRST (`en`, vector-count-sized, MATERIALIZED because
+      // it is referenced twice), then ONE self-join expands the
+      // within-cell pair stream (~200M rows at 30×) straight into the
+      // DISTINCT hash set — nothing joins AFTER the expansion, so no
+      // operator ever builds on the big stream. The r11 form
+      // materialized the pair CTE and joined norms onto it post-hoc:
+      // >100 GB RSS + 35 GB spill, OOM-killed/timed-out in the first
+      // sf3 sweep; this form holds bounded memory at any scale factor.
       Some(KMeansOracleProlog + """,
-        pairs AS (
-                 SELECT q.cid AS qid, c.cid AS cid,
-                        CAST(list_sum(list_transform(range(1, len(qb.v) + 1),
-                          i -> CAST(FLOOR((qb.v[i] * cb.v[i]) * 1000000000000.0 + 0.5) AS BIGINT))) AS DOUBLE)
-                          / 1000000000000.0 AS dot
-                 FROM corp q JOIN corp c ON q.cell = c.cell AND q.cid < c.cid
-                 JOIN base qb ON q.cid = qb.vec_id
-                 JOIN base cb ON c.cid = cb.vec_id),
-        dropped AS (SELECT DISTINCT p.cid AS vec_id
-                 FROM pairs p JOIN n2 a ON p.qid = a.vec_id JOIN n2 b ON p.cid = b.vec_id
-                 WHERE p.dot / (a.nrm * b.nrm) >= 0.45)
+        en AS MATERIALIZED (
+                 SELECT g.cid, g.cell, b.v, n.nrm
+                 FROM corp g JOIN base b ON g.cid = b.vec_id
+                 JOIN n2 n ON g.cid = n.vec_id),
+        dropped AS (
+                 SELECT DISTINCT c.cid AS vec_id
+                 FROM en q JOIN en c ON q.cell = c.cell AND q.cid < c.cid
+                 WHERE (CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                          i -> CAST(FLOOR((q.v[i] * c.v[i]) * 1000000000000.0 + 0.5) AS BIGINT))) AS DOUBLE)
+                          / 1000000000000.0) / (q.nrm * c.nrm) >= 0.45)
         SELECT g.cid AS vec_id, g.cell FROM corp g
         LEFT JOIN dropped d ON g.cid = d.vec_id
         WHERE d.vec_id IS NULL ORDER BY vec_id""")),

@@ -27,6 +27,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Bound DuckDB's footprint so a heavy oracle spills to its temp dir
+    # instead of racing the host OOM killer (the first sf3 sweep lost
+    # d07 to a silent kill at >100 GB RSS; with a limit the same query
+    # either finishes or fails with a diagnosable OOM error). 48 GB
+    # leaves headroom for a concurrently-running Spark JVM on the
+    # 128 GB host. Override via GRAFT_DUCKDB_MEM.
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.isdir(p):  # Spark directory-parquet (ScaleUp output)
