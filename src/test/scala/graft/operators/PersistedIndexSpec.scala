@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the build-once/fingerprint-skip contract of the r12 persisted
+  * near-dup pair indexes (`ensureSimhashIndex` / `ensureMediaIndex`):
+  * a second ensure over an unchanged corpus must NOT rewrite the
+  * artifact (cross-JVM serve is a freshness scan + read), `force`
+  * must always rebuild (the d00/m00 named-builder contract), and a
+  * corpus edit must invalidate the fingerprint and rebuild. Observed
+  * through the artifact files' mtimes — the same signal a cluster
+  * operator would audit. */
+class PersistedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(dir: String, extra: Seq[(Long, String)] = Nil): Unit = {
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "totally different words nine ten eleven twelve"))
+    (base ++ extra).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  private def maxMtime(loc: String): Long = {
+    val p = new java.io.File(new java.net.URI(loc).getPath)
+    def walk(f: java.io.File): Seq[Long] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f.lastModified())
+    walk(p).max
+  }
+
+  test("ensureSimhashIndex: build once, skip when fresh, force & corpus-change rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("simidx").toString
+    corpus(dir)
+    graft.CacheRegistry.unpersistAll()
+    val loc = Documents.ensureSimhashIndex(spark, dir)
+    val built = maxMtime(loc)
+    // unchanged corpus: the second ensure is a freshness probe, not a build
+    Thread.sleep(1100) // mtime granularity
+    assert(Documents.ensureSimhashIndex(spark, dir) == loc)
+    assert(maxMtime(loc) == built, "fresh index must not be rewritten")
+    // force: the named-builder path always rebuilds
+    Documents.ensureSimhashIndex(spark, dir, force = true)
+    val forced = maxMtime(loc)
+    assert(forced > built, "force=true must rewrite the artifact")
+    // corpus change: fingerprint mismatch triggers a rebuild
+    Thread.sleep(1100)
+    corpus(dir, extra = Seq((9L, "a brand new document arrives here now")))
+    Documents.ensureSimhashIndex(spark, dir)
+    assert(maxMtime(loc) > forced, "changed corpus must rebuild")
+    graft.CacheRegistry.unpersistAll()
+  }
+
+  test("ensureMediaIndex: fingerprint-skip honors the band-bucket gate parameter") {
+    val dir = java.nio.file.Files.createTempDirectory("mediaidx").toString
+    corpus(dir)
+    graft.CacheRegistry.unpersistAll()
+    val loc = Multimodal.ensureMediaIndex(spark, dir)
+    val built = maxMtime(loc)
+    Thread.sleep(1100)
+    assert(Multimodal.ensureMediaIndex(spark, dir) == loc)
+    assert(maxMtime(loc) == built, "fresh index must not be rewritten")
+    // a DIFFERENT gate bound is a different build contract — the meta
+    // fingerprint includes it, so the ensure rebuilds rather than
+    // serving an artifact whose build was gated differently
+    Multimodal.ensureMediaIndex(spark, dir, maxBandBucket = 1L << 20)
+    assert(maxMtime(loc) > built, "gate change must rebuild")
+    graft.CacheRegistry.unpersistAll()
+  }
+
+  test("d04 serve equals the in-query compute it replaced (index round-trip)") {
+    val dir = java.nio.file.Files.createTempDirectory("simrt").toString
+    corpus(dir)
+    graft.CacheRegistry.unpersistAll()
+    // doc 9 duplicates doc 0's text exactly: identical shingle sets give
+    // identical simhashes, so (0, 9, hamming 0) is a GUARANTEED pair
+    // (near-identical texts are only probabilistically close under
+    // SimHash — an exact dup is the deterministic fixture)
+    corpus(dir, extra = Seq((9L, "alpha beta gamma delta epsilon zeta eta theta")))
+    graft.CacheRegistry.unpersistAll()
+    val served = graft.SparkEntry.queries("d04_simhash_neardup")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(served.forall { case (a, b, h) => a < b && h <= 6 })
+    assert(served.contains((0L, 9L, 0L)))
+    assert(!served.exists { case (a, b, _) => a >= 2L && b != 9L },
+      "disjoint-vocabulary docs must not pair")
+    graft.CacheRegistry.unpersistAll()
+  }
+}
