@@ -65,6 +65,18 @@ object CacheRegistry {
   /** Names currently tracked (test/introspection hook). */
   def entries: Seq[String] = synchronized(retained.map(_._1).toSeq)
 
+  /** Evict the named entry (no-op when absent): the supersede path for
+    * callers that KNOW the cached rows are stale even though the plan
+    * text still matches — e.g. a persisted index rebuilt IN PLACE under
+    * the same path, where a later `retain` of the same read would
+    * plan-match the pre-rebuild cache and serve old rows (the
+    * phashPairs staleness class). */
+  def release(name: String): Unit = synchronized {
+    retained.filterInPlace { case (n, d) =>
+      if (n == name) { scala.util.Try(d.unpersist(false)); false } else true
+    }
+  }
+
   def unpersistAll(blocking: Boolean = false): Unit = synchronized {
     // a retained frame may belong to an already-stopped session (tests,
     // engine shutdown ordering) — dropping the registration is the goal,

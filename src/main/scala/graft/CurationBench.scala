@@ -47,24 +47,26 @@ object CurationBench {
           .groupBy(col("split")).count().collect().map(_.getLong(1)).sum
       }
       println(f"[curation] rep$rep e2e ${tE2e}%.2f s ($nOut docs out)")
-      // stage ladder on a fresh registry: each step materializes its own
-      // prefix output once, so the sum is the all-prefixes upper bound
-      CacheRegistry.unpersistAll(blocking = true)
+      // stage ladder: each step runs on a FRESH registry so it measures
+      // the true cold cost of its whole prefix — without the per-stage
+      // reset, later stages hit plan-matched caches retained by earlier
+      // ones and Σ stages understates the all-prefixes bound the e2e
+      // number is checked against
       val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-      val (t1, _) = timed(Curation.scrub(docs).count())
-      stages += ("scrub" -> t1)
+      def stage(name: String)(f: => Long): Unit = {
+        CacheRegistry.unpersistAll(blocking = true)
+        val (t, _) = timed(f)
+        stages += (name -> t)
+      }
       val cleaned = Curation.cutSpans(Curation.scrub(docs), 8)
         .drop("n_span_tokens_removed")
-      val (t2, _) = timed(cleaned.count())
-      stages += ("cutSpans" -> t2)
-      val (t3, _) = timed(Curation.curate(cleaned).count())
-      stages += ("curate(lexical)" -> t3)
-      val (t4, _) = timed(Curation.curateSemantic(cleaned, vecs).count())
-      stages += ("curateSemantic" -> t4)
-      val (t5, _) = timed(
+      stage("scrub")(Curation.scrub(docs).count())
+      stage("cutSpans")(cleaned.count())
+      stage("curate(lexical)")(Curation.curate(cleaned).count())
+      stage("curateSemantic")(Curation.curateSemantic(cleaned, vecs).count())
+      stage("splitsLeakageSafe")(
         graft.pipeline.Splits.assignLeakageSafe(
           Curation.curateSemantic(cleaned, vecs).drop("split"), 0.3, 100L).count())
-      stages += ("splitsLeakageSafe" -> t5)
       println(stages.map { case (k, v) => f"$k=${v}%.2f" }
         .mkString(f"[curation] rep$rep stages (cumulative-prefix costs): ", " ", ""))
       lastE2e = tE2e

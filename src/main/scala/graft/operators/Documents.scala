@@ -690,27 +690,14 @@ object Documents {
     * family: verified pairs in `graft_index.simhash_<dir>_pairs`, a
     * corpus fingerprint in `_meta` (invalidated first, rewritten last),
     * freshness decided from the warehouse LOCATION so the skip works
-    * across JVMs. `force` is the d00 named-builder path. */
+    * across JVMs — the shared [[graft.plans.PersistedIndex]] protocol,
+    * including its single-writer contract. `force` is the d00
+    * named-builder path. */
   def ensureSimhashIndex(s: SparkSession, dir: String, force: Boolean = false): String = {
-    import s.implicits._
-    val table = "simhash_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
-    def loc(suffix: String): String =
-      graft.plans.CoLocated.tableLocation(s, "graft_index", table + suffix).toString
     val (n, fp) = graft.QueryHelpers.docsFingerprint(tbl(s, dir, "documents"))
-    val fresh = !force && (try {
-      val meta = s.read.parquet(loc("_meta")).select($"n", $"fp").as[(Long, Long)].head()
-      val fs = new org.apache.hadoop.fs.Path(loc("_meta"))
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      meta == ((n, fp)) && fs.exists(new org.apache.hadoop.fs.Path(loc("_pairs")))
-    } catch { case _: Exception => false })
-    if (!fresh) {
-      graft.plans.CoLocated.clearTable(s, "graft_index", s"${table}_meta")
-      graft.plans.CoLocated.replaceTable(
-        simhashPairsCompute(s, dir), "graft_index", s"${table}_pairs")
-      graft.plans.CoLocated.replaceTable(
-        Seq((n, fp)).toDF("n", "fp"), "graft_index", s"${table}_meta")
-    }
-    loc("_pairs")
+    graft.plans.PersistedIndex.ensure(s,
+      "simhash_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_"),
+      Seq("n" -> n, "fp" -> fp), force)(simhashPairsCompute(s, dir))
   }
 
   val entries: Seq[QueryDef] = Seq(

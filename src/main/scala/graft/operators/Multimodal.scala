@@ -193,25 +193,34 @@ object Multimodal {
     * bound is a skew/wall-clock guard, not a memory one). */
   val MaxBandBucket: Long = 1L << 16
 
-  private val phashPairsMemo =
-    new java.util.concurrent.atomic.AtomicReference[(String, SparkSession, Long, DataFrame)]()
+  private val phashPairsMemo = new java.util.concurrent.atomic.AtomicReference[
+    (String, SparkSession, Long, (Long, Long), DataFrame)]()
 
-  /** Serve-path entry for the verified media pair set: freshness-check
-    * the persisted index (one fingerprint scan), build it only when the
-    * corpus changed, and hand consumers the SAME retained frame (m06's
-    * CC memo keys on object identity). The expensive
-    * decode→collapse→hash→banded-verify build lives in
-    * [[phashPairsCompute]] and its cost in the m00 builder row — the
-    * [[Embeddings.buildPqIndex]] "train rarely, serve from artifacts"
-    * split applied to the media family. */
+  /** Serve-path entry for the verified media pair set: fingerprint the
+    * corpus (one map-side scan, every call — staleness is decided by
+    * CONTENT, never by call history), freshness-check the persisted
+    * index, build it only when the corpus changed, and hand consumers
+    * the SAME retained frame while the fingerprint holds (m06's CC memo
+    * keys on object identity; a changed corpus yields a new frame, so
+    * the CC recomputes). The expensive decode→collapse→hash→banded-
+    * verify build lives in [[phashPairsCompute]] and its cost in the
+    * m00 builder row — the [[Embeddings.buildPqIndex]] "train rarely,
+    * serve from artifacts" split applied to the media family. */
   private[operators] def phashPairs(s: SparkSession, dir: String,
       maxBandBucket: Long = MaxBandBucket): DataFrame = {
+    val nfp = graft.QueryHelpers.docsFingerprint(tbl(s, dir, "documents"))
     val memo = phashPairsMemo.get()
     if (memo != null && memo._1 == dir && (memo._2 eq s) &&
-      memo._3 == maxBandBucket && !s.sparkContext.isStopped &&
+      memo._3 == maxBandBucket && memo._4 == nfp && !s.sparkContext.isStopped &&
       graft.CacheRegistry.entries.contains("media.pairs"))
-      return memo._4
-    val pairsPath = ensureMediaIndex(s, dir, maxBandBucket = maxBandBucket)
+      return memo._5
+    val pairsPath = ensureMediaIndexFp(s, dir, force = false, maxBandBucket, nfp)
+    // the artifact path (and so the read PLAN) is identical across
+    // rebuilds of the same dir, so a registry entry cached before a
+    // rebuild would plan-match and serve the PRE-rebuild rows — release
+    // the name first; the no-op case (entry absent or already-current)
+    // costs nothing
+    graft.CacheRegistry.release("media.pairs")
     // re-spread the read before caching: the persisted pair table is
     // many small files (32.5M rows / 112 MB at 30×) that the scan packs
     // into 2-3 input partitions, and a cache built at parallelism 3
@@ -223,44 +232,30 @@ object Multimodal {
     val out = graft.CacheRegistry.retain("media.pairs",
       s.read.parquet(pairsPath).select(col("doc_a"), col("doc_b"), col("hamming"))
         .repartition(s.sparkContext.defaultParallelism))
-    phashPairsMemo.set((dir, s, maxBandBucket, out))
+    phashPairsMemo.set((dir, s, maxBandBucket, nfp, out))
     out
   }
 
-  /** Build-once persisted media near-dup index: the verified pair set
-    * lands in `graft_index.media_<dir>_pairs` keyed by a `_meta`
-    * fingerprint of the documents corpus (+ the band-bucket gate it was
-    * built under), so a serve in ANY later JVM skips the full build
-    * after one map-side freshness scan. meta is invalidated FIRST and
-    * rewritten LAST — a crash mid-build leaves only a stale-fingerprint
-    * state the next build repairs. `force` is the named-builder path
-    * (m00): always rebuild, so the bench attributes the build cost to
-    * its own row instead of whichever serve query runs first. */
+  /** Build-once persisted media near-dup index — the shared
+    * [[graft.plans.PersistedIndex]] protocol with the freshness tuple
+    * (corpus fingerprint + the band-bucket gate the build ran under: a
+    * different gate bound is a different build contract, so it rebuilds
+    * rather than serving an artifact gated differently). `force` is the
+    * named-builder path (m00): always rebuild, so the bench attributes
+    * the build cost to its own row instead of whichever serve query
+    * runs first. Single-writer contract: see [[graft.plans
+    * .PersistedIndex]]. */
   def ensureMediaIndex(s: SparkSession, dir: String, force: Boolean = false,
-      maxBandBucket: Long = MaxBandBucket): String = {
-    import s.implicits._
-    val table = "media_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
-    def loc(suffix: String): String =
-      graft.plans.CoLocated.tableLocation(s, "graft_index", table + suffix).toString
-    val (n, fp) = graft.QueryHelpers.docsFingerprint(tbl(s, dir, "documents"))
-    val fresh = !force && (try {
-      val meta = s.read.parquet(loc("_meta"))
-        .select($"n", $"fp", $"gate").as[(Long, Long, Long)].head()
-      val fs = new org.apache.hadoop.fs.Path(loc("_meta"))
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      meta == ((n, fp, maxBandBucket)) &&
-        fs.exists(new org.apache.hadoop.fs.Path(loc("_pairs")))
-    } catch { case _: Exception => false })
-    if (!fresh) {
-      graft.plans.CoLocated.clearTable(s, "graft_index", s"${table}_meta")
-      graft.plans.CoLocated.replaceTable(
-        phashPairsCompute(s, dir, maxBandBucket), "graft_index", s"${table}_pairs")
-      graft.plans.CoLocated.replaceTable(
-        Seq((n, fp, maxBandBucket)).toDF("n", "fp", "gate"),
-        "graft_index", s"${table}_meta")
-    }
-    loc("_pairs")
-  }
+      maxBandBucket: Long = MaxBandBucket): String =
+    ensureMediaIndexFp(s, dir, force, maxBandBucket,
+      graft.QueryHelpers.docsFingerprint(tbl(s, dir, "documents")))
+
+  private def ensureMediaIndexFp(s: SparkSession, dir: String, force: Boolean,
+      maxBandBucket: Long, nfp: (Long, Long)): String =
+    graft.plans.PersistedIndex.ensure(s,
+      "media_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_"),
+      Seq("n" -> nfp._1, "fp" -> nfp._2, "gate" -> maxBandBucket),
+      force)(phashPairsCompute(s, dir, maxBandBucket))
 
   private def phashPairsCompute(s: SparkSession, dir: String,
       maxBandBucket: Long): DataFrame = {

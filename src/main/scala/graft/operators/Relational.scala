@@ -693,11 +693,14 @@ object Relational {
         // wide-to-long melt via Spark's native unpivot (SQL UNPIVOT /
         // pandas melt): four measure columns become (measure, value)
         // pairs, then a per-measure fingerprint aggregate. The oracle
-        // spells the same relation as a UNION ALL (the canonical
-        // unpivot desugaring), so the gate checks the reshape itself —
-        // row multiplication, measure labels, null handling — not just
-        // the sums. unpivot is a NARROW map-side generator (each input
-        // row emits its 4 pairs in place). The distinct-order count is
+        // spells the same relation as a UNION ALL over the RAW 18M-row
+        // melt (the canonical unpivot desugaring), so the cross-engine
+        // gate covers the measure labels and the aggregate totals; the
+        // Spark side exercises native unpivot on per-order partials
+        // (4 non-null BIGINT sums per order), so raw-stream null
+        // handling is the oracle's desugaring, not Spark's generator.
+        // unpivot is a NARROW map-side generator (each input row emits
+        // its 4 pairs in place). The distinct-order count is
         // computed as a two-level aggregate — per-orderkey partials,
         // then measure — instead of countDistinct: the single-distinct
         // plan Expands the quadrupled stream AGAIN (8 projections/row,

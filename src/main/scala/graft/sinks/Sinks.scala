@@ -38,8 +38,26 @@ final class WarehouseSink(database: String = WarehouseSink.DefaultDatabase) exte
     WarehouseSink.requireIdent(req.destination, "destination table")
     val spark = req.df.sparkSession
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    // Cross-process durability: warehouse FILES outlive the in-memory
+    // catalog, so a fresh JVM can meet a table directory it has no
+    // entry for (the daemon's restart path; caught by the scripted
+    // packaged-jar smoke on its second run — saveAsTable throws
+    // LOCATION_ALREADY_EXISTS). BigQuery parity demands both modes keep
+    // working across scheduler restarts (`bigquery.py:38-46`): a full
+    // replace clears the orphan (it is about to be overwritten anyway —
+    // CoLocated's r4 discipline), an append RE-ADOPTS it by registering
+    // the surviving location so new rows continue the table.
+    val loc = graft.plans.CoLocated.tableLocation(spark, database, req.destination)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ident = s"`$database`.`${req.destination}`"
+    if (!req.incremental) {
+      if (!spark.catalog.tableExists(s"$database.${req.destination}") && fs.exists(loc))
+        graft.plans.CoLocated.clearTable(spark, database, req.destination)
+    } else if (!spark.catalog.tableExists(s"$database.${req.destination}") && fs.exists(loc)) {
+      spark.sql(s"CREATE TABLE $ident USING parquet LOCATION '${loc.toString}'")
+    }
     val mode = if (req.incremental) SaveMode.Append else SaveMode.Overwrite
-    req.df.write.mode(mode).format("parquet").saveAsTable(s"`$database`.`${req.destination}`")
+    req.df.write.mode(mode).format("parquet").saveAsTable(ident)
     s"$database.${req.destination}"
   }
 }

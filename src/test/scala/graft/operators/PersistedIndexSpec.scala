@@ -70,6 +70,31 @@ class PersistedIndexSpec extends SparkSpec {
     graft.CacheRegistry.unpersistAll()
   }
 
+  test("phashPairs serves fresh pairs after an in-session corpus change") {
+    // payloads agreeing on the FIRST 64 bytes hash identically (the 8×8
+    // resize truncates there) while differing tails defeat the exact-
+    // payload collapse — a deterministic hamming-0 pair; prefix B's
+    // second half inverts A's alternation, so A-vs-B hamming is 32 ≫ 6
+    val pA = "ab" * 32
+    val pB = "ab" * 16 + "ba" * 16
+    val dir = java.nio.file.Files.createTempDirectory("phashfresh").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.CacheRegistry.unpersistAll()
+    write(Seq((0L, pA + "t0"), (1L, pA + "t1"), (2L, pB + "x")))
+    def pairs(): Set[(Long, Long)] =
+      graft.SparkEntry.queries("m05_phash_neardup")(spark, dir)
+        .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs() == Set((0L, 1L)))
+    // rewrite the corpus IN PLACE in the same session: doc 1 now shares
+    // prefix B — the serve must re-fingerprint, rebuild, and release the
+    // registry entry rather than returning the memoized/cached old rows
+    write(Seq((0L, pA + "t0"), (1L, pB + "t1"), (2L, pB + "x")))
+    assert(pairs() == Set((1L, 2L)), "in-session corpus change must invalidate the serve")
+    graft.CacheRegistry.unpersistAll()
+  }
+
   test("d04 serve equals the in-query compute it replaced (index round-trip)") {
     val dir = java.nio.file.Files.createTempDirectory("simrt").toString
     corpus(dir)
@@ -84,7 +109,10 @@ class PersistedIndexSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(served.forall { case (a, b, h) => a < b && h <= 6 })
     assert(served.contains((0L, 9L, 0L)))
-    assert(!served.exists { case (a, b, _) => a >= 2L && b != 9L },
+    // docs 2 and 3 share no vocabulary with anything: NO pair may touch
+    // them at all (an any-sided guard, not just the (2,3) pairing)
+    assert(served.forall { case (a, b, _) =>
+      Set(a, b).subsetOf(Set(0L, 1L, 9L)) },
       "disjoint-vocabulary docs must not pair")
     graft.CacheRegistry.unpersistAll()
   }

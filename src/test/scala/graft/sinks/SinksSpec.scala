@@ -26,6 +26,46 @@ class SinksSpec extends SparkSpec {
     assert(spark.table("g_sheets_test.t1").count() == 2)
   }
 
+  test("warehouse sink survives an orphaned table location (cross-JVM restart parity)") {
+    // A previous PROCESS leaves the managed table directory behind while
+    // this JVM's in-memory catalog has no entry for it — the daemon's
+    // restart path, first caught live by tools/smoke_jar_deploy.sh's
+    // second run (saveAsTable: LOCATION_ALREADY_EXISTS). Simulate the
+    // orphan by writing parquet at the managed location directly.
+    val sink = new WarehouseSink("g_sheets_orph")
+    val loc = graft.plans.CoLocated.tableLocation(spark, "g_sheets_orph", "t_orph")
+    Seq((1, "old"), (2, "older")).toDF("id", "v")
+      .write.mode("overwrite").parquet(loc.toString)
+    assert(!spark.catalog.tableExists("g_sheets_orph.t_orph"))
+    // full replace clears the orphan and lands the new shape
+    sink.load(LoadRequest(Seq((5, "new")).toDF("id", "v"), "t_orph", incremental = false))
+    assert(spark.table("g_sheets_orph.t_orph").as[(Int, String)].collect().toSet ==
+      Set((5, "new")))
+    // now orphan it AGAIN and append: the sink must re-adopt the
+    // surviving rows, not fail and not clobber them (BigQuery parity:
+    // appends continue the table across scheduler restarts). Dropping a
+    // MANAGED table deletes its files, so stash a copy and restore it —
+    // files-present-catalog-empty is exactly the restart state.
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(from).iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val locPath = java.nio.file.Paths.get(new java.net.URI(loc.toString).getPath)
+    val stash = Files.createTempDirectory("orphstash")
+    copyTree(locPath, stash)
+    spark.sql("DROP TABLE `g_sheets_orph`.`t_orph`")
+    assert(!spark.catalog.tableExists("g_sheets_orph.t_orph"))
+    copyTree(stash, locPath)
+    sink.load(LoadRequest(Seq((6, "appended")).toDF("id", "v"), "t_orph", incremental = true))
+    assert(spark.table("g_sheets_orph.t_orph").as[(Int, String)].collect().toSet ==
+      Set((5, "new"), (6, "appended")))
+  }
+
   test("warehouse sink rejects non-identifier destinations (injection guard)") {
     val sink = new WarehouseSink("g_sheets_test")
     val df = Seq((1, "a")).toDF("id", "v")
