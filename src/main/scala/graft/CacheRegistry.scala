@@ -53,9 +53,7 @@ object CacheRegistry {
         // match across calls, so without eviction every call would pin a
         // NEW full cached copy under the same name until unpersistAll —
         // the registry's contract is one live entry per name
-        retained.filterInPlace { case (n, d) =>
-          if (n == name) { scala.util.Try(d.unpersist(false)); false } else true
-        }
+        release(name)
         df.cache()
         retained += ((name, df))
         df

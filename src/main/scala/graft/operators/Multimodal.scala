@@ -218,8 +218,14 @@ object Multimodal {
     // the artifact path (and so the read PLAN) is identical across
     // rebuilds of the same dir, so a registry entry cached before a
     // rebuild would plan-match and serve the PRE-rebuild rows — release
-    // the name first; the no-op case (entry absent or already-current)
-    // costs nothing
+    // the name first. The release must be UNCONDITIONAL on this cold
+    // path (not gated on "ensure rebuilt just now"): m00 force-rebuilds
+    // the artifact out-of-band, so a skip-because-fresh here proves
+    // nothing about when the cached frame's rows were read. The cost is
+    // one redundant re-cache in rare multi-session/alternating-dir
+    // sequences the memo cannot hold; the supersede path inside retain
+    // would evict those cross-dir entries anyway (one live entry per
+    // name).
     graft.CacheRegistry.release("media.pairs")
     // re-spread the read before caching: the persisted pair table is
     // many small files (32.5M rows / 112 MB at 30×) that the scan packs

@@ -37,7 +37,6 @@ final class WarehouseSink(database: String = WarehouseSink.DefaultDatabase) exte
     WarehouseSink.requireIdent(database, "database")
     WarehouseSink.requireIdent(req.destination, "destination table")
     val spark = req.df.sparkSession
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
     // Cross-process durability: warehouse FILES outlive the in-memory
     // catalog, so a fresh JVM can meet a table directory it has no
     // entry for (the daemon's restart path; caught by the scripted
@@ -50,11 +49,27 @@ final class WarehouseSink(database: String = WarehouseSink.DefaultDatabase) exte
     val loc = graft.plans.CoLocated.tableLocation(spark, database, req.destination)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ident = s"`$database`.`${req.destination}`"
+    // tableExists must see the BACKTICKED name: requireIdent allows
+    // digit-only destinations ('2024'), which the multipart-identifier
+    // parser lexes as an integer literal unless quoted
+    val exists = spark.catalog.tableExists(ident)
+    val orphan = !exists && fs.exists(loc)
     if (!req.incremental) {
-      if (!spark.catalog.tableExists(s"$database.${req.destination}") && fs.exists(loc))
+      // clear both restart shapes: the bare orphan (files, no entry) and
+      // a table a previous APPEND re-adopted (external entry at the
+      // managed location — Overwrite would drop it without its files,
+      // then recreate managed on the non-empty directory and throw)
+      if (orphan || (exists &&
+          WarehouseSink.isAdoptedExternal(spark, database, req.destination, loc)))
         graft.plans.CoLocated.clearTable(spark, database, req.destination)
-    } else if (!spark.catalog.tableExists(s"$database.${req.destination}") && fs.exists(loc)) {
-      spark.sql(s"CREATE TABLE $ident USING parquet LOCATION '${loc.toString}'")
+    } else if (orphan) {
+      // re-adopt with the INCOMING schema spelled out: inference would
+      // fail forever on a directory holding only _temporary/_SUCCESS
+      // leftovers of a crashed write (underscore-prefixed entries are
+      // invisible to inference and scans alike, so an empty adoption is
+      // still a valid continuation point)
+      spark.sql(s"CREATE TABLE $ident (${req.df.schema.toDDL}) " +
+        s"USING parquet LOCATION '${loc.toString}'")
     }
     val mode = if (req.incremental) SaveMode.Append else SaveMode.Overwrite
     req.df.write.mode(mode).format("parquet").saveAsTable(ident)
@@ -71,6 +86,21 @@ object WarehouseSink {
     if (!Ident.matches(s))
       throw new IllegalArgumentException(
         s"invalid $what '$s': only letters, digits and _ are allowed")
+
+  /** True iff `database.table` is an EXTERNAL entry whose location is the
+    * database's own managed slot for that name — i.e. a table the
+    * incremental branch re-adopted after a restart, not a user-registered
+    * foreign table (those keep Spark's stock Overwrite semantics: entry
+    * replaced, foreign files untouched). */
+  private[sinks] def isAdoptedExternal(spark: org.apache.spark.sql.SparkSession,
+      database: String, table: String, managedLoc: org.apache.hadoop.fs.Path): Boolean = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(database)))
+    val fs = managedLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL &&
+      fs.makeQualified(new org.apache.hadoop.fs.Path(meta.location)) ==
+        fs.makeQualified(managedLoc)
+  }
 }
 
 /** K1: CSV sink with all-cells-quoted output. The reference writes

@@ -64,6 +64,42 @@ class SinksSpec extends SparkSpec {
     sink.load(LoadRequest(Seq((6, "appended")).toDF("id", "v"), "t_orph", incremental = true))
     assert(spark.table("g_sheets_orph.t_orph").as[(Int, String)].collect().toSet ==
       Set((5, "new"), (6, "appended")))
+    // the re-adopted entry is EXTERNAL at the managed location; a later
+    // full replace must clear it rather than letting Overwrite drop the
+    // entry (files survive an external drop) and then throw
+    // LOCATION_ALREADY_EXISTS recreating a managed table on the
+    // non-empty directory — the replace-after-restart-append cycle
+    sink.load(LoadRequest(Seq((7, "replaced")).toDF("id", "v"), "t_orph", incremental = false))
+    assert(spark.table("g_sheets_orph.t_orph").as[(Int, String)].collect().toSet ==
+      Set((7, "replaced")))
+    // and the replacement is a normal managed table again: append works
+    sink.load(LoadRequest(Seq((8, "more")).toDF("id", "v"), "t_orph", incremental = true))
+    assert(spark.table("g_sheets_orph.t_orph").count() == 2)
+  }
+
+  test("warehouse sink re-adopts an orphan holding only crash leftovers (no readable footers)") {
+    // a previous JVM died mid-write leaving _temporary/_SUCCESS junk (or
+    // nothing at all) at the managed location: schema inference has no
+    // footer to read, so adoption must carry the INCOMING frame's schema
+    val sink = new WarehouseSink("g_sheets_junk")
+    val loc = graft.plans.CoLocated.tableLocation(spark, "g_sheets_junk", "t_junk")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(loc, "_temporary/0"))
+    fs.create(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")).close()
+    assert(!spark.catalog.tableExists("g_sheets_junk.t_junk"))
+    sink.load(LoadRequest(Seq((1, "a")).toDF("id", "v"), "t_junk", incremental = true))
+    assert(spark.table("g_sheets_junk.t_junk").as[(Int, String)].collect().toSet ==
+      Set((1, "a")))
+  }
+
+  test("warehouse sink accepts digit-only destinations (requireIdent permits them)") {
+    // '2024' lexes as an integer literal in an unquoted multipart
+    // identifier — every catalog probe must use the backticked form
+    val sink = new WarehouseSink("g_sheets_test")
+    val r = sink.load(LoadRequest(Seq((1, "a")).toDF("id", "v"), "2024", incremental = false))
+    assert(r == "g_sheets_test.2024")
+    sink.load(LoadRequest(Seq((2, "b")).toDF("id", "v"), "2024", incremental = true))
+    assert(spark.table("g_sheets_test.`2024`").count() == 2)
   }
 
   test("warehouse sink rejects non-identifier destinations (injection guard)") {
