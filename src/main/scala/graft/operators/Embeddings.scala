@@ -534,6 +534,70 @@ object Embeddings {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** p09: cluster-balanced corpus sampling — the topic-balance
+    * downsampling step a pretraining mix runs after dedup: train
+    * [[kMeansModel]]'s deterministic cells on the embeddings, then keep
+    * AT MOST a fixed per-cell cap of `ceil((n/keepDiv)/cells)` vectors
+    * per cell, so over-represented topics are cut to the cap while rare
+    * cells survive whole (the same motivation as cluster-proportional
+    * mixing in data-curation pipelines; composes with p03's
+    * quality-weighted mix, which balances SOURCES, not semantics).
+    * Membership within a cell is p05's Knuth multiplicative-hash rank
+    * (pure function of vec_id — re-runs over the same corpus reproduce
+    * the sample exactly; a Bernoulli sample guarantees neither the
+    * per-cell count nor replayability).
+    *
+    * Scale shape: assignment is ONE broadcast-argmax map pass (model is
+    * `cells` rows — no shuffle); the cell population and the rank share
+    * ONE exchange keyed by `cell` (two Window ops over the same
+    * partitioning reuse the exchange). Cells are model-bounded (`cells`
+    * partitions), so for corpora where single cells exceed a partition
+    * sort, p01's hash-shard + offset two-phase rank is the documented
+    * path — same note as p05's strata. Cap arithmetic is pure integer
+    * ((n DIV keepDiv + cells − 1) DIV cells) so the DuckDB oracle
+    * derives the IDENTICAL cap from its own COUNT(*). */
+  def clusterBalancedSample(vectors: DataFrame, cells: Int = 8, iters: Int = 3,
+      keepDiv: Long = 2L): DataFrame = {
+    require(keepDiv > 0, s"keepDiv must be positive, got $keepDiv")
+    val session = vectors.sparkSession
+    import session.implicits._
+    val model = kMeansModel(vectors, cells, iters)
+    if (model.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)].toDF("cell", "vec_id", "rk", "n_c")
+    val bc = session.sparkContext.broadcast(model)
+    val base = vectors.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
+    // same argmax arithmetic and tie order as the trainer's assignment
+    // step — the cells equal v09's `corp` CTE (semanticDedup's contract)
+    val assigned = base.mapPartitions { rows =>
+      val cs = bc.value
+      rows.map { case (id, v) =>
+        val nrm = fpNorm(v)
+        var bestCell = Long.MinValue; var bestC = Double.NegativeInfinity; var any = false
+        var ci = 0
+        while (ci < cs.length) {
+          val c = fpCos(v, cs(ci)._2, nrm, cs(ci)._3)
+          if (!any || sqlGt(c, bestC)) { bestC = c; bestCell = cs(ci)._1; any = true }
+          ci += 1
+        }
+        (id, bestCell)
+      }
+    }.toDF("vec_id", "cell")
+    // trainer already scanned the corpus; this count reuses the cached
+    // relation metadata and keeps the cap a plain literal in the plan
+    val nTotal = base.count()
+    val cap = ((nTotal / keepDiv) + cells - 1) / cells
+    val h = (pmod($"vec_id", lit(1048573L)) * lit(2654435761L)) % lit(1000000007L)
+    val wc = Window.partitionBy($"cell").orderBy($"h".asc, $"vec_id".asc)
+    val cw = Window.partitionBy($"cell")
+    assigned
+      .withColumn("h", h)
+      .withColumn("rk", row_number().over(wc).cast("long"))
+      .withColumn("n_c", count(lit(1)).over(cw))
+      .where($"rk" <= lit(cap))
+      .select($"cell", $"vec_id", $"rk", $"n_c")
+      .orderBy($"cell", $"rk")
+  }
+
   /** Corpus-sized sign-LSH plane count: the smallest `p` in
     * `[minPlanes, maxPlanes]` whose `2^p` buckets hold on average at
     * most `targetBucket` vectors (i.e. `targetBucket * 2^p >= n`),
@@ -2667,7 +2731,35 @@ object Embeddings {
           .toDF("query_id", "step", "neighbor_id", "rel", "mmr")
           .orderBy($"query_id", $"step")
       },
-      Some(MmrOracleSql))
+      Some(MmrOracleSql)),
+
+    QueryDef("p09_cluster_balanced_sample",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // cluster-balanced downsampling under the hash gate: the same
+        // deterministic trainer as v09/d07 (cells=8/iters=3 bounds the
+        // oracle's 8·n assignment cross-join), keepDiv=2 targets half
+        // the corpus spread evenly over cells. The oracle reuses the
+        // verified k-means prolog (`corp`), reapplies p05's hash-rank
+        // inside each cell, and derives the SAME integer cap from its
+        // own COUNT(*) — so the clustering, the per-cell ordering and
+        // the budget arithmetic are all DuckDB-checked in one query.
+        Embeddings.clusterBalancedSample(based(s, dir),
+            cells = 8, iters = 3, keepDiv = 2L)
+          .orderBy($"cell", $"rk")
+      },
+      Some(KMeansOracleProlog + """,
+        ranked AS MATERIALIZED (
+          SELECT cell, cid AS vec_id, h,
+            CAST(row_number() OVER (PARTITION BY cell ORDER BY h, cid) AS BIGINT) AS rk,
+            CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS n_c
+          FROM (SELECT cell, cid,
+                  ((((cid % 1048573) + 1048573) % 1048573) * 2654435761) % 1000000007 AS h
+                FROM corp)),
+        cap AS MATERIALIZED (
+          SELECT ((COUNT(*) // 2) + 7) // 8 AS cap FROM corp)
+        SELECT cell, vec_id, rk, n_c FROM ranked, cap
+        WHERE rk <= cap ORDER BY cell, rk"""))
   )
 
   /** v21's oracle: top-20 exact panel, candidate-pair similarities, and

@@ -738,4 +738,51 @@ class EmbeddingsSpec extends SparkSpec {
     assert(crossPairLargerIds.exists(b => !droppedWant(b) && got.exists(_._1 == b)),
       "a cross-cell near-dup's larger member must survive (within-cell-only pruning)")
   }
+
+  test("p09 cluster-balanced sample: exact per-cell cap, hash-rank membership, replayable") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    val n = vecs.count()
+    val cells = 4
+    val keepDiv = 2L
+    val cap = ((n / keepDiv) + cells - 1) / cells
+    val out = Embeddings.clusterBalancedSample(vecs, cells = cells, iters = 2, keepDiv = keepDiv)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per-cell: never exceed the cap; over-full cells are cut EXACTLY to
+    // it and under-full cells survive whole — the balance contract
+    val byCell = out.groupBy(_._1)
+    assert(byCell.nonEmpty && byCell.values.forall(_.length <= cap))
+    byCell.foreach { case (cell, rows) =>
+      val nC = rows.head._4
+      assert(rows.forall(_._4 == nC), s"n_c must be constant within cell $cell")
+      assert(rows.length == math.min(cap, nC), s"cell $cell kept ${rows.length} of $nC (cap $cap)")
+    }
+    assert(byCell.values.exists(_.length == cap),
+      "fixture must have at least one over-full cell or the cap is untested")
+    // membership is the Knuth-hash rank within the trainer's cells —
+    // replay it driver-side (same model, same argmax, same hash)
+    val all = vecs.as[(Long, Array[Double])].collect()
+    val model = Embeddings.kMeansModel(vecs, k = cells, iters = 2)
+    def cellOf(id: Long, v: Array[Double]): Long = {
+      val nrm = Embeddings.fpNorm(v)
+      var best = -1L; var bc = Double.NegativeInfinity; var any = false
+      model.foreach { case (cell, cv, cn) =>
+        val c = Embeddings.fpCos(v, cv, nrm, cn)
+        if (!any || Embeddings.sqlGt(c, bc)) { bc = c; best = cell; any = true }
+      }
+      best
+    }
+    def hash(id: Long): Long = (Math.floorMod(id, 1048573L) * 2654435761L) % 1000000007L
+    val want = all.map { case (id, v) => (cellOf(id, v), id) }
+      .groupBy(_._1).toSeq.flatMap { case (cell, members) =>
+        members.map(_._2).sortBy(id => (hash(id), id)).take(cap.toInt)
+          .zipWithIndex.map { case (id, i) => (cell, id, i + 1L, members.length.toLong) }
+      }.sortBy(r => (r._1, r._3))
+    assert(out.toSeq == want, s"sample diverged: got ${out.length}, want ${want.length}")
+    // replayable: a second run reproduces the sample exactly
+    val again = Embeddings.clusterBalancedSample(vecs, cells = cells, iters = 2, keepDiv = keepDiv)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq)
+  }
 }
