@@ -34,6 +34,19 @@ object QueryHelpers {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
 
+  /** The engines' shared deterministic "random": Knuth multiplicative
+    * hash of an id column — fold to 1048573, multiply by 2654435761,
+    * reduce by the prime 1e9+7 (the reducing modulus is what scrambles
+    * order; the bare product is monotone in the folded id). Pure
+    * function of the id, so every consumer (p05 holdout, p09 balanced
+    * sample, kMeansModel seeding) replays exactly across runs, and the
+    * DuckDB oracles mirror it as
+    * `((((id % 1048573) + 1048573) % 1048573) * 2654435761) % 1000000007`
+    * (the double-% emulates pmod for negative ids). One definition so
+    * the constants cannot drift per-operator. */
+  def knuthHash(id: Column): Column =
+    (pmod(id, lit(1048573L)) * lit(2654435761L)) % lit(1000000007L)
+
   /** Order-independent exact sum of a double expression, returned as double.
     *
     * Fixed-point fold: round each value to 6 decimals as a BIGINT

@@ -1783,7 +1783,7 @@ object Documents {
         // rank and the stratum count; for strata too large for a single
         // window partition sort, p01's hash-shard + offset two-phase is
         // the documented path.
-        val h = (pmod($"doc_id", lit(1048573L)) * lit(2654435761L)) % lit(1000000007L)
+        val h = graft.QueryHelpers.knuthHash($"doc_id")
         val wl = Window.partitionBy($"lang").orderBy($"h".asc, $"doc_id".asc)
         val cw = Window.partitionBy($"lang")
         tbl(s, dir, "documents").select($"doc_id", $"lang")

@@ -317,8 +317,7 @@ object Embeddings {
     import session.implicits._
     val base = vectors.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
     val seeds = base.toDF("vec_id", "v")
-      .withColumn("_r",
-        (pmod($"vec_id", lit(1048573L)) * lit(2654435761L)) % lit(1000000007L))
+      .withColumn("_r", graft.QueryHelpers.knuthHash($"vec_id"))
       .orderBy($"_r", $"vec_id").limit(k)
       .select($"vec_id", $"v").as[(Long, Array[Double])].collect()
     var model = seeds.zipWithIndex.map { case ((_, v), i) => (i.toLong, v, fpNorm(v)) }
@@ -537,7 +536,7 @@ object Embeddings {
   /** p09: cluster-balanced corpus sampling — the topic-balance
     * downsampling step a pretraining mix runs after dedup: train
     * [[kMeansModel]]'s deterministic cells on the embeddings, then keep
-    * AT MOST a fixed per-cell cap of `ceil((n/keepDiv)/cells)` vectors
+    * AT MOST a fixed per-cell cap of `ceil(ceil(n/keepDiv)/cells)` vectors
     * per cell, so over-represented topics are cut to the cap while rare
     * cells survive whole (the same motivation as cluster-proportional
     * mixing in data-curation pipelines; composes with p03's
@@ -554,8 +553,8 @@ object Embeddings {
     * partitions), so for corpora where single cells exceed a partition
     * sort, p01's hash-shard + offset two-phase rank is the documented
     * path — same note as p05's strata. Cap arithmetic is pure integer
-    * ((n DIV keepDiv + cells − 1) DIV cells) so the DuckDB oracle
-    * derives the IDENTICAL cap from its own COUNT(*). */
+    * (ceil-div twice) so the DuckDB oracle derives the IDENTICAL cap
+    * from its own COUNT(*). */
   def clusterBalancedSample(vectors: DataFrame, cells: Int = 8, iters: Int = 3,
       keepDiv: Long = 2L): DataFrame = {
     require(keepDiv > 0, s"keepDiv must be positive, got $keepDiv")
@@ -583,19 +582,22 @@ object Embeddings {
       }
     }.toDF("vec_id", "cell")
     // trainer already scanned the corpus; this count reuses the cached
-    // relation metadata and keeps the cap a plain literal in the plan
+    // relation metadata and keeps the cap a plain literal in the plan.
+    // Both divisions take the CEILING (ceil(ceil(n/keepDiv)/cells)) so a
+    // nonempty corpus always keeps at least one row per populated cell —
+    // a floored n/keepDiv goes to 0 whenever n < keepDiv and the
+    // "sample" would silently discard the whole corpus (review catch;
+    // the oracle derives the identical double-ceil from its COUNT(*))
     val nTotal = base.count()
-    val cap = ((nTotal / keepDiv) + cells - 1) / cells
-    val h = (pmod($"vec_id", lit(1048573L)) * lit(2654435761L)) % lit(1000000007L)
+    val cap = (((nTotal + keepDiv - 1) / keepDiv) + cells - 1) / cells
     val wc = Window.partitionBy($"cell").orderBy($"h".asc, $"vec_id".asc)
     val cw = Window.partitionBy($"cell")
     assigned
-      .withColumn("h", h)
+      .withColumn("h", graft.QueryHelpers.knuthHash($"vec_id"))
       .withColumn("rk", row_number().over(wc).cast("long"))
       .withColumn("n_c", count(lit(1)).over(cw))
       .where($"rk" <= lit(cap))
       .select($"cell", $"vec_id", $"rk", $"n_c")
-      .orderBy($"cell", $"rk")
   }
 
   /** Corpus-sized sign-LSH plane count: the smallest `p` in
@@ -2757,7 +2759,7 @@ object Embeddings {
                   ((((cid % 1048573) + 1048573) % 1048573) * 2654435761) % 1000000007 AS h
                 FROM corp)),
         cap AS MATERIALIZED (
-          SELECT ((COUNT(*) // 2) + 7) // 8 AS cap FROM corp)
+          SELECT (((COUNT(*) + 1) // 2) + 7) // 8 AS cap FROM corp)
         SELECT cell, vec_id, rk, n_c FROM ranked, cap
         WHERE rk <= cap ORDER BY cell, rk"""))
   )

@@ -746,9 +746,10 @@ class EmbeddingsSpec extends SparkSpec {
     val n = vecs.count()
     val cells = 4
     val keepDiv = 2L
-    val cap = ((n / keepDiv) + cells - 1) / cells
+    val cap = (((n + keepDiv - 1) / keepDiv) + cells - 1) / cells
     val out = Embeddings.clusterBalancedSample(vecs, cells = cells, iters = 2, keepDiv = keepDiv)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._3))
     // per-cell: never exceed the cap; over-full cells are cut EXACTLY to
     // it and under-full cells survive whole — the balance contract
     val byCell = out.groupBy(_._1)
@@ -783,6 +784,14 @@ class EmbeddingsSpec extends SparkSpec {
     // replayable: a second run reproduces the sample exactly
     val again = Embeddings.clusterBalancedSample(vecs, cells = cells, iters = 2, keepDiv = keepDiv)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._3))
     assert(again.toSeq == out.toSeq)
+    // cap is ceil-div twice: a corpus SMALLER than keepDiv still keeps a
+    // row (a floored n/keepDiv would cap at 0 and silently discard the
+    // whole corpus — the review catch this pins)
+    val one = Embeddings.clusterBalancedSample(
+      Seq((7L, Array(1.0, 0.0))).toDF("vec_id", "v"), cells = cells, iters = 1, keepDiv = keepDiv)
+      .collect()
+    assert(one.length == 1 && one.head.getLong(1) == 7L && one.head.getLong(2) == 1L)
   }
 }
