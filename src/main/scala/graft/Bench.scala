@@ -144,6 +144,16 @@ object Bench {
       entries.map { case (k, v) => util.Json.quote(k) + ":" + v }
         .mkString("{", ",", "}")
     val medians = results.map { case (k, ts, _) => k -> median(ts) }
+    // Disclosed by-contract-quadratic anchors, reported on their own
+    // line: v04 is an exact all-pairs kernel behind a loud 2^17 refusal
+    // gate (the d07/v02/v17 routing lives in its scaladoc), so its cost
+    // grows n² BY DESIGN while every other kernel is linear. Folding it
+    // into one total made cross-round/cross-SF totals track the anchor's
+    // n² instead of kernel health (18% of the sf3 total in r12). `value`
+    // keeps summing everything (cross-round continuity); `anchors_s` is
+    // the quadratic slice to subtract when reading scaling shape.
+    val anchorNames = Set("v04_cosine_neardup")
+    val anchorsS = medians.collect { case (k, v) if anchorNames(k) => v }.sum
     val qs = qmap(medians)
     val qsMin = qmap(results.map { case (k, ts, _) => k -> ts.min })
     val qsFirst = qmap(results.map { case (k, ts, _) => k -> ts.head })
@@ -169,14 +179,17 @@ object Bench {
         s"re-timed $reps times with the registry cleared before EACH rep, " +
         "median committed — order-independent and build-inclusive. value " +
         "sums the shared medians. gc_ms_* = cumulative stop-the-world GC " +
-        "inside each pass; heap_max_mb is the JVM -Xmx cap.")
+        "inside each pass; heap_max_mb is the JVM -Xmx cap. anchors_s = " +
+        "the shared-median sum of the disclosed by-contract-quadratic " +
+        "anchors (v04_cosine_neardup) — subtract from value when reading " +
+        "kernel scaling shape; value - anchors_s is the linear-kernel total.")
     // Field order is deliberate: the bulky per-query maps FIRST, the
     // totals/GC/heap summary LAST. The driver's artifact capture keeps
     // only the tail of stdout (BENCH_r06 lost q01-q21 and the total to a
     // 2000-char cap), so whatever must always survive goes at the end of
     // the line. The complete JSON is also written to BENCH_full.json in
     // the repo so the official artifact never depends on capture size.
-    val line = s"""{"metric":"total","unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_first":$qsFirst$iso$errs,"notes":$notes,"sf":${util.Json.quote(sfDir)},"reps":$reps,"gc_ms_shared":$gcShared,"gc_ms_isolated":$gcIso,"heap_max_mb":$heapMaxMb,"value_first":$totalFirst,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_first":$qsFirst$iso$errs,"notes":$notes,"sf":${util.Json.quote(sfDir)},"reps":$reps,"gc_ms_shared":$gcShared,"gc_ms_isolated":$gcIso,"heap_max_mb":$heapMaxMb,"anchors_s":$anchorsS,"value_first":$totalFirst,"value":$total}"""
     // anchor the artifact to the repo (the sbt project dir that forked
     // this JVM, exported as SPARK_GRAFT_REPO in build.sbt), not the
     // process cwd — a bench launched from elsewhere must not drop the
@@ -205,7 +218,7 @@ object Bench {
     // full line and BENCH_full.json. Printed twice (before the full line
     // and again last, after spark.stop() so shutdown logging cannot trail
     // it) so at least one copy sits inside the captured tail.
-    val compact = s"""{"metric":"total","unit":"sec","value":${math.rint(total * 1000) / 1000},"value_first":${math.rint(totalFirst * 1000) / 1000},"sf":${util.Json.quote(sfDir)},"reps":$reps,"queries_n":${results.size},"coupled_n":${isolated.size},"errors_n":${failures.size},"full":${util.Json.quote(defaultName)}}"""
+    val compact = s"""{"metric":"total","unit":"sec","value":${math.rint(total * 1000) / 1000},"value_first":${math.rint(totalFirst * 1000) / 1000},"sf":${util.Json.quote(sfDir)},"anchors_s":${math.rint(anchorsS * 1000) / 1000},"reps":$reps,"queries_n":${results.size},"coupled_n":${isolated.size},"errors_n":${failures.size},"full":${util.Json.quote(defaultName)}}"""
     val basePath = sys.env.get("SPARK_GRAFT_BENCH_FULL").map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_REPO", "."), defaultName))

@@ -637,6 +637,23 @@ object Documents {
     * PRODUCT [[ensureSimhashIndex]] persists. */
   private def simhashPairsCompute(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The build input below is a pure-Catalyst plan over the documents
+    // parquet — exactly the plan d02/d03/d05/Curation retain as
+    // "neardup.shingles", so Spark's CacheManager would substitute a warm
+    // session cache for it. After an IN-PLACE corpus rewrite that cache
+    // holds PRE-rewrite rows while the fingerprint (computed from the
+    // files) correctly reports "stale → rebuild": without this release
+    // the rebuild would read the stale shingles and then stamp the NEW
+    // fingerprint into _meta, durably persisting wrong pairs that every
+    // later JVM serves as fresh. Same staleness class — and same
+    // unconditional-release cure — as the media serve path
+    // ([[graft.operators.Multimodal.phashPairs]]); the other retained
+    // neardup frames ("hotshingles"/"pairs"/"simhash") are rooted on the
+    // cached handle or kernel closures and can never plan-match a fresh
+    // build, so the shingle entry is the only substitutable input. Cost:
+    // one shingle re-derivation for later plan-matched callers, paid only
+    // on builds (this is the by-name compute of [[ensureSimhashIndex]]).
+    graft.CacheRegistry.release("neardup.shingles")
     val th = shingled(s, dir)
       .select($"doc_id", explode($"shingles").as("shingle"))
       .as[(Long, String)]

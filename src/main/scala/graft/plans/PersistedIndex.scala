@@ -36,6 +36,16 @@ object PersistedIndex {
     import org.apache.spark.sql.functions.col
     def loc(suffix: String): String =
       CoLocated.tableLocation(s, "graft_index", table + suffix).toString
+    // The catch below is the "artifact absent or unreadable-as-ours"
+    // decision, and a stale verdict is DESTRUCTIVE (the rebuild clears
+    // and rewrites the directory) — so only the expected miss shapes may
+    // map to stale: a missing/empty _meta (AnalysisException covers both
+    // the absent path and a column-set mismatch from an older protocol
+    // version; head() on a zero-row _meta raises NoSuchElementException)
+    // or a vanished file between listing and read. A transient
+    // filesystem fault (IOException from fs.exists or the read) must
+    // PROPAGATE: rebuilding on a hiccup would be indistinguishable from
+    // a real invalidation in logs and re-pays the full build for nothing.
     val fresh = !force && (try {
       val stored: Row = s.read.parquet(loc("_meta"))
         .select(meta.map(m => col(m._1)): _*).head()
@@ -43,7 +53,11 @@ object PersistedIndex {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       meta.indices.forall(i => stored.getLong(i) == meta(i)._2) &&
         fs.exists(new org.apache.hadoop.fs.Path(loc("_pairs")))
-    } catch { case _: Exception => false })
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => false
+      case _: java.util.NoSuchElementException => false
+      case _: java.io.FileNotFoundException => false
+    })
     if (!fresh) {
       CoLocated.clearTable(s, "graft_index", s"${table}_meta")
       CoLocated.replaceTable(compute, "graft_index", s"${table}_pairs")

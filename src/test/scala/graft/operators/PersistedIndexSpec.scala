@@ -95,6 +95,52 @@ class PersistedIndexSpec extends SparkSpec {
     graft.CacheRegistry.unpersistAll()
   }
 
+  test("simhash rebuild reads fresh shingles past a warm plan-matched cache") {
+    // The build input (NearDup.shingled over the documents parquet) is a
+    // pure-Catalyst plan that d02/d03/d05/Curation retain as
+    // "neardup.shingles" — CacheManager substitutes the warm entry into
+    // ANY later plan containing that subtree (InMemoryFileIndex equality
+    // is by rootPaths, so an in-place corpus rewrite still plan-matches).
+    // Without simhashPairsCompute's unconditional release, the rebuild
+    // after a corpus change would read the PRE-rewrite shingle rows and
+    // stamp the NEW fingerprint into _meta: durably-persisted wrong
+    // pairs. The rewrite must happen OUTSIDE this Spark session (at
+    // 100 TB the ingest pipeline is another process): an in-session
+    // `.mode("overwrite")` write self-heals via CacheManager
+    // .recacheByPath, which is why the hole never showed in the other
+    // corpus-change tests — so the v2 corpus is staged to a sibling dir
+    // and moved over the rootPath with filesystem ops.
+    val dir = java.nio.file.Files.createTempDirectory("simstale").toString
+    graft.CacheRegistry.unpersistAll()
+    // doc 9 is an exact dup of doc 0 → guaranteed simhash pair (0, 9, 0)
+    corpus(dir, extra = Seq((9L, "alpha beta gamma delta epsilon zeta eta theta")))
+    Documents.ensureSimhashIndex(spark, dir)
+    // warm "neardup.shingles" through the d02 path (retains + materializes)
+    graft.SparkEntry.queries("d02_neardup_jaccard")(spark, dir).collect()
+    assert(graft.CacheRegistry.entries.contains("neardup.shingles"))
+    // external rewrite: doc 9 is now an exact dup of doc 2 instead
+    val staging = java.nio.file.Files.createTempDirectory("simstale2").toString
+    corpus(staging, extra = Seq((9L, "one two three four five six seven eight")))
+    locally {
+      import scala.jdk.CollectionConverters._
+      val dst = java.nio.file.Paths.get(dir, "documents.parquet")
+      val src = java.nio.file.Paths.get(staging, "documents.parquet")
+      java.nio.file.Files.list(dst).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.list(src).iterator().asScala.foreach { f =>
+        java.nio.file.Files.move(f, dst.resolve(f.getFileName.toString))
+      }
+    }
+    val loc = Documents.ensureSimhashIndex(spark, dir)
+    val persisted = spark.read.parquet(loc)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(persisted.contains((2L, 9L)),
+      "rebuild must see the POST-rewrite corpus (fresh shingles)")
+    assert(!persisted.contains((0L, 9L)),
+      "rebuild must not persist pairs computed from stale cached shingles")
+    graft.CacheRegistry.unpersistAll()
+  }
+
   test("d04 serve equals the in-query compute it replaced (index round-trip)") {
     val dir = java.nio.file.Files.createTempDirectory("simrt").toString
     corpus(dir)
