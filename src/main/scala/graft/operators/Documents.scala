@@ -629,35 +629,19 @@ object Documents {
             FROM bnd a JOIN bnd b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) <= 6)"""
 
-  /** The d04 build kernel: 64-bit SimHash over distinct 3-word shingles
-    * (primitive groupByKey fold — see the d04 QueryDef scaladoc for why
-    * not 64 unrolled aggregate columns), then the exhaustive banded
-    * self-join (8×8-bit bands; pigeonhole covers hamming ≤ 7, so ≤ 6
-    * loses nothing vs n²). Returns the verified pair set — the build
-    * PRODUCT [[ensureSimhashIndex]] persists. */
-  private def simhashPairsCompute(s: SparkSession, dir: String): DataFrame = {
+  /** The signature half of the d04 family build: 64-bit SimHash per doc
+    * over distinct 3-word shingles (primitive groupByKey fold — see the
+    * d04 QueryDef scaladoc for why not 64 unrolled aggregate columns).
+    * Factored out of the pair kernel so the incremental append
+    * ([[appendToSimhashIndex]]) hashes NEW docs with the identical
+    * arithmetic. */
+  private def simhashSigsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    // The build input below is a pure-Catalyst plan over the documents
-    // parquet — exactly the plan d02/d03/d05/Curation retain as
-    // "neardup.shingles", so Spark's CacheManager would substitute a warm
-    // session cache for it. After an IN-PLACE corpus rewrite that cache
-    // holds PRE-rewrite rows while the fingerprint (computed from the
-    // files) correctly reports "stale → rebuild": without this release
-    // the rebuild would read the stale shingles and then stamp the NEW
-    // fingerprint into _meta, durably persisting wrong pairs that every
-    // later JVM serves as fresh. Same staleness class — and same
-    // unconditional-release cure — as the media serve path
-    // ([[graft.operators.Multimodal.phashPairs]]); the other retained
-    // neardup frames ("hotshingles"/"pairs"/"simhash") are rooted on the
-    // cached handle or kernel closures and can never plan-match a fresh
-    // build, so the shingle entry is the only substitutable input. Cost:
-    // one shingle re-derivation for later plan-matched callers, paid only
-    // on builds (this is the by-name compute of [[ensureSimhashIndex]]).
-    graft.CacheRegistry.release("neardup.shingles")
-    val th = shingled(s, dir)
+    val th = graft.pipeline.NearDup.shingled(docs)
       .select($"doc_id", explode($"shingles").as("shingle"))
       .as[(Long, String)]
-    val simDf = th.groupByKey(_._1).mapGroups { (id, it) =>
+    th.groupByKey(_._1).mapGroups { (id, it) =>
       val counts = new Array[Int](64)
       it.foreach { case (_, str) =>
         var h1 = 0L
@@ -683,38 +667,143 @@ object Documents {
       while (b < 64) { if (counts(b) > 0) sh |= 1L << b; b += 1 }
       (id, sh)
     }.toDF("doc_id", "simhash")
-    // retained: the banded self-join below reads this one-row-per-doc
-    // frame TWICE — without the cache both sides recompute the whole
-    // shingle→explode→fold upstream (78.5 s isolated at sf0.1 in the
-    // pre-kernel form)
-    val sim = graft.CacheRegistry.retain("neardup.simhash", simDf)
-    val withBand = sim.select($"doc_id", $"simhash",
+  }
+
+  /** 8×8-bit band expansion of a `(doc_id, simhash)` frame —
+    * `(doc_id, simhash, i, k)`, one row per band. */
+  private def simhashBanded(sim: DataFrame): DataFrame =
+    sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 8).map(i =>
         struct(lit(i).as("i"),
-          shiftrightunsigned($"simhash", i * 8).bitwiseAND(lit(0xFFL)).as("k"))): _*)).as("b"))
-      .select($"doc_id", $"simhash", $"b.i".as("i"), $"b.k".as("k"))
+          shiftrightunsigned(col("simhash"), i * 8).bitwiseAND(lit(0xFFL)).as("k"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.i").as("i"), col("b.k").as("k"))
+
+  /** The pair half of the d04 family build: the exhaustive banded
+    * self-join over a signature frame (8×8-bit bands; pigeonhole covers
+    * hamming ≤ 7, so ≤ 6 loses nothing vs n²). Returns the verified pair
+    * set — the build PRODUCT the persisted index stores. */
+  private def simhashPairsFrom(sim: DataFrame): DataFrame = {
+    val withBand = simhashBanded(sim)
     withBand.as("x").join(withBand.as("y"),
         col("x.i") === col("y.i") && col("x.k") === col("y.k") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .distinct()
-      .filter($"hamming" <= 6)
+      .filter(col("hamming") <= 6)
+  }
+
+  /** Shared build body for the dir-keyed and frame-keyed ensures. */
+  private def simhashBuild(s: SparkSession, docs: DataFrame, table: String,
+      meta: Seq[(String, Long)], force: Boolean): String = {
+    // Evaluated only when the ensure decides to BUILD (ensureWith's
+    // compute is by-name and the aux thunk fires after it):
+    lazy val sim = {
+      // The build input is a pure-Catalyst plan over the documents
+      // parquet — exactly the plan d02/d03/d05/Curation retain as
+      // "neardup.shingles", so Spark's CacheManager would substitute a
+      // warm session cache for it. After an EXTERNAL in-place corpus
+      // rewrite that cache holds PRE-rewrite rows while the fingerprint
+      // (computed from the files) correctly reports "stale → rebuild":
+      // without this release the rebuild would read the stale shingles
+      // and then stamp the NEW fingerprint into _meta, durably
+      // persisting wrong pairs that every later JVM serves as fresh.
+      // Same staleness class — and same unconditional-release cure — as
+      // the media serve path ([[graft.operators.Multimodal.phashPairs]]);
+      // the other retained neardup frames ("hotshingles"/"pairs"/
+      // "simhash") are rooted on the cached handle or kernel closures
+      // and can never plan-match a fresh build, so the shingle entry is
+      // the only substitutable input. Cost: one shingle re-derivation
+      // for later plan-matched callers, paid only on builds.
+      graft.CacheRegistry.release("neardup.shingles")
+      // retained: the banded self-join reads this one-row-per-doc frame
+      // TWICE, and the _sigs aux write reads it a third time — without
+      // the cache each consumer recomputes the whole shingle→explode→
+      // fold upstream (78.5 s isolated at sf0.1 in the pre-kernel form)
+      graft.CacheRegistry.retain("neardup.simhash", simhashSigsOf(docs))
+    }
+    graft.plans.PersistedIndex.ensureWith(s, table, meta, force,
+      aux = Seq("_sigs" -> (() => sim)))(simhashPairsFrom(sim))
   }
 
   /** Build-once persisted simhash near-dup index — the
     * [[graft.operators.Embeddings.buildPqIndex]] pattern for the d04
-    * family: verified pairs in `graft_index.simhash_<dir>_pairs`, a
-    * corpus fingerprint in `_meta` (invalidated first, rewritten last),
-    * freshness decided from the warehouse LOCATION so the skip works
-    * across JVMs — the shared [[graft.plans.PersistedIndex]] protocol,
-    * including its single-writer contract. `force` is the d00
-    * named-builder path. */
+    * family: verified pairs in `graft_index.simhash_<dir>_pairs`, the
+    * per-doc signature history in `_sigs` (what [[appendToSimhashIndex]]
+    * probes), a corpus fingerprint in `_meta` (invalidated first,
+    * rewritten last), freshness decided from the warehouse LOCATION so
+    * the skip works across JVMs — the shared
+    * [[graft.plans.PersistedIndex]] protocol, including its
+    * single-writer contract. `force` is the d00 named-builder path. */
   def ensureSimhashIndex(s: SparkSession, dir: String, force: Boolean = false): String = {
     val (n, fp) = graft.QueryHelpers.docsFingerprint(tbl(s, dir, "documents"))
-    graft.plans.PersistedIndex.ensure(s,
+    simhashBuild(s, tbl(s, dir, "documents"),
       "simhash_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_"),
-      Seq("n" -> n, "fp" -> fp), force)(simhashPairsCompute(s, dir))
+      Seq("n" -> n, "fp" -> fp), force)
+  }
+
+  /** [[ensureSimhashIndex]] over an explicit docs frame and table name —
+    * the build half of the d11 incremental-maintenance pair. */
+  def ensureSimhashIndexFor(s: SparkSession, docs: DataFrame, table: String,
+      meta: Seq[(String, Long)], force: Boolean = false): String =
+    simhashBuild(s, docs, table, meta, force)
+
+  /** Incremental append for the persisted simhash index — v11's
+    * append discipline ([[graft.operators.Embeddings.appendToPqIndex]])
+    * applied to the pair family: NEW docs are hashed with the build's
+    * exact fold and probed against the RESIDENT `_sigs` history (the
+    * [[graft.pipeline.StreamingSemanticDedup]] resident-history pattern
+    * — the new side is the small delta and broadcasts; the resident
+    * side is scanned once, never shuffled), verified cross pairs plus
+    * the within-delta banded pairs are APPENDED (resident pair files
+    * are untouched — pinned byte-for-byte in PersistedIndexSpec), and
+    * `_meta` is poisoned FIRST / stamped with the grown fingerprint
+    * LAST so a crash mid-append leaves a stale state the next ensure
+    * repairs by rebuilding. Correctness contract: `newDocs` doc_ids are
+    * disjoint from the indexed corpus (checked) — under that, appended
+    * pairs ∪ resident pairs EQUALS a full rebuild on the grown corpus
+    * (each pair stratum — old×old, old×new, new×new — keeps the
+    * pigeonhole completeness argument independently). At 100 TB with
+    * daily ingest this turns the dominant recurring cost (a full d00
+    * rebuild per batch) into work proportional to the delta. */
+  def appendToSimhashIndex(s: SparkSession, newDocs: DataFrame, table: String,
+      grown: (Long, Long)): String = {
+    import s.implicits._
+    val P = graft.plans.PersistedIndex
+    val resident =
+      try s.read.parquet(P.location(s, table, "_sigs"))
+        .select($"doc_id", $"simhash")
+      catch {
+        // only the NOT-FOUND shape means "old layout, rebuild to
+        // migrate"; transient I/O must propagate as itself (the
+        // appendToPqIndex rationale)
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"graft_index.$table has no persisted signature table — it predates " +
+              "the appendable layout. Run ensureSimhashIndex once to migrate " +
+              "(the freshness probe requires _sigs and will rebuild).", e)
+      }
+    val newSigs = simhashSigsOf(newDocs).localCheckpoint()
+    try {
+      require(resident.join(broadcast(newSigs), Seq("doc_id")).limit(1).count() == 0L,
+        s"appendToSimhashIndex($table): newDocs doc_ids overlap the indexed corpus " +
+          "— an append cannot re-pair resident docs; rebuild instead")
+      P.poison(s, table, Seq("n", "fp"))
+      val newBand = simhashBanded(newSigs)
+      val resBand = simhashBanded(resident)
+      val cross = resBand.as("x").join(broadcast(newBand).as("y"),
+          col("x.i") === col("y.i") && col("x.k") === col("y.k"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+      P.appendTable(cross.unionByName(simhashPairsFrom(newSigs))
+        .select(col("doc_a"), col("doc_b"), col("hamming")), table, "_pairs")
+      P.appendTable(newSigs.select(col("doc_id"), col("simhash")), table, "_sigs")
+      P.stamp(s, table, Seq("n" -> grown._1, "fp" -> grown._2))
+    } finally newSigs.unpersist(false)
+    P.location(s, table, "_pairs")
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -885,7 +974,7 @@ object Documents {
         // sf0.1) plus the exhaustive 8×8-bit banded self-join
         // (pigeonhole covers hamming ≤ 7, so the ≤ 6 threshold EQUALS
         // an n² scan without the n² cost) — lives in
-        // [[simhashPairsCompute]]; this serve reads the PERSISTED pair
+        // [[simhashSigsOf]]/[[simhashPairsFrom]]; this serve reads the PERSISTED pair
         // index [[ensureSimhashIndex]] maintains (fingerprint-skip,
         // d00's named-builder row carries the build cost) and builds it
         // in-query only when the corpus changed.
@@ -918,6 +1007,45 @@ object Documents {
       Some(s"""WITH $SimhashOracleCtes
         SELECT doc_a, doc_b, hamming FROM ham
         ORDER BY doc_a, doc_b""")),
+
+    QueryDef("d11_simhash_index_append",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // incremental pair-index maintenance under the hash gate — the
+        // v11 discipline applied to the d04 family (r12 verdict #2):
+        // build the persisted simhash index on ~2/3 of the corpus
+        // ([[ensureSimhashIndexFor]]), [[appendToSimhashIndex]] the
+        // remaining third (new docs hash with the build's exact fold
+        // and probe the RESIDENT _sigs history — the delta broadcasts,
+        // the resident side is scanned once, and the resident pair
+        // files are untouched, pinned byte-for-byte in
+        // PersistedIndexSpec), then serve the d00 builder summary over
+        // the combined pair table. The oracle is IDENTICAL to d00's
+        // full-corpus reconstruction — append-then-serve must be
+        // indistinguishable from a full rebuild. The % 3 split is
+        // deterministic and leaves both sides non-empty at every SF
+        // (id-interleaved on purpose: simhash pairs carry no
+        // representative semantics, so the append contract is only
+        // id-DISJOINTNESS, not monotonicity — the media append is the
+        // one with the order contract). Not forced: rep 1 leaves _meta
+        // at the GROWN fingerprint, so the base ensure is stale on
+        // every rep and deterministically rebuilds — each rep pays
+        // build + append, self-contained like d00.
+        val docs = tbl(s, dir, "documents")
+        val table = "simhashapp_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+        val base = docs.filter($"doc_id" % 3 =!= 0)
+        val (bn, bfp) = graft.QueryHelpers.docsFingerprint(base)
+        ensureSimhashIndexFor(s, base, table, Seq("n" -> bn, "fp" -> bfp))
+        val path = appendToSimhashIndex(s, docs.filter($"doc_id" % 3 === 0),
+          table, graft.QueryHelpers.docsFingerprint(docs))
+        s.read.parquet(path)
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            coalesce(sum($"hamming"), lit(0L)).cast("long").as("sum_hamming"))
+      },
+      Some(s"""WITH $SimhashOracleCtes
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(hamming), 0) AS BIGINT) AS sum_hamming
+        FROM ham""")),
 
     QueryDef("t01_text_stats",
       (s: SparkSession, dir: String) => {

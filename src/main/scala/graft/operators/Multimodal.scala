@@ -263,60 +263,91 @@ object Multimodal {
       Seq("n" -> nfp._1, "fp" -> nfp._2, "gate" -> maxBandBucket),
       force)(phashPairsCompute(s, dir, maxBandBucket))
 
-  private def phashPairsCompute(s: SparkSession, dir: String,
-      maxBandBucket: Long): DataFrame = {
-    import s.implicits._
-    val media = decode(fromDocuments(tbl(s, dir, "documents")))
-    // stage 1: exact-payload collapse. reduceGroups combines map-side,
-    // so a mass-duplicated corpus never ships its duplicate payloads
-    // through the shuffle — only one survivor per (partition, md5)
-    val reps = media.groupByKey { r =>
-      val d = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
-      java.util.Base64.getEncoder.encodeToString(d)
-    }.reduceGroups((a, b) => if (a.doc_id <= b.doc_id) a else b)
-      .map(_._2)
-    // retained: the banded kernel and the gate both read the hash frame
-    // (same reason d04 retains `neardup.simhash`) — without it the
-    // encode-UDF + decode + collapse + resize + hash pipeline executes
-    // once per consumer
-    val hashed = graft.CacheRegistry.retain("media.phash",
-      resize(reps, w = 8, h = 8).map { r =>
-        var sum = 0L
-        r.payload.foreach(b => sum += (b & 0xFF).toLong)
-        var h0 = 0L
-        var h1 = 0L
-        var i = 0
-        while (i < 64) {
-          if ((r.payload(i) & 0xFF).toLong * 64L >= sum) {
-            if (i < 32) h0 |= (1L << i) else h1 |= (1L << (i - 32))
-          }
-          i += 1
-        }
-        (r.doc_id, h0, h1)
-      }.toDF("doc_id", "h0", "h1"))
-    def bandSlice(b: Int, h0: Long, h1: Long): Long =
-      if (b < 4) (h0 >>> (b * 8)) & 255L else (h1 >>> ((b - 4) * 8)) & 255L
-    val banded = hashed.as[(Long, Long, Long)].flatMap { case (id, h0, h1) =>
-      (0 until 8).iterator.map(b => (b, bandSlice(b, h0, h1), id, h0, h1))
+  /** The aHash core over the 8×8 canonical grid: truncate/pad the
+    * payload to 64 bytes ([[resize]]'s contract) and set bit i when
+    * value·64 ≥ sum — factored out so the build and the append hash
+    * with identical arithmetic. */
+  private def aHash64(payload: Array[Byte]): (Long, Long) = {
+    val body =
+      if (payload.length == 64) payload else payload.padTo(64, 0.toByte).take(64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += (body(i) & 0xFF).toLong; i += 1 }
+    var h0 = 0L
+    var h1 = 0L
+    i = 0
+    while (i < 64) {
+      if ((body(i) & 0xFF).toLong * 64L >= sum) {
+        if (i < 32) h0 |= (1L << i) else h1 |= (1L << (i - 32))
+      }
+      i += 1
     }
-    // hot-bucket gate: one count pass over the (retained) hash frame
-    // before committing to the bucket-quadratic kernel; max over an
-    // empty corpus is NULL, which means zero buckets — nothing to gate
+    (h0, h1)
+  }
+
+  /** Per-representative signature frame `(doc_id, md5, h0, h1)` — stages
+    * 1+2 of the build: exact-payload collapse to the min-doc_id
+    * representative per md5 group (reduceGroups combines map-side, so a
+    * mass-duplicated corpus never ships its duplicate payloads through
+    * the shuffle), then [[aHash64]]. The md5 travels with the signature
+    * because the APPEND path must absorb new byte-identical blobs into
+    * their resident representative instead of minting a duplicate rep. */
+  private def phashSigsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    decode(fromDocuments(docs)).groupByKey { r =>
+        val d = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+        java.util.Base64.getEncoder.encodeToString(d)
+      }.reduceGroups((a, b) => if (a.doc_id <= b.doc_id) a else b)
+      .map { case (k, r) =>
+        val (h0, h1) = aHash64(r.payload)
+        (r.doc_id, k, h0, h1)
+      }.toDF("doc_id", "md5", "h0", "h1")
+  }
+
+  private def bandSlice(b: Int, h0: Long, h1: Long): Long =
+    if (b < 4) (h0 >>> (b * 8)) & 255L else (h1 >>> ((b - 4) * 8)) & 255L
+
+  /** Band rows `(bi, bv, doc_id, h0, h1)` of a signature frame. */
+  private def phashBandRows(sigs: DataFrame): Dataset[(Int, Long, Long, Long, Long)] = {
+    val s = sigs.sparkSession
+    import s.implicits._
+    sigs.select(col("doc_id"), col("h0"), col("h1")).as[(Long, Long, Long)]
+      .flatMap { case (id, h0, h1) =>
+        (0 until 8).iterator.map(b => (b, bandSlice(b, h0, h1), id, h0, h1))
+      }
+  }
+
+  /** Hot-bucket gate over band rows (see [[MaxBandBucket]]); `what`
+    * names the corpus in the refusal so an append-time firing reads
+    * differently from a build-time one. */
+  private def phashGate(banded: Dataset[(Int, Long, Long, Long, Long)],
+      maxBandBucket: Long, what: String): Unit = {
+    val s = banded.sparkSession
+    import s.implicits._
+    // max over an empty corpus is NULL, which means zero buckets —
+    // nothing to gate
     val hottest = Option(banded.toDF("bi", "bv", "doc_id", "h0", "h1")
       .groupBy($"bi", $"bv").count()
       .agg(max($"count")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
     if (hottest > maxBandBucket)
       throw new IllegalStateException(
-        s"media near-dup band bucket holds $hottest blobs (> $maxBandBucket): " +
+        s"media near-dup band bucket ($what) holds $hottest blobs (> $maxBandBucket): " +
           "byte-identical blobs are already collapsed, so the corpus " +
           "concentrates this many DISTINCT payloads into one 8-bit hash " +
           "slice and the kernel task owning it would run quadratically — " +
           "raise maxBandBucket explicitly if the quadratic cost is budgeted, " +
           "or pre-cluster the corpus (m03 features + d07) before pairing.")
-    // stage 3: per-bucket primitive kernel. A qualifying pair is emitted
-    // only in its FIRST matching band, so the output carries no
-    // cross-band duplicates and needs no distinct() exchange.
-    val verified = banded.groupByKey(t => (t._1, t._2))
+  }
+
+  /** Stage 3: per-bucket primitive kernel over band rows. A qualifying
+    * pair is emitted only in its FIRST matching band, so the output
+    * carries no cross-band duplicates and needs no distinct() exchange. */
+  private def phashKernel(
+      banded: Dataset[(Int, Long, Long, Long, Long)]): DataFrame = {
+    val s = banded.sparkSession
+    import s.implicits._
+    banded.groupByKey(t => (t._1, t._2))
       .flatMapGroups { (key: (Int, Long), iter: Iterator[(Int, Long, Long, Long, Long)]) =>
         val bi = key._1
         // unbox ONCE into primitive arrays: the probe loop below runs
@@ -356,10 +387,26 @@ object Multimodal {
         }
         out.iterator
       }.toDF("doc_a", "doc_b", "hamming")
-    // the verified pair set (pair count ≪ corpus: 65 / 3660 rows at
-    // sf0.01 / sf0.1) is the build PRODUCT — ensureMediaIndex persists
-    // it and phashPairs retains the persisted read for m05/m06
-    verified
+  }
+
+  /** gate + kernel over a signature frame — the verified pair set
+    * (pair count ≪ corpus: 65 / 3660 rows at sf0.01 / sf0.1) is the
+    * build PRODUCT the persisted index stores. */
+  private def phashVerify(sigs: DataFrame, maxBandBucket: Long,
+      what: String): DataFrame = {
+    phashGate(phashBandRows(sigs), maxBandBucket, what)
+    phashKernel(phashBandRows(sigs))
+  }
+
+  private def phashPairsCompute(s: SparkSession, dir: String,
+      maxBandBucket: Long): DataFrame = {
+    // retained: the banded kernel, the gate and the _sigs aux write all
+    // read the hash frame (same reason d04 retains `neardup.simhash`) —
+    // without it the encode-UDF + decode + collapse + hash pipeline
+    // executes once per consumer
+    val hashed = graft.CacheRegistry.retain("media.phash",
+      phashSigsOf(tbl(s, dir, "documents")))
+    phashVerify(hashed, maxBandBucket, "build")
   }
 
   /** Shared m05/m06 oracle prolog (no leading WITH): closed-form
