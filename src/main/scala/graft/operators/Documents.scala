@@ -763,13 +763,46 @@ object Documents {
     * disjoint from the indexed corpus (checked) — under that, appended
     * pairs ∪ resident pairs EQUALS a full rebuild on the grown corpus
     * (each pair stratum — old×old, old×new, new×new — keeps the
-    * pigeonhole completeness argument independently). At 100 TB with
+    * pigeonhole completeness argument independently). `base` is the
+    * fingerprint the caller BUILT the resident index under: the append
+    * reads `_meta` and refuses unless it matches, so a retried append
+    * (crash after the `_pairs` append, before `_sigs`) hits the poison
+    * sentinel instead of silently appending the identical pairs a
+    * second time and re-stamping them durably fresh — mirrors
+    * [[graft.operators.Embeddings.appendToPqIndex]], which never
+    * re-stamps freshness it didn't verify. At 100 TB with
     * daily ingest this turns the dominant recurring cost (a full d00
     * rebuild per batch) into work proportional to the delta. */
   def appendToSimhashIndex(s: SparkSession, newDocs: DataFrame, table: String,
-      grown: (Long, Long)): String = {
+      base: (Long, Long), grown: (Long, Long)): String = {
     import s.implicits._
     val P = graft.plans.PersistedIndex
+    // Same staleness class as simhashBuild: newDocs' shingled subtree is
+    // a pure-Catalyst plan that can plan-match a warm "neardup.shingles"
+    // cache entry whose backing parquet was rewritten in place — the
+    // append would then hash PRE-rewrite rows and stamp the grown
+    // fingerprint, durably persisting wrong pairs. Release before
+    // hashing, unconditionally (cost: one shingle re-derivation for
+    // later plan-matched callers, paid only on appends).
+    graft.CacheRegistry.release("neardup.shingles")
+    val metaLoc = P.location(s, table, "_meta")
+    val stored =
+      try s.read.parquet(metaLoc).select($"n", $"fp").head()
+      catch {
+        // absent/zero-row/old-schema _meta → there is nothing verified
+        // to append to; transient I/O propagates as itself
+        case e @ (_: org.apache.spark.sql.AnalysisException |
+                  _: java.util.NoSuchElementException) =>
+          throw new IllegalStateException(
+            s"graft_index.$table has no readable _meta — nothing verified to " +
+              "append to. Run ensureSimhashIndex to build first.", e)
+      }
+    require(stored.getLong(0) == base._1 && stored.getLong(1) == base._2,
+      s"appendToSimhashIndex($table): resident _meta (n=${stored.getLong(0)}, " +
+        s"fp=${stored.getLong(1)}) does not match the expected base " +
+        s"(n=${base._1}, fp=${base._2}) — the index is poisoned, mid-append, " +
+        "or built from a different corpus. Appending would duplicate or " +
+        "orphan pairs; run ensureSimhashIndex to rebuild instead.")
     val resident =
       try s.read.parquet(P.location(s, table, "_sigs"))
         .select($"doc_id", $"simhash")
@@ -1037,7 +1070,7 @@ object Documents {
         val (bn, bfp) = graft.QueryHelpers.docsFingerprint(base)
         ensureSimhashIndexFor(s, base, table, Seq("n" -> bn, "fp" -> bfp))
         val path = appendToSimhashIndex(s, docs.filter($"doc_id" % 3 === 0),
-          table, graft.QueryHelpers.docsFingerprint(docs))
+          table, (bn, bfp), graft.QueryHelpers.docsFingerprint(docs))
         s.read.parquet(path)
           .agg(count(lit(1)).cast("long").as("n_pairs"),
             coalesce(sum($"hamming"), lit(0L)).cast("long").as("sum_hamming"))

@@ -77,6 +77,13 @@ object PersistedIndex {
       case _: org.apache.spark.sql.AnalysisException => false
       case _: java.util.NoSuchElementException => false
       case _: java.io.FileNotFoundException => false
+      // the vanished-between-listing-and-read race surfaces driver-side
+      // as FileNotFoundException but EXECUTOR-side wrapped in a
+      // SparkException — walk the cause chain so that shape also maps
+      // to stale, while other wrapped faults still propagate
+      case e: org.apache.spark.SparkException
+          if Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null)
+            .take(8).exists(_.isInstanceOf[java.io.FileNotFoundException]) => false
     })
     if (!fresh) {
       CoLocated.clearTable(s, Database, s"${table}_meta")

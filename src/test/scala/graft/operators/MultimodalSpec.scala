@@ -105,7 +105,7 @@ class MultimodalSpec extends SparkSpec {
     val e = intercept[IllegalStateException] {
       Multimodal.phashPairs(spark, dir2, maxBandBucket = 100L).count()
     }
-    assert(e.getMessage.contains("band bucket holds 200"))
+    assert(e.getMessage.contains("holds 200 blobs"))
     assert(e.getMessage.contains("raise maxBandBucket"))
     graft.CacheRegistry.unpersistAll()
   }

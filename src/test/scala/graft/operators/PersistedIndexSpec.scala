@@ -141,6 +141,155 @@ class PersistedIndexSpec extends SparkSpec {
     graft.CacheRegistry.unpersistAll()
   }
 
+  // ---- appendToSimhashIndex (d11 surface) ------------------------------
+  // The fixtures below pin the claims the append scaladoc makes: resident
+  // files byte-identical across an append, overlap/base-mismatch/poison
+  // refusals, the poison-first crash window, and the old-layout migration
+  // error.
+
+  private val baseDocs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (1L, "alpha beta gamma delta epsilon zeta eta iota"),
+    (2L, "one two three four five six seven eight"),
+    (3L, "totally different words nine ten eleven twelve"))
+  // doc 10 exactly duplicates doc 0 (guaranteed CROSS pair at hamming 0);
+  // doc 11 exactly duplicates doc 10 (guaranteed WITHIN-DELTA pair)
+  private val deltaDocs = Seq(
+    (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (12L, "wholly unrelated thirteen fourteen fifteen sixteen"))
+
+  /** Relative path → (size, md5) of every regular file under `loc` — the
+    * byte-for-byte witness for "append adds files, never rewrites". */
+  private def fileSnapshot(loc: String): Map[String, (Long, String)] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(new java.net.URI(loc).getPath)
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .map { p =>
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        root.relativize(p).toString -> (bytes.length.toLong, md5)
+      }.toMap
+  }
+
+  test("append: resident _pairs/_sigs files untouched byte-for-byte; result == full rebuild") {
+    graft.CacheRegistry.unpersistAll()
+    val P = graft.plans.PersistedIndex
+    val base = baseDocs.toDF("doc_id", "text")
+    val delta = deltaDocs.toDF("doc_id", "text")
+    val bm = graft.QueryHelpers.docsFingerprint(base)
+    val gm = graft.QueryHelpers.docsFingerprint(base.unionByName(delta))
+    Documents.ensureSimhashIndexFor(spark, base, "apx_bytes",
+      Seq("n" -> bm._1, "fp" -> bm._2), force = true)
+    val pairsBefore = fileSnapshot(P.location(spark, "apx_bytes", "_pairs"))
+    val sigsBefore = fileSnapshot(P.location(spark, "apx_bytes", "_sigs"))
+    val loc = Documents.appendToSimhashIndex(spark, delta, "apx_bytes", bm, gm)
+    val pairsAfter = fileSnapshot(P.location(spark, "apx_bytes", "_pairs"))
+    val sigsAfter = fileSnapshot(P.location(spark, "apx_bytes", "_sigs"))
+    for ((before, after, what) <- Seq((pairsBefore, pairsAfter, "_pairs"),
+                                      (sigsBefore, sigsAfter, "_sigs"))) {
+      before.foreach { case (rel, sig) =>
+        assert(after.get(rel).contains(sig),
+          s"$what resident file $rel was rewritten or removed by the append") }
+      assert(after.size > before.size, s"$what append must add new files")
+    }
+    // grown fingerprint stamped last → a same-meta ensure now SKIPS
+    val served = spark.read.parquet(loc)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served.contains((0L, 10L, 0L)), "cross resident×delta pair missing")
+    assert(served.contains((10L, 11L, 0L)), "within-delta pair missing")
+    // append ∪ resident EQUALS a forced full rebuild on the grown corpus
+    Documents.ensureSimhashIndexFor(spark, base.unionByName(delta), "apx_full",
+      Seq("n" -> gm._1, "fp" -> gm._2), force = true)
+    val full = spark.read.parquet(P.location(spark, "apx_full", "_pairs"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served == full, "append-then-serve must equal a full rebuild")
+    graft.CacheRegistry.unpersistAll()
+  }
+
+  test("append refuses doc_ids that overlap the indexed corpus") {
+    graft.CacheRegistry.unpersistAll()
+    val base = baseDocs.toDF("doc_id", "text")
+    val bm = graft.QueryHelpers.docsFingerprint(base)
+    Documents.ensureSimhashIndexFor(spark, base, "apx_overlap",
+      Seq("n" -> bm._1, "fp" -> bm._2), force = true)
+    val overlapping = Seq((0L, "same id as a resident doc")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Documents.appendToSimhashIndex(spark, overlapping, "apx_overlap",
+        bm, (bm._1 + 1, 12345L))
+    }
+    assert(e.getMessage.contains("overlap"))
+    graft.CacheRegistry.unpersistAll()
+  }
+
+  test("append refuses a base-fingerprint mismatch and the poison sentinel") {
+    graft.CacheRegistry.unpersistAll()
+    val P = graft.plans.PersistedIndex
+    val base = baseDocs.toDF("doc_id", "text")
+    val delta = deltaDocs.toDF("doc_id", "text")
+    val bm = graft.QueryHelpers.docsFingerprint(base)
+    val gm = graft.QueryHelpers.docsFingerprint(base.unionByName(delta))
+    Documents.ensureSimhashIndexFor(spark, base, "apx_basechk",
+      Seq("n" -> bm._1, "fp" -> bm._2), force = true)
+    // wrong base: the caller thinks the index was built from another corpus
+    val e1 = intercept[IllegalArgumentException] {
+      Documents.appendToSimhashIndex(spark, delta, "apx_basechk",
+        (bm._1, bm._2 + 1), gm)
+    }
+    assert(e1.getMessage.contains("does not match the expected base"))
+    // poison sentinel: a crashed prior append left _meta at -1 — a RETRY
+    // must refuse (appending again would duplicate pairs durably),
+    // directing the caller to the rebuilding ensure
+    P.poison(spark, "apx_basechk", Seq("n", "fp"))
+    val e2 = intercept[IllegalArgumentException] {
+      Documents.appendToSimhashIndex(spark, delta, "apx_basechk", bm, gm)
+    }
+    assert(e2.getMessage.contains("ensureSimhashIndex"))
+    graft.CacheRegistry.unpersistAll()
+  }
+
+  test("poison-first crash window: next ensure rebuilds instead of fingerprint-matching") {
+    graft.CacheRegistry.unpersistAll()
+    val P = graft.plans.PersistedIndex
+    val base = baseDocs.toDF("doc_id", "text")
+    val bm = graft.QueryHelpers.docsFingerprint(base)
+    val meta = Seq("n" -> bm._1, "fp" -> bm._2)
+    val loc = Documents.ensureSimhashIndexFor(spark, base, "apx_crash", meta,
+      force = true)
+    val built = maxMtime(loc)
+    Thread.sleep(1100)
+    // same meta, fresh artifact: ensure must skip
+    Documents.ensureSimhashIndexFor(spark, base, "apx_crash", meta)
+    assert(maxMtime(loc) == built, "fresh index must not be rewritten")
+    // simulate a crash INSIDE the append window (after poison, before
+    // stamp): _meta holds the sentinel, artifact tables are suspect
+    P.poison(spark, "apx_crash", Seq("n", "fp"))
+    Documents.ensureSimhashIndexFor(spark, base, "apx_crash", meta)
+    assert(maxMtime(loc) > built,
+      "poisoned meta must force a rebuild on the next ensure")
+    graft.CacheRegistry.unpersistAll()
+  }
+
+  test("append on a pre-_sigs layout raises the migration error") {
+    graft.CacheRegistry.unpersistAll()
+    val P = graft.plans.PersistedIndex
+    val base = baseDocs.toDF("doc_id", "text")
+    val delta = deltaDocs.toDF("doc_id", "text")
+    val bm = graft.QueryHelpers.docsFingerprint(base)
+    val gm = graft.QueryHelpers.docsFingerprint(base.unionByName(delta))
+    // a pre-aux artifact: pairs + meta written by the OLD protocol (no
+    // _sigs) — exactly what a pre-r13 build left on disk
+    P.ensure(spark, "apx_oldlayout", Seq("n" -> bm._1, "fp" -> bm._2),
+      force = true)(Seq((0L, 1L, 0L)).toDF("doc_a", "doc_b", "hamming"))
+    val e = intercept[IllegalStateException] {
+      Documents.appendToSimhashIndex(spark, delta, "apx_oldlayout", bm, gm)
+    }
+    assert(e.getMessage.contains("predates the appendable layout"))
+    graft.CacheRegistry.unpersistAll()
+  }
+
   test("d04 serve equals the in-query compute it replaced (index round-trip)") {
     val dir = java.nio.file.Files.createTempDirectory("simrt").toString
     corpus(dir)
