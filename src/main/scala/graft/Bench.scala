@@ -154,6 +154,16 @@ object Bench {
     // the quadratic slice to subtract when reading scaling shape.
     val anchorNames = Set("v04_cosine_neardup")
     val anchorsS = medians.collect { case (k, v) if anchorNames(k) => v }.sum
+    // Builder-class rows, reported on their own line for the same reason:
+    // d00/m00 force a full persisted-index rebuild per rep (the named-
+    // builder contract) and d11/m09 deliberately re-pay build+append per
+    // rep so each rep is self-contained — their cost tracks corpus size,
+    // not serve-path health. `value` keeps summing everything; subtract
+    // `builders_s` (and `anchors_s`) to read the steady-state serve band
+    // across rounds/SFs.
+    val builderNames = Set("d00_build_simhash_index", "m00_build_phash_index",
+      "d11_simhash_index_append", "m09_media_index_append")
+    val buildersS = medians.collect { case (k, v) if builderNames(k) => v }.sum
     val qs = qmap(medians)
     val qsMin = qmap(results.map { case (k, ts, _) => k -> ts.min })
     val qsFirst = qmap(results.map { case (k, ts, _) => k -> ts.head })
@@ -182,14 +192,17 @@ object Bench {
         "inside each pass; heap_max_mb is the JVM -Xmx cap. anchors_s = " +
         "the shared-median sum of the disclosed by-contract-quadratic " +
         "anchors (v04_cosine_neardup) — subtract from value when reading " +
-        "kernel scaling shape; value - anchors_s is the linear-kernel total.")
+        "kernel scaling shape; value - anchors_s is the linear-kernel total. " +
+        "builders_s = the shared-median sum of the builder-class rows " +
+        "(d00/m00 named index builders, d11/m09 build+append-per-rep) — " +
+        "value - anchors_s - builders_s is the steady-state serve-band total.")
     // Field order is deliberate: the bulky per-query maps FIRST, the
     // totals/GC/heap summary LAST. The driver's artifact capture keeps
     // only the tail of stdout (BENCH_r06 lost q01-q21 and the total to a
     // 2000-char cap), so whatever must always survive goes at the end of
     // the line. The complete JSON is also written to BENCH_full.json in
     // the repo so the official artifact never depends on capture size.
-    val line = s"""{"metric":"total","unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_first":$qsFirst$iso$errs,"notes":$notes,"sf":${util.Json.quote(sfDir)},"reps":$reps,"gc_ms_shared":$gcShared,"gc_ms_isolated":$gcIso,"heap_max_mb":$heapMaxMb,"anchors_s":$anchorsS,"value_first":$totalFirst,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_first":$qsFirst$iso$errs,"notes":$notes,"sf":${util.Json.quote(sfDir)},"reps":$reps,"gc_ms_shared":$gcShared,"gc_ms_isolated":$gcIso,"heap_max_mb":$heapMaxMb,"anchors_s":$anchorsS,"builders_s":$buildersS,"value_first":$totalFirst,"value":$total}"""
     // anchor the artifact to the repo (the sbt project dir that forked
     // this JVM, exported as SPARK_GRAFT_REPO in build.sbt), not the
     // process cwd — a bench launched from elsewhere must not drop the
@@ -218,7 +231,7 @@ object Bench {
     // full line and BENCH_full.json. Printed twice (before the full line
     // and again last, after spark.stop() so shutdown logging cannot trail
     // it) so at least one copy sits inside the captured tail.
-    val compact = s"""{"metric":"total","unit":"sec","value":${math.rint(total * 1000) / 1000},"value_first":${math.rint(totalFirst * 1000) / 1000},"sf":${util.Json.quote(sfDir)},"anchors_s":${math.rint(anchorsS * 1000) / 1000},"reps":$reps,"queries_n":${results.size},"coupled_n":${isolated.size},"errors_n":${failures.size},"full":${util.Json.quote(defaultName)}}"""
+    val compact = s"""{"metric":"total","unit":"sec","value":${math.rint(total * 1000) / 1000},"value_first":${math.rint(totalFirst * 1000) / 1000},"sf":${util.Json.quote(sfDir)},"anchors_s":${math.rint(anchorsS * 1000) / 1000},"builders_s":${math.rint(buildersS * 1000) / 1000},"reps":$reps,"queries_n":${results.size},"coupled_n":${isolated.size},"errors_n":${failures.size},"full":${util.Json.quote(defaultName)}}"""
     val basePath = sys.env.get("SPARK_GRAFT_BENCH_FULL").map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_REPO", "."), defaultName))

@@ -194,7 +194,7 @@ object Multimodal {
   val MaxBandBucket: Long = 1L << 16
 
   private val phashPairsMemo = new java.util.concurrent.atomic.AtomicReference[
-    (String, SparkSession, Long, (Long, Long), DataFrame)]()
+    (String, SparkSession, Long, (Long, Long, Long), DataFrame)]()
 
   /** Serve-path entry for the verified media pair set: fingerprint the
     * corpus (one map-side scan, every call — staleness is decided by
@@ -203,12 +203,12 @@ object Multimodal {
     * the SAME retained frame while the fingerprint holds (m06's CC memo
     * keys on object identity; a changed corpus yields a new frame, so
     * the CC recomputes). The expensive decode→collapse→hash→banded-
-    * verify build lives in [[phashPairsCompute]] and its cost in the
+    * verify build lives in [[mediaBuild]] and its cost in the
     * m00 builder row — the [[Embeddings.buildPqIndex]] "train rarely,
     * serve from artifacts" split applied to the media family. */
   private[operators] def phashPairs(s: SparkSession, dir: String,
       maxBandBucket: Long = MaxBandBucket): DataFrame = {
-    val nfp = graft.QueryHelpers.docsFingerprint(tbl(s, dir, "documents"))
+    val nfp = graft.QueryHelpers.docsFingerprintMax(tbl(s, dir, "documents"))
     val memo = phashPairsMemo.get()
     if (memo != null && memo._1 == dir && (memo._2 eq s) &&
       memo._3 == maxBandBucket && memo._4 == nfp && !s.sparkContext.isStopped &&
@@ -242,26 +242,41 @@ object Multimodal {
     out
   }
 
+  /** The media index's freshness tuple: corpus fingerprint, the
+    * band-bucket gate the build ran under (a different bound is a
+    * different build contract, so it rebuilds rather than serving an
+    * artifact gated differently), and the corpus MAX doc_id — persisted
+    * because [[appendToMediaIndex]]'s order contract must be checked
+    * against the whole resident corpus, not just the representatives
+    * `_sigs` retains (a collapsed duplicate's id never reaches `_sigs`
+    * but still bounds what a later delta may reuse). */
+  def mediaMeta(nfp: (Long, Long, Long), maxBandBucket: Long): Seq[(String, Long)] =
+    Seq("n" -> nfp._1, "fp" -> nfp._2, "gate" -> maxBandBucket, "maxid" -> nfp._3)
+
   /** Build-once persisted media near-dup index — the shared
-    * [[graft.plans.PersistedIndex]] protocol with the freshness tuple
-    * (corpus fingerprint + the band-bucket gate the build ran under: a
-    * different gate bound is a different build contract, so it rebuilds
-    * rather than serving an artifact gated differently). `force` is the
-    * named-builder path (m00): always rebuild, so the bench attributes
-    * the build cost to its own row instead of whichever serve query
-    * runs first. Single-writer contract: see [[graft.plans
-    * .PersistedIndex]]. */
+    * [[graft.plans.PersistedIndex]] protocol with the [[mediaMeta]]
+    * freshness tuple. `force` is the named-builder path (m00): always
+    * rebuild, so the bench attributes the build cost to its own row
+    * instead of whichever serve query runs first. Single-writer
+    * contract: see [[graft.plans.PersistedIndex]]. */
   def ensureMediaIndex(s: SparkSession, dir: String, force: Boolean = false,
       maxBandBucket: Long = MaxBandBucket): String =
     ensureMediaIndexFp(s, dir, force, maxBandBucket,
-      graft.QueryHelpers.docsFingerprint(tbl(s, dir, "documents")))
+      graft.QueryHelpers.docsFingerprintMax(tbl(s, dir, "documents")))
 
   private def ensureMediaIndexFp(s: SparkSession, dir: String, force: Boolean,
-      maxBandBucket: Long, nfp: (Long, Long)): String =
-    graft.plans.PersistedIndex.ensure(s,
+      maxBandBucket: Long, nfp: (Long, Long, Long)): String =
+    mediaBuild(s, tbl(s, dir, "documents"),
       "media_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_"),
-      Seq("n" -> nfp._1, "fp" -> nfp._2, "gate" -> maxBandBucket),
-      force)(phashPairsCompute(s, dir, maxBandBucket))
+      mediaMeta(nfp, maxBandBucket), force, maxBandBucket)
+
+  /** [[ensureMediaIndex]] over an explicit docs frame and table name —
+    * the build half of the m09 incremental-maintenance pair (the
+    * [[graft.operators.Documents.ensureSimhashIndexFor]] shape). */
+  def ensureMediaIndexFor(s: SparkSession, docs: DataFrame, table: String,
+      meta: Seq[(String, Long)], force: Boolean = false,
+      maxBandBucket: Long = MaxBandBucket): String =
+    mediaBuild(s, docs, table, meta, force, maxBandBucket)
 
   /** The aHash core over the 8×8 canonical grid: truncate/pad the
     * payload to 64 bytes ([[resize]]'s contract) and set bit i when
@@ -398,16 +413,144 @@ object Multimodal {
     phashKernel(phashBandRows(sigs))
   }
 
-  private def phashPairsCompute(s: SparkSession, dir: String,
-      maxBandBucket: Long): DataFrame = {
-    // retained: the banded kernel, the gate and the _sigs aux write all
-    // read the hash frame (same reason d04 retains `neardup.simhash`) —
-    // without it the encode-UDF + decode + collapse + hash pipeline
-    // executes once per consumer
-    val hashed = graft.CacheRegistry.retain("media.phash",
-      phashSigsOf(tbl(s, dir, "documents")))
-    phashVerify(hashed, maxBandBucket, "build")
+  /** Shared build body for the dir-keyed and frame-keyed ensures —
+    * verified pairs in `_pairs` plus the per-representative signature
+    * history in the `_sigs` aux (what [[appendToMediaIndex]] probes). */
+  private def mediaBuild(s: SparkSession, docs: DataFrame, table: String,
+      meta: Seq[(String, Long)], force: Boolean, maxBandBucket: Long): String = {
+    // Evaluated only when the ensure decides to BUILD:
+    lazy val hashed = {
+      // the decode→collapse→hash plan is rooted on the documents scan,
+      // so a warm "media.phash" entry from a PRE-rewrite corpus would
+      // plan-match (rootPath equality) and the rebuild would persist
+      // stale signatures under the new fingerprint — the simhashBuild
+      // staleness class; release unconditionally before hashing
+      graft.CacheRegistry.release("media.phash")
+      // retained: the banded kernel, the gate and the _sigs aux write
+      // all read the hash frame (same reason d04 retains
+      // `neardup.simhash`) — without it the encode-UDF + decode +
+      // collapse + hash pipeline executes once per consumer
+      graft.CacheRegistry.retain("media.phash", phashSigsOf(docs))
+    }
+    graft.plans.PersistedIndex.ensureWith(s, table, meta, force,
+      aux = Seq("_sigs" -> (() => hashed)))(
+      phashVerify(hashed, maxBandBucket, "build"))
   }
+
+  /** Incremental append for the persisted media index —
+    * [[graft.operators.Documents.appendToSimhashIndex]]'s discipline
+    * with the two media-specific twists:
+    *
+    *   - ORDER contract instead of plain disjointness: representatives
+    *     are the MIN doc_id of each byte-identical payload group, so an
+    *     append is sound only when every new doc_id exceeds the whole
+    *     resident corpus's max (else a new duplicate could displace a
+    *     resident representative, which would require rewriting resident
+    *     pair rows). Checked against the `maxid` the build persisted in
+    *     `_meta` — monotone ids are the natural shape of daily ingest.
+    *   - byte-identical ABSORPTION: a new blob whose md5 matches a
+    *     resident representative collapses into it exactly as the full
+    *     rebuild would — it mints no rep, no pairs, and no `_sigs` row.
+    *
+    * Validation (base-meta match, order check, band gate on the MERGED
+    * band profile — resident reps ∪ fresh delta reps, exactly the grown
+    * corpus's rep set, so a refusal here equals the rebuild's refusal)
+    * all happens BEFORE the poison, so a refused append leaves the
+    * resident index fresh. Then: poison `_meta` first, append the
+    * cross (resident×delta, delta broadcast) and within-delta verified
+    * pairs plus the fresh-rep `_sigs` rows — resident files untouched,
+    * pinned byte-for-byte in PersistedIndexSpec — and stamp the grown
+    * meta LAST. Under the contract, appended ∪ resident EQUALS a full
+    * rebuild on the grown corpus (each stratum keeps the pigeonhole
+    * argument; absorption reproduces the rebuild's collapse). At 100 TB
+    * with daily media ingest this replaces the dominant recurring cost
+    * (a full m00 decode→hash→verify rebuild per batch) with work
+    * proportional to the delta. */
+  def appendToMediaIndex(s: SparkSession, newDocs: DataFrame, table: String,
+      base: Seq[(String, Long)], grown: Seq[(String, Long)],
+      maxBandBucket: Long = MaxBandBucket): String = {
+    import s.implicits._
+    val P = graft.plans.PersistedIndex
+    // same plan-match staleness class as the build: the delta's hash
+    // plan could substitute a warm pre-rewrite cache entry
+    graft.CacheRegistry.release("media.phash")
+    val stored =
+      try s.read.parquet(P.location(s, table, "_meta"))
+        .select(base.map(m => col(m._1)): _*).head()
+      catch {
+        case e @ (_: org.apache.spark.sql.AnalysisException |
+                  _: java.util.NoSuchElementException) =>
+          throw new IllegalStateException(
+            s"graft_index.$table has no readable _meta with the appendable " +
+              "layout (n, fp, gate, maxid) — nothing verified to append to. " +
+              "Run ensureMediaIndex to build/migrate first.", e)
+      }
+    require(base.indices.forall(i => stored.getLong(i) == base(i)._2),
+      s"appendToMediaIndex($table): resident _meta " +
+        s"(${base.map(_._1).zipWithIndex.map { case (n, i) => s"$n=${stored.getLong(i)}" }.mkString(", ")}) " +
+        s"does not match the expected base (${base.map { case (n, v) => s"$n=$v" }.mkString(", ")}) " +
+        "— the index is poisoned, mid-append, or built from a different " +
+        "corpus/gate. Run ensureMediaIndex to rebuild instead.")
+    val baseMaxId = base.collectFirst { case ("maxid", v) => v }.getOrElse(
+      throw new IllegalArgumentException(
+        s"appendToMediaIndex($table): base meta carries no maxid — build with " +
+          "mediaMeta/ensureMediaIndex so the order contract is checkable"))
+    val resident =
+      try s.read.parquet(P.location(s, table, "_sigs"))
+        .select($"doc_id", $"md5", $"h0", $"h1")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"graft_index.$table has no persisted signature table — it predates " +
+              "the appendable layout. Run ensureMediaIndex once to migrate " +
+              "(the freshness probe requires _sigs and will rebuild).", e)
+      }
+    // order contract over ALL new docs (not just the reps the collapse
+    // keeps): a sub-maxid duplicate would displace a resident rep
+    val minNew = newDocs.agg(min(col("doc_id"))).head().get(0)
+    if (minNew == null) return P.location(s, table, "_pairs") // empty delta: no-op
+    require(minNew.asInstanceOf[Long] > baseMaxId,
+      s"appendToMediaIndex($table): delta min doc_id $minNew is not above the " +
+        s"resident corpus max $baseMaxId — media reps are min-doc_id per " +
+        "payload group, so out-of-order ingest would displace resident " +
+        "representatives; rebuild with ensureMediaIndex instead")
+    val newSigs = phashSigsOf(newDocs).localCheckpoint()
+    try {
+      // absorption: md5 matches collapse into the resident rep (no new
+      // rep, no pairs — the rebuild's collapse, reproduced); only
+      // genuinely new payloads survive as fresh reps
+      val freshNew = newSigs.join(broadcast(
+          newSigs.select($"md5").intersect(resident.select($"md5"))),
+          Seq("md5"), "left_anti").localCheckpoint()
+      try {
+        // gate BEFORE poison, on the merged profile == grown corpus reps
+        phashGate(phashBandRows(resident.unionByName(freshNew.select(
+          $"doc_id", $"md5", $"h0", $"h1"))), maxBandBucket, "append")
+        P.poison(s, table, base.map(_._1))
+        val resBand = phashBandRows(resident).toDF("bi", "bv", "doc_id", "h0", "h1")
+        val newBand = phashBandRows(freshNew).toDF("bi", "bv", "doc_id", "h0", "h1")
+        val cross = resBand.as("x").join(broadcast(newBand).as("y"),
+            col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+            (bitCountLong(col("x.h0").bitwiseXOR(col("y.h0"))) +
+              bitCountLong(col("x.h1").bitwiseXOR(col("y.h1")))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 6)
+        P.appendTable(cross.unionByName(
+            phashKernel(phashBandRows(freshNew))
+              .select(col("doc_a"), col("doc_b"), col("hamming"))),
+          table, "_pairs")
+        P.appendTable(freshNew.select($"doc_id", $"md5", $"h0", $"h1"),
+          table, "_sigs")
+        P.stamp(s, table, grown)
+      } finally freshNew.unpersist(false)
+    } finally newSigs.unpersist(false)
+    P.location(s, table, "_pairs")
+  }
+
+  private def bitCountLong(c: org.apache.spark.sql.Column) =
+    bit_count(c).cast("long")
 
   /** Shared m05/m06 oracle prolog (no leading WITH): closed-form
     * container arithmetic (code point % 128 = the decoded byte,
@@ -826,6 +969,46 @@ object Multimodal {
                 CAST(SUM(nb) OVER (PARTITION BY kind ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nb AS BIGINT) // 4096 AS shard_id
               FROM media)
-        GROUP BY kind, shard_id ORDER BY kind, shard_id"""))
+        GROUP BY kind, shard_id ORDER BY kind, shard_id""")),
+
+    QueryDef("m09_media_index_append",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // incremental pair-index maintenance for the MEDIA family under
+        // the hash gate — d11's discipline with the media twists: the
+        // split is by doc_id ORDER (base = low 2/3 of the id range,
+        // delta = the rest) because media reps are min-doc_id per
+        // payload group, so only an id-above delta is appendable
+        // (monotone ingest — the order contract appendToMediaIndex
+        // enforces via the persisted maxid); and the natural exact
+        // duplicates the documents table carries across the cut
+        // exercise ABSORPTION (delta blobs byte-identical to a resident
+        // rep collapse into it, minting no rep and no pairs). The
+        // oracle is IDENTICAL to m00's full-corpus reconstruction —
+        // append-then-serve must be indistinguishable from a full
+        // rebuild. Not forced: rep 1 leaves _meta at the GROWN
+        // fingerprint, so the base ensure is stale on every rep and
+        // deterministically rebuilds — each rep pays build + append,
+        // self-contained like d00/d11 (builder-class cost, reported
+        // under the builders_s field like d00/d11/m00).
+        val docs = tbl(s, dir, "documents")
+        val table = "mediaapp_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+        val (mn, mx) = docs.agg(min($"doc_id"), max($"doc_id"))
+          .as[(Long, Long)].head()
+        val cut = mn + (mx - mn) * 2 / 3
+        val base = docs.filter($"doc_id" <= cut)
+        val bm = mediaMeta(graft.QueryHelpers.docsFingerprintMax(base), MaxBandBucket)
+        ensureMediaIndexFor(s, base, table, bm)
+        val path = appendToMediaIndex(s, docs.filter($"doc_id" > cut), table,
+          bm, mediaMeta(graft.QueryHelpers.docsFingerprintMax(docs), MaxBandBucket))
+        s.read.parquet(path)
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            coalesce(sum($"hamming"), lit(0L)).cast("long").as("sum_hamming"))
+      },
+      Some(s"""WITH $MediaHashCtes,
+          $MediaPairsCtes
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(hamming), 0) AS BIGINT) AS sum_hamming
+        FROM mpairs"""))
   )
 }

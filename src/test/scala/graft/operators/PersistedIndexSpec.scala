@@ -290,6 +290,88 @@ class PersistedIndexSpec extends SparkSpec {
     graft.CacheRegistry.unpersistAll()
   }
 
+  // ---- appendToMediaIndex (m09 surface) --------------------------------
+
+  test("media append: absorption, resident files untouched, result == full rebuild") {
+    graft.CacheRegistry.unpersistAll()
+    val P = graft.plans.PersistedIndex
+    val base = baseDocs.toDF("doc_id", "text")
+    // doc 10 is byte-identical (same text → same decoded body) to doc 0:
+    // it must ABSORB into the resident representative — no new rep, no
+    // pairs, no _sigs row. Doc 11 is a genuinely new payload.
+    val mdelta = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "a wholly new media payload body here")).toDF("doc_id", "text")
+    val grown = base.unionByName(mdelta)
+    val bm = Multimodal.mediaMeta(
+      graft.QueryHelpers.docsFingerprintMax(base), Multimodal.MaxBandBucket)
+    val gm = Multimodal.mediaMeta(
+      graft.QueryHelpers.docsFingerprintMax(grown), Multimodal.MaxBandBucket)
+    Multimodal.ensureMediaIndexFor(spark, base, "mapx_bytes", bm, force = true)
+    val pairsBefore = fileSnapshot(P.location(spark, "mapx_bytes", "_pairs"))
+    val sigsBefore = fileSnapshot(P.location(spark, "mapx_bytes", "_sigs"))
+    val nSigsBefore = spark.read.parquet(P.location(spark, "mapx_bytes", "_sigs")).count()
+    val loc = Multimodal.appendToMediaIndex(spark, mdelta, "mapx_bytes", bm, gm)
+    val pairsAfter = fileSnapshot(P.location(spark, "mapx_bytes", "_pairs"))
+    val sigsAfter = fileSnapshot(P.location(spark, "mapx_bytes", "_sigs"))
+    for ((before, after, what) <- Seq((pairsBefore, pairsAfter, "_pairs"),
+                                      (sigsBefore, sigsAfter, "_sigs")))
+      before.foreach { case (rel, sig) =>
+        assert(after.get(rel).contains(sig),
+          s"$what resident file $rel was rewritten or removed by the append") }
+    // absorption: exactly ONE fresh rep (doc 11); doc 10 minted nothing
+    val sigs = spark.read.parquet(P.location(spark, "mapx_bytes", "_sigs"))
+    assert(sigs.count() == nSigsBefore + 1)
+    assert(sigs.filter($"doc_id" === 10L).count() == 0,
+      "byte-identical delta blob must absorb into its resident rep")
+    val served = spark.read.parquet(loc).as[(Long, Long, Long)].collect().toSet
+    assert(!served.exists(p => p._1 == 10L || p._2 == 10L),
+      "absorbed blobs mint no pairs (the rebuild's collapse, reproduced)")
+    // append ∪ resident EQUALS a forced full rebuild on the grown corpus
+    Multimodal.ensureMediaIndexFor(spark, grown, "mapx_full", gm, force = true)
+    val full = spark.read.parquet(P.location(spark, "mapx_full", "_pairs"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served == full, "append-then-serve must equal a full rebuild")
+    graft.CacheRegistry.unpersistAll()
+  }
+
+  test("media append refuses out-of-order deltas, poisoned meta, and old layouts") {
+    graft.CacheRegistry.unpersistAll()
+    val P = graft.plans.PersistedIndex
+    val base = baseDocs.toDF("doc_id", "text")
+    val bm = Multimodal.mediaMeta(
+      graft.QueryHelpers.docsFingerprintMax(base), Multimodal.MaxBandBucket)
+    Multimodal.ensureMediaIndexFor(spark, base, "mapx_ord", bm, force = true)
+    // order contract: a delta id at-or-below the resident max could
+    // displace a min-doc_id representative — refuse (subsumes overlap)
+    val low = Seq((2L, "an id below the resident max")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.appendToMediaIndex(spark, low, "mapx_ord", bm,
+        bm.map { case (n, v) => (n, v + 1) })
+    }
+    assert(e1.getMessage.contains("not above the resident corpus max"))
+    // poison sentinel: a crashed prior append must send the retry to the
+    // rebuilding ensure, never to a second (duplicating) append
+    val high = Seq((20L, "a fresh id-above delta")).toDF("doc_id", "text")
+    P.poison(spark, "mapx_ord", bm.map(_._1))
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.appendToMediaIndex(spark, high, "mapx_ord", bm,
+        bm.map { case (n, v) => (n, v + 1) })
+    }
+    assert(e2.getMessage.contains("ensureMediaIndex"))
+    // pre-appendable layout (no maxid in _meta, no _sigs): the probe
+    // can't verify the order contract — refuse with the migration hint
+    P.ensure(spark, "mapx_old", Seq("n" -> 4L, "fp" -> 7L, "gate" -> 65536L),
+      force = true)(Seq((0L, 1L, 0L)).toDF("doc_a", "doc_b", "hamming"))
+    val e3 = intercept[IllegalStateException] {
+      Multimodal.appendToMediaIndex(spark, high, "mapx_old",
+        Seq("n" -> 4L, "fp" -> 7L, "gate" -> 65536L, "maxid" -> 3L),
+        Seq("n" -> 5L, "fp" -> 9L, "gate" -> 65536L, "maxid" -> 20L))
+    }
+    assert(e3.getMessage.contains("appendable layout"))
+    graft.CacheRegistry.unpersistAll()
+  }
+
   test("d04 serve equals the in-query compute it replaced (index round-trip)") {
     val dir = java.nio.file.Files.createTempDirectory("simrt").toString
     corpus(dir)
