@@ -446,16 +446,25 @@ object Embeddings {
     * cells only, never across the corpus, and each cell further splits
     * into B(B+1)/2 block tasks so per-task memory stays two blocks of
     * ONE cell. Cross-cell pairs are structurally impossible (the group
-    * key carries the cell id; pinned in EmbeddingsSpec). At 100 TB raise
-    * `cells` toward √n — cells bound the quadratic term — and `blocks`
-    * with cell size. Returns survivors as (vec_id, cell).
+    * key carries the cell id; pinned in EmbeddingsSpec).
+    *
+    * `cells <= 0` (the default) derives the count from the corpus via
+    * [[kMeansCells]] — average cell occupancy pinned at 2048, so the
+    * within-cell quadratic stays ~linear in n as the corpus grows (a
+    * FIXED count fattens every cell linearly and the pair kernel
+    * quadratically: measured 5.8 s at 60k → 20.0 s at 128k vectors
+    * under cells=8). The count() that feeds it is a column-pruned scan
+    * the trainer repeats anyway. Pass an explicit positive `cells` only
+    * to pin a shape (tests, cross-query consistency at a known scale).
+    * Returns survivors as (vec_id, cell).
     */
-  def semanticDedup(vectors: DataFrame, cells: Int = 8, iters: Int = 3,
+  def semanticDedup(vectors: DataFrame, cells: Int = 0, iters: Int = 3,
       threshold: Double = 0.45, blocks: Int = 4): DataFrame = {
     require(blocks > 0, s"blocks must be positive, got $blocks")
     val session = vectors.sparkSession
     import session.implicits._
-    val model = kMeansModel(vectors, cells, iters)
+    val k = if (cells > 0) cells else kMeansCells(vectors.count())
+    val model = kMeansModel(vectors, k, iters)
     if (model.isEmpty)
       return Seq.empty[(Long, Long)].toDF("vec_id", "cell")
     val bc = session.sparkContext.broadcast(model)
@@ -482,7 +491,7 @@ object Embeddings {
     // cost twice (same discipline as annTopK/ivfTopK's tagged frames;
     // kernel-rooted plans never sameResult-match, so the registry keeps
     // exactly one live copy per cell count)
-    val assignedDf = graft.CacheRegistry.retain(s"semdedup.assigned.c$cells",
+    val assignedDf = graft.CacheRegistry.retain(s"semdedup.assigned.c$k",
       assigned.toDF("vec_id", "cell", "v", "nrm"))
     val assignedDs = assignedDf.as[(Long, Long, Array[Double], Double)]
     val B = blocks
@@ -623,6 +632,42 @@ object Embeddings {
     while (p < maxPlanes && (targetBucket << p) < n) p += 1
     p
   }
+
+  /** Corpus-sized k-means cell count — [[lshPlanes]]'s treatment for the
+    * TRAINED-cell families: the smallest cell count keeping the average
+    * cell occupancy at most `targetCell` (`ceil(n / targetCell)`, clamped
+    * to `[minCells, maxCells]`). Within-cell kernels ([[semanticDedup]]'s
+    * pair prune) are cell-QUADRATIC, so a fixed cell count silently
+    * degrades toward all-pairs as the corpus grows — per-cell population
+    * is n/cells, total pair work n²/cells; deriving `cells` from `n`
+    * pins occupancy, making total pair work ~`n · targetCell` — linear.
+    * Pure integer arithmetic (one ceil-div + clamp) so a SQL oracle
+    * derives the IDENTICAL count from its own `COUNT(*)`
+    * ([[kMeansCellsSql]]). The floor of 8 preserves the small-corpus
+    * shape (≤ `minCells · targetCell` rows train exactly as before);
+    * above `maxCells · targetCell` rows occupancy grows again — raise
+    * `maxCells` toward √n, or sample the trainer (kMeansModel's note). */
+  def kMeansCells(n: Long, minCells: Int = 8, maxCells: Int = 4096,
+      targetCell: Long = 2048L): Int = {
+    require(minCells >= 1 && maxCells >= minCells,
+      s"bad cell range: $minCells..$maxCells")
+    require(targetCell >= 1, s"targetCell must be positive: $targetCell")
+    math.min(maxCells.toLong,
+      math.max(minCells.toLong, (n + targetCell - 1) / targetCell)).toInt
+  }
+
+  /** The SQL fragment of [[kMeansCells]] — a `cellp` CTE deriving the
+    * identical cell count from `COUNT(*)` over `baseSelect`, integer
+    * arithmetic only (DuckDB `//` is integer floor-div on BIGINT, so
+    * `(n + target-1) // target` is the same ceil-div). Splice as the
+    * first CTE of a derived-cells oracle; the prolog's seed filter then
+    * reads `(SELECT k FROM cellp)`. */
+  private def kMeansCellsSql(minCells: Int, maxCells: Int, targetCell: Long,
+      baseSelect: String): String =
+    s"""cellp AS MATERIALIZED (
+          SELECT CAST(LEAST($maxCells, GREATEST($minCells,
+                   (t.n + ${targetCell - 1}) // $targetCell)) AS BIGINT) AS k
+          FROM (SELECT COUNT(*) AS n FROM ($baseSelect) _cnt) t)"""
 
   /** The SQL fragment of [[lshPlanes]] — a params CTE deriving the
     * identical plane count from `COUNT(*) over `embeddings``, integer
@@ -1265,18 +1310,37 @@ object Embeddings {
     * CTE MATERIALIZED — DuckDB 1.0 re-inlines plain CTEs per reference
     * and the chained rounds re-evaluate combinatorially otherwise
     * (measured 199 s vs 0.46 s, memory-flaky). */
-  private def kMeansPrologSql(suffix: String, cells: Int, baseSelect: String): String = {
+  private def kMeansPrologSql(suffix: String, cells: Int, baseSelect: String): String =
+    kMeansPrologSqlK(suffix, cells.toString, baseSelect)
+
+  /** [[kMeansPrologSql]] with the cell count as a SQL EXPRESSION instead
+    * of an integer literal — the derived-cells form splices
+    * `(SELECT k FROM cellp)` so the oracle's seed filter reads the same
+    * corpus-derived count [[kMeansCells]] computes on the Spark side. */
+  private def kMeansPrologSqlK(suffix: String, kExpr: String, baseSelect: String): String = {
     val body = KMeansPrologTemplate
       .replace("__BASE__", baseSelect)
-      .replace("__K__", cells.toString)
+      .replace("__K__", kExpr)
     if (suffix.isEmpty) body
     else KMeansCteNames.foldLeft(body)((acc, n) =>
       acc.replaceAll("\\b" + n + "\\b", n + suffix))
   }
 
+  private val EmbeddingsBaseSelect: String =
+    "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
   private val KMeansOracleProlog: String =
-    "WITH " + kMeansPrologSql("", 8,
-      "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
+    "WITH " + kMeansPrologSql("", 8, EmbeddingsBaseSelect)
+
+  /** d07's prolog: the same trainer replay with the cell count DERIVED
+    * from COUNT(*) ([[kMeansCells]]'s integer arithmetic, default
+    * bounds), matching `semanticDedup`'s derived default. At the sf0.01
+    * gate (500 vectors) the derived count clamps to the floor of 8, so
+    * this prolog and [[KMeansOracleProlog]] agree there; above
+    * 8 · 2048 vectors they diverge and only this form stays linear. */
+  private val KMeansOraclePrologDerived: String =
+    "WITH " + kMeansCellsSql(8, 4096, 2048L, EmbeddingsBaseSelect) + ",\n        " +
+      kMeansPrologSqlK("", "(SELECT k FROM cellp)", EmbeddingsBaseSelect)
 
   /** Shared DuckDB oracle for v12 and v15: replays the 4 subspace
     * trainers ([[kMeansPrologSql]] once per slice), the corpus encoding,
@@ -2372,15 +2436,19 @@ object Embeddings {
         import s.implicits._
         // SemDeDup composition under the hash gate (r5 verdict #4):
         // [[kMeansModel]] cells + within-cell keep-first cosine pruning
-        // via [[semanticDedup]] — the oracle reuses v09's trainer-replay
-        // prolog (same `corp` assignment) and adds the within-cell pair
+        // via [[semanticDedup]] — the oracle replays the same trainer
+        // CTE chain as v09's prolog and adds the within-cell pair
         // prune, so the cluster AND prune semantics are both DuckDB-
-        // verified. cells=8/iters=3 match v09 (bounds the oracle's 8·n
-        // assignment cross-join); threshold matches v04's 0.45 so the
-        // within-cell prune is exercised by the same near-dup
-        // population v04 finds corpus-wide.
+        // verified. The cell count is CORPUS-DERIVED ([[kMeansCells]],
+        // occupancy pinned at 2048 — the lshPlanes treatment; a fixed
+        // count measured 3.4× slower for 2.13× data at 128k vectors),
+        // and the oracle derives the identical count from COUNT(*)
+        // (`cellp`). At the sf0.01 gate it clamps to 8, v09's shape;
+        // threshold matches v04's 0.45 so the within-cell prune is
+        // exercised by the same near-dup population v04 finds
+        // corpus-wide.
         Embeddings.semanticDedup(based(s, dir),
-            cells = 8, iters = 3, threshold = 0.45, blocks = 4)
+            cells = 0, iters = 3, threshold = 0.45, blocks = 4)
           .orderBy($"vec_id")
       },
       // within-cell pairs score via a per-pair list fold (identical
@@ -2396,7 +2464,7 @@ object Embeddings {
       // materialized the pair CTE and joined norms onto it post-hoc:
       // >100 GB RSS + 35 GB spill, OOM-killed/timed-out in the first
       // sf3 sweep; this form holds bounded memory at any scale factor.
-      Some(KMeansOracleProlog + """,
+      Some(KMeansOraclePrologDerived + """,
         en AS MATERIALIZED (
                  SELECT g.cid, g.cell, b.v, n.nrm
                  FROM corp g JOIN base b ON g.cid = b.vec_id

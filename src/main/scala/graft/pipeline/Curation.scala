@@ -188,7 +188,7 @@ object Curation {
   def pretrainingCorpus(docs: DataFrame, vectors: Option[DataFrame] = None,
       minTokens: Int = 5, minUniqRatio: Double = 0.1, spanK: Int = 8,
       splitThreshold: Double = 0.3, holdoutPm: Long = 100L,
-      cells: Int = 8, iters: Int = 3, semThreshold: Double = 0.45): DataFrame = {
+      cells: Int = 0, iters: Int = 3, semThreshold: Double = 0.45): DataFrame = {
     require(splitThreshold <= 0.5,
       s"splitThreshold ($splitThreshold) must not exceed the 0.5 prune " +
         "threshold: split isolation is the LOOSER net")
@@ -210,12 +210,16 @@ object Curation {
     * so the k-means cells reflect the corpus that actually remains
     * (d07's operator semantics, [[graft.operators.Embeddings
     * .semanticDedup]] — within-cell pruning only, never all-pairs; see
-    * its scaladoc for the 100 TB argument). Split assignment is a pure
+    * its scaladoc for the 100 TB argument). `cells <= 0` (default)
+    * derives the cell count from the survivor corpus size
+    * ([[graft.operators.Embeddings.kMeansCells]] — occupancy pinned, so
+    * the within-cell quadratic stays linear in corpus size).
+    * Split assignment is a pure
     * per-doc hash, so filtering after [[curate]] cannot skew the
     * train/valid/test proportions beyond the docs removed.
     */
   def curateSemantic(docs: DataFrame, vectors: DataFrame,
-      cells: Int = 8, iters: Int = 3, threshold: Double = 0.45,
+      cells: Int = 0, iters: Int = 3, threshold: Double = 0.45,
       minTokens: Int = 5, minUniqRatio: Double = 0.1,
       weights: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
       : DataFrame = {

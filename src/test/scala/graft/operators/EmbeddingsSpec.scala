@@ -739,6 +739,31 @@ class EmbeddingsSpec extends SparkSpec {
       "a cross-cell near-dup's larger member must survive (within-cell-only pruning)")
   }
 
+  test("kMeansCells pins average occupancy: ceil-div, clamped; derived == explicit in semanticDedup") {
+    // integer contract the DuckDB cellp CTE replays: ceil(n/target)
+    // clamped to [min, max]
+    assert(Embeddings.kMeansCells(0) == 8, "empty corpus clamps to the floor")
+    assert(Embeddings.kMeansCells(500) == 8, "sf0.01 corpus stays at the v09 shape")
+    assert(Embeddings.kMeansCells(8 * 2048) == 8, "boundary: exactly min*target stays at min")
+    assert(Embeddings.kMeansCells(8 * 2048 + 1) == 9, "one past the boundary adds a cell")
+    assert(Embeddings.kMeansCells(20000) == 10, "sf1: ceil(20000/2048)")
+    assert(Embeddings.kMeansCells(60000) == 30, "sf3: ceil(60000/2048)")
+    assert(Embeddings.kMeansCells(128000) == 63, "sf6.4: ceil(128000/2048)")
+    assert(Embeddings.kMeansCells(Long.MaxValue / 2) == 4096, "huge corpora clamp to the cap")
+    // the derived default routes through the SAME trainer as an explicit
+    // count — cells=0 must equal cells=kMeansCells(n) row for row
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    val n = vecs.count()
+    val derived = Embeddings.semanticDedup(vecs, iters = 2, threshold = 0.25, blocks = 3)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val explicit = Embeddings.semanticDedup(vecs, cells = Embeddings.kMeansCells(n),
+        iters = 2, threshold = 0.25, blocks = 3)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(derived == explicit && derived.nonEmpty,
+      s"derived default must equal the explicit kMeansCells($n) shape")
+  }
+
   test("p09 cluster-balanced sample: exact per-cell cap, hash-rank membership, replayable") {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
