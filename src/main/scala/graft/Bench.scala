@@ -63,10 +63,13 @@ object Bench {
     // "refusals" — the run stays official (quarantining it would block
     // the sf6.4 artifact forever), while a REAL failure still quarantines.
     var refusals = List.empty[(String, String)]
-    def isRefusal(e: Throwable): Boolean = {
-      val m = Option(e.getMessage).getOrElse("")
-      m.contains("raise maxBandBucket") || m.contains("raise maxRows")
-    }
+    // classify by TYPE, not message text: a genuine bug whose wrapped
+    // message embeds the guidance string must quarantine, not pass as a
+    // designed refusal (r14 advice). Walk the cause chain because a gate
+    // firing inside a forked action arrives wrapped.
+    def isRefusal(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[graft.util.GateRefusal])
     // N consecutive runs per query; the COMMITTED number is the per-query
     // MEDIAN (with min and first-run kept alongside). One-shot timings on
     // this host swing up to 7x run-to-run from page-cache state alone

@@ -829,8 +829,11 @@ object Documents {
         .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
           greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-        .distinct()
+        // filter BEFORE the dedup exchange: non-qualifying band-colliding
+        // candidates dominate in hot buckets and the output set is
+        // identical either way (r14 advice)
         .filter(col("hamming") <= 6)
+        .distinct()
       P.appendTable(cross.unionByName(simhashPairsFrom(newSigs))
         .select(col("doc_a"), col("doc_b"), col("hamming")), table, "_pairs")
       P.appendTable(newSigs.select(col("doc_id"), col("simhash")), table, "_sigs")

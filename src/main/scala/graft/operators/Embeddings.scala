@@ -165,12 +165,13 @@ object Embeddings {
     val session = vectors.sparkSession
     import session.implicits._
     val nRows = vectors.select(col("vec_id")).count()
-    require(nRows <= maxRows,
-      s"cosineNearDupPairs is exact all-pairs: O(n^2) work regardless of block " +
-        s"decomposition. Input has $nRows rows > maxRows=$maxRows. For corpus-scale " +
-        "near-dup use Embeddings.semanticDedup (d07: k-means cells, quadratic within " +
-        "cells only) or Embeddings.annTopK (v02: LSH buckets); raise maxRows only " +
-        "with the quadratic cost explicitly budgeted.")
+    if (nRows > maxRows)
+      throw new graft.util.GateRefusal(
+        s"cosineNearDupPairs is exact all-pairs: O(n^2) work regardless of block " +
+          s"decomposition. Input has $nRows rows > maxRows=$maxRows. For corpus-scale " +
+          "near-dup use Embeddings.semanticDedup (d07: k-means cells, quadratic within " +
+          "cells only) or Embeddings.annTopK (v02: LSH buckets); raise maxRows only " +
+          "with the quadratic cost explicitly budgeted.")
     val t = threshold
     val B = blocks
     val base = vectors.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
@@ -662,7 +663,7 @@ object Embeddings {
     * `(n + target-1) // target` is the same ceil-div). Splice as the
     * first CTE of a derived-cells oracle; the prolog's seed filter then
     * reads `(SELECT k FROM cellp)`. */
-  private def kMeansCellsSql(minCells: Int, maxCells: Int, targetCell: Long,
+  private[operators] def kMeansCellsSql(minCells: Int, maxCells: Int, targetCell: Long,
       baseSelect: String): String =
     s"""cellp AS MATERIALIZED (
           SELECT CAST(LEAST($maxCells, GREATEST($minCells,
@@ -1317,7 +1318,7 @@ object Embeddings {
     * of an integer literal — the derived-cells form splices
     * `(SELECT k FROM cellp)` so the oracle's seed filter reads the same
     * corpus-derived count [[kMeansCells]] computes on the Spark side. */
-  private def kMeansPrologSqlK(suffix: String, kExpr: String, baseSelect: String): String = {
+  private[operators] def kMeansPrologSqlK(suffix: String, kExpr: String, baseSelect: String): String = {
     val body = KMeansPrologTemplate
       .replace("__BASE__", baseSelect)
       .replace("__K__", kExpr)

@@ -282,7 +282,7 @@ object Multimodal {
     * payload to 64 bytes ([[resize]]'s contract) and set bit i when
     * value·64 ≥ sum — factored out so the build and the append hash
     * with identical arithmetic. */
-  private def aHash64(payload: Array[Byte]): (Long, Long) = {
+  private[operators] def aHash64(payload: Array[Byte]): (Long, Long) = {
     val body =
       if (payload.length == 64) payload else payload.padTo(64, 0.toByte).take(64)
     var sum = 0L
@@ -346,13 +346,15 @@ object Multimodal {
       .groupBy($"bi", $"bv").count()
       .agg(max($"count")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
     if (hottest > maxBandBucket)
-      throw new IllegalStateException(
+      throw new graft.util.GateRefusal(
         s"media near-dup band bucket ($what) holds $hottest blobs (> $maxBandBucket): " +
           "byte-identical blobs are already collapsed, so the corpus " +
           "concentrates this many DISTINCT payloads into one 8-bit hash " +
           "slice and the kernel task owning it would run quadratically — " +
-          "raise maxBandBucket explicitly if the quadratic cost is budgeted, " +
-          "or pre-cluster the corpus (m03 features + d07) before pairing.")
+          "use Multimodal.phashPairsViaCells (m10: k-means cells over the m03 " +
+          "feature histograms, banded kernel within cells) to pair such a " +
+          "corpus under this bound, or raise maxBandBucket explicitly if " +
+          "the quadratic cost is budgeted.")
   }
 
   /** Stage 3: per-bucket primitive kernel over band rows. A qualifying
@@ -411,6 +413,94 @@ object Multimodal {
       what: String): DataFrame = {
     phashGate(phashBandRows(sigs), maxBandBucket, what)
     phashKernel(phashBandRows(sigs))
+  }
+
+  /** Signature + feature rows `(doc_id, h0, h1, v)` per representative —
+    * [[phashSigsOf]]'s decode→collapse pass also emitting the m03
+    * 16-bucket byte-histogram density vector (IDENTICAL arithmetic to
+    * [[featureExtract]]), so [[phashPairsViaCells]] trains and assigns
+    * its cells without a second decode pass or any join. */
+  private def phashSigFeats(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    decode(fromDocuments(docs)).groupByKey { r =>
+        val d = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+        java.util.Base64.getEncoder.encodeToString(d)
+      }.reduceGroups((a, b) => if (a.doc_id <= b.doc_id) a else b)
+      .map { case (_, r) =>
+        val (h0, h1) = aHash64(r.payload)
+        val hist = new Array[Double](16)
+        r.payload.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+        val n = math.max(1.0, r.payload.length.toDouble)
+        (r.doc_id, h0, h1, hist.map(_ / n))
+      }.toDF("doc_id", "h0", "h1", "v")
+  }
+
+  /** Cell-partitioned media near-dup pairing — the escape hatch the
+    * flat kernel's gate refusal names: for corpora that LEGITIMATELY
+    * concentrate more than `maxBandBucket` distinct payloads into one
+    * 8-bit band slice (near-dup-heavy crawls do this; the 64× synthetic
+    * corpus does it structurally), pre-cluster the representatives by
+    * their m03 feature histograms ([[Embeddings.kMeansModel]], cell
+    * count corpus-derived via [[Embeddings.kMeansCells]]) and run the
+    * banded hamming kernel WITHIN cells only. A structurally hot band
+    * bucket splits across feature cells, so each (cell, band, value)
+    * task stays under the same per-bucket gate the flat kernel
+    * enforces — bounded wall-clock where [[phashPairs]] refuses.
+    *
+    * APPROXIMATE by design, exactly like [[Embeddings.semanticDedup]]'s
+    * within-cell contract: a hamming ≤ 6 pair whose members land in
+    * different feature cells is not emitted (perceptually near-identical
+    * payloads have near-identical byte histograms, so in practice the
+    * cells separate what the hash bands concentrate). The DuckDB oracle
+    * replays the whole composition — collapse, aHash, feature vectors,
+    * the trainer (same fixed-point prolog as d07/v09), the cell-keyed
+    * band join — so the approximation is pinned, not fuzzy.
+    *
+    * Scale shape: one decode→collapse pass (map-side combining), one
+    * broadcast-argmax assignment fused into band-row generation (no
+    * join — the cell id packs into the band-value key), one shuffle
+    * keyed (band, cell·256+value), then [[phashKernel]] unchanged. The
+    * gate still fires if a single CELL's band bucket exceeds the bound
+    * — raise `cells` (more, smaller cells) before raising the gate. */
+  def phashPairsViaCells(docs: DataFrame, cells: Int = 0, iters: Int = 3,
+      maxBandBucket: Long = MaxBandBucket): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sf = graft.CacheRegistry.retain("media.cellsigs", phashSigFeats(docs))
+    val k = if (cells > 0) cells else Embeddings.kMeansCells(sf.count())
+    val model = Embeddings.kMeansModel(
+      sf.select($"doc_id".as("vec_id"), $"v"), k, iters)
+    if (model.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("doc_a", "doc_b", "hamming")
+    val bc = s.sparkContext.broadcast(model)
+    val banded = sf.select($"doc_id", $"h0", $"h1", $"v")
+      .as[(Long, Long, Long, Array[Double])]
+      .flatMap { case (id, h0, h1, v) =>
+        // same argmax arithmetic and (cosine desc, cell asc) tie order
+        // as the trainer's assignment step (semanticDedup's contract)
+        val cs = bc.value
+        val nrm = Embeddings.fpNorm(v)
+        var bestCell = Long.MinValue; var bestC = Double.NegativeInfinity
+        var any = false
+        var ci = 0
+        while (ci < cs.length) {
+          val c = Embeddings.fpCos(v, cs(ci)._2, nrm, cs(ci)._3)
+          if (!any || Embeddings.sqlGt(c, bestC)) {
+            bestC = c; bestCell = cs(ci)._1; any = true
+          }
+          ci += 1
+        }
+        // the cell id packs into the band VALUE (bv is 8-bit), so the
+        // kernel's (band, value) bucketing becomes (band, cell, value)
+        // with no schema or kernel change — first-matching-band dedup
+        // still holds because both members of a within-cell pair carry
+        // the same cell in every band
+        (0 until 8).iterator.map(b =>
+          (b, bestCell * 256L + bandSlice(b, h0, h1), id, h0, h1))
+      }
+    phashGate(banded, maxBandBucket, "cells")
+    phashKernel(banded)
   }
 
   /** Shared build body for the dir-keyed and frame-keyed ensures —
@@ -514,18 +604,27 @@ object Multimodal {
         s"resident corpus max $baseMaxId — media reps are min-doc_id per " +
         "payload group, so out-of-order ingest would displace resident " +
         "representatives; rebuild with ensureMediaIndex instead")
+    // enforce the gate the BASE was built under (it is part of the
+    // verified _meta tuple): a caller who built with a custom bound and
+    // forgets to repeat it here must not gate the merged profile under
+    // the default (spurious refusal) or silently append past a tighter
+    // stored contract — an explicit non-default argument must agree.
+    val baseGate = base.collectFirst { case ("gate", v) => v }.getOrElse(maxBandBucket)
+    require(maxBandBucket == MaxBandBucket || maxBandBucket == baseGate,
+      s"appendToMediaIndex($table): explicit maxBandBucket=$maxBandBucket " +
+        s"disagrees with the gate the index was built under ($baseGate) — " +
+        "the append enforces the stored contract; rebuild with " +
+        "ensureMediaIndex to change the gate")
     val newSigs = phashSigsOf(newDocs).localCheckpoint()
     try {
       // absorption: md5 matches collapse into the resident rep (no new
       // rep, no pairs — the rebuild's collapse, reproduced); only
       // genuinely new payloads survive as fresh reps
-      val freshNew = newSigs.join(broadcast(
-          newSigs.select($"md5").intersect(resident.select($"md5"))),
-          Seq("md5"), "left_anti").localCheckpoint()
+      val freshNew = absorptionSurvivors(newSigs, resident).localCheckpoint()
       try {
         // gate BEFORE poison, on the merged profile == grown corpus reps
         phashGate(phashBandRows(resident.unionByName(freshNew.select(
-          $"doc_id", $"md5", $"h0", $"h1"))), maxBandBucket, "append")
+          $"doc_id", $"md5", $"h0", $"h1"))), baseGate, "append")
         P.poison(s, table, base.map(_._1))
         val resBand = phashBandRows(resident).toDF("bi", "bv", "doc_id", "h0", "h1")
         val newBand = phashBandRows(freshNew).toDF("bi", "bv", "doc_id", "h0", "h1")
@@ -535,8 +634,11 @@ object Multimodal {
             greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
             (bitCountLong(col("x.h0").bitwiseXOR(col("y.h0"))) +
               bitCountLong(col("x.h1").bitwiseXOR(col("y.h1")))).as("hamming"))
-          .distinct()
+          // filter BEFORE the dedup exchange: band-colliding candidates
+          // above the threshold dominate in hot buckets and the output
+          // set is identical either way (r14 advice)
           .filter(col("hamming") <= 6)
+          .distinct()
         P.appendTable(cross.unionByName(
             phashKernel(phashBandRows(freshNew))
               .select(col("doc_a"), col("doc_b"), col("hamming"))),
@@ -551,6 +653,29 @@ object Multimodal {
 
   private def bitCountLong(c: org.apache.spark.sql.Column) =
     bit_count(c).cast("long")
+
+  /** The append's absorption probe: delta signature rows whose md5 does
+    * NOT match a resident representative (those that will mint fresh
+    * reps). Shaped so the RESIDENT side is scanned, never shuffled —
+    * the family's append discipline: the absorbed md5 set is a
+    * broadcast semi-join of resident against the (delta-sized,
+    * broadcast) new md5s, and the survivors anti-join against that
+    * small absorbed set, also broadcast. The r14 form (`newSigs.md5
+    * intersect resident.md5`) planned BOTH sides into the set-op
+    * aggregate, exchanging every resident md5 on every append — cheap
+    * at 16 bytes/rep, the wrong shape at 10⁹ reps. Plan-pinned (no
+    * shuffle exchange anywhere) in PersistedIndexSpec. */
+  private[operators] def absorptionSurvivors(newSigs: DataFrame,
+      resident: DataFrame): DataFrame = {
+    val s = newSigs.sparkSession
+    import s.implicits._
+    // md5 is the collapse key, so it is unique within each side — the
+    // semi/anti pair needs no distinct() (which would add an exchange
+    // on the delta)
+    val absorbed = resident.select($"md5")
+      .join(broadcast(newSigs.select($"md5")), Seq("md5"), "left_semi")
+    newSigs.join(broadcast(absorbed), Seq("md5"), "left_anti")
+  }
 
   /** Shared m05/m06 oracle prolog (no leading WITH): closed-form
     * container arithmetic (code point % 128 = the decoded byte,
@@ -593,6 +718,53 @@ object Multimodal {
                    CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS BIGINT) AS hamming
             FROM bnd a JOIN bnd b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 6)"""
+
+  /** m10's DuckDB replay: the shared collapse+aHash prolog, the m03
+    * feature-vector reconstruction per representative, the SAME
+    * derived-cells trainer replay as d07 ([[Embeddings.kMeansCellsSql]]
+    * + [[Embeddings.kMeansPrologSqlK]] over the feature vectors), and
+    * the banded hamming join RESTRICTED to same-cell pairs — the whole
+    * approximate composition is hash-pinned, including which pairs the
+    * cell partition drops. */
+  private def M10OracleSql: String = {
+    val fvecCtes =
+      """fch AS MATERIALIZED (SELECT d.doc_id,
+                 unnest(generate_series(1, length(d.text))) AS i, d.text
+               FROM documents d JOIN reps r USING (doc_id)),
+          fcnt AS MATERIALIZED (SELECT doc_id,
+                 (ascii(substr(text, i, 1)) % 128) // 16 AS bucket,
+                 COUNT(*) AS cnt
+               FROM fch GROUP BY 1, 2),
+          fden AS MATERIALIZED (SELECT d.doc_id, GREATEST(length(d.text), 1) AS n
+               FROM documents d JOIN reps r USING (doc_id)),
+          fvec AS MATERIALIZED (
+            SELECT doc_id AS vec_id, list(dens ORDER BY b) AS v FROM (
+              SELECT g.doc_id, g.b, CAST(COALESCE(f.cnt, 0) AS DOUBLE) / g.n AS dens
+              FROM (SELECT n.doc_id, n.n, gs.b
+                    FROM fden n, (SELECT unnest(generate_series(0, 15)) AS b) gs) g
+              LEFT JOIN fcnt f ON f.doc_id = g.doc_id AND f.bucket = g.b)
+            GROUP BY doc_id)"""
+    val cellp = Embeddings.kMeansCellsSql(8, 4096, 2048L, "SELECT vec_id FROM fvec")
+    val prolog = Embeddings.kMeansPrologSqlK("", "(SELECT k FROM cellp)",
+      "SELECT vec_id, v FROM fvec")
+    s"""WITH $MediaHashCtes,
+          $fvecCtes,
+          $cellp,
+          $prolog,
+          bndc AS MATERIALIZED (
+            SELECT h.doc_id, h.h0, h.h1, c.cell, t.b,
+                   ((CASE WHEN t.b < 4 THEN h.h0 >> (t.b * 8)
+                          ELSE h.h1 >> ((t.b - 4) * 8) END) & 255) AS bv
+            FROM hs h JOIN corp c ON h.doc_id = c.cid,
+                 (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(b)),
+          cpairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS BIGINT) AS hamming
+            FROM bndc a JOIN bndc b ON a.cell = b.cell AND a.b = b.b
+                 AND a.bv = b.bv AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 6)
+        SELECT doc_a, doc_b, hamming FROM cpairs ORDER BY doc_a, doc_b"""
+  }
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef("m00_build_phash_index",
@@ -1009,6 +1181,23 @@ object Multimodal {
           $MediaPairsCtes
         SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
                CAST(COALESCE(SUM(hamming), 0) AS BIGINT) AS sum_hamming
-        FROM mpairs"""))
+        FROM mpairs""")),
+
+    QueryDef("m10_phash_cells_neardup",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the media gate's ESCAPE HATCH as a first-class operator
+        // ([[phashPairsViaCells]]): k-means cells over the m03 feature
+        // histograms (cell count corpus-derived, d07's kMeansCells),
+        // banded hamming kernel WITHIN cells — pairs a corpus whose
+        // band buckets legitimately exceed maxBandBucket, where the
+        // flat m05 kernel refuses by design. Approximate (cross-cell
+        // pairs dropped) with the approximation itself hash-pinned:
+        // the oracle replays collapse, features, trainer, and the
+        // cell-keyed band join.
+        phashPairsViaCells(tbl(s, dir, "documents"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(M10OracleSql))
   )
 }

@@ -86,8 +86,9 @@ class EmbeddingsSpec extends SparkSpec {
     // below the bound: runs (11 rows, maxRows 11)
     assert(Embeddings.cosineNearDupPairs(df, 0.99, blocks = 4, maxRows = 11).count() > 0)
     // above the bound: refuses BEFORE any quadratic work, pointing at
-    // the approximate routes — the trap cannot be hit by a user
-    val e = intercept[IllegalArgumentException] {
+    // the approximate routes — the trap cannot be hit by a user. The
+    // TYPE is the contract Bench's refusal classifier matches on.
+    val e = intercept[graft.util.GateRefusal] {
       Embeddings.cosineNearDupPairs(df, 0.99, blocks = 4, maxRows = 10)
     }
     assert(e.getMessage.contains("semanticDedup") && e.getMessage.contains("annTopK"),

@@ -102,7 +102,8 @@ class MultimodalSpec extends SparkSpec {
     (0L until 200L).map(i => (i, s"short text $i"))
       .toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
-    val e = intercept[IllegalStateException] {
+    // GateRefusal is the TYPE Bench's refusal classifier matches on
+    val e = intercept[graft.util.GateRefusal] {
       Multimodal.phashPairs(spark, dir2, maxBandBucket = 100L).count()
     }
     assert(e.getMessage.contains("holds 200 blobs"))
@@ -179,6 +180,63 @@ class MultimodalSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     val exchanges = "hashpartitioning\\(cluster_id".r.findAllIn(plan).size
     assert(exchanges <= 1, s"expected one cluster_id exchange, got $exchanges:\n$plan")
+  }
+
+  test("m10 phashPairsViaCells == driver replay; pairs the corpus the flat kernel refuses") {
+    graft.CacheRegistry.unpersistAll()
+    // the SAME structural-skew corpus the flat-kernel refusal test pins
+    // (200 distinct short payloads, h1 = 0, bands 4-7 all carry value 0):
+    // the cell partition must pair it UNDER the bound the flat kernel
+    // refuses at, because the hot zero-band bucket splits across the
+    // feature cells
+    val deg = (0L until 200L).map(i => (i, s"short text $i"))
+      .toDF("doc_id", "text")
+    val cells = 8
+    val got = Multimodal.phashPairsViaCells(deg, cells = cells, iters = 3,
+        maxBandBucket = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver replay of the whole composition: collapse (all payloads
+    // distinct here), aHash, m03 feature vectors, the deterministic
+    // trainer, argmax assignment, brute-force same-cell hamming <= 6
+    val media = decode(fromDocuments(deg)).collect().sortBy(_.doc_id)
+    val hashes = media.map(r => r.doc_id -> Multimodal.aHash64(r.payload)).toMap
+    val feats = media.map { r =>
+      val hist = new Array[Double](16)
+      r.payload.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+      val n = math.max(1.0, r.payload.length.toDouble)
+      r.doc_id -> hist.map(_ / n)
+    }.toMap
+    val model = Embeddings.kMeansModel(
+      feats.toSeq.map { case (id, v) => (id, v) }.toDF("vec_id", "v"), cells, 3)
+    def cellOf(id: Long): Long = {
+      val v = feats(id); val nrm = Embeddings.fpNorm(v)
+      var best = Long.MinValue; var bc = Double.NegativeInfinity; var any = false
+      model.foreach { case (cell, cv, cn) =>
+        val c = Embeddings.fpCos(v, cv, nrm, cn)
+        if (!any || Embeddings.sqlGt(c, bc)) { bc = c; best = cell; any = true }
+      }
+      best
+    }
+    val ids = media.map(_.doc_id)
+    val want = (for {
+      a <- ids; b <- ids if a < b && cellOf(a) == cellOf(b)
+      ham = java.lang.Long.bitCount(hashes(a)._1 ^ hashes(b)._1) +
+        java.lang.Long.bitCount(hashes(a)._2 ^ hashes(b)._2)
+      if ham <= 6
+    } yield (a, b, ham.toLong)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty, "fixture must produce within-cell pairs")
+    // the approximation is real on this fixture: some cross-cell
+    // hamming <= 6 pair exists that the cell partition drops
+    val allPairs = (for {
+      a <- ids; b <- ids if a < b
+      ham = java.lang.Long.bitCount(hashes(a)._1 ^ hashes(b)._1) +
+        java.lang.Long.bitCount(hashes(a)._2 ^ hashes(b)._2)
+      if ham <= 6
+    } yield (a, b, ham.toLong)).toSet
+    assert(allPairs.size > want.size,
+      "fixture must witness the documented cross-cell drop")
+    graft.CacheRegistry.unpersistAll()
   }
 
   test("m07 shard pack: full driver replay of the shard manifest") {

@@ -335,6 +335,65 @@ class PersistedIndexSpec extends SparkSpec {
     graft.CacheRegistry.unpersistAll()
   }
 
+  test("media append absorption never shuffles the resident signature scan (plan pin)") {
+    graft.CacheRegistry.unpersistAll()
+    // resident arrives as a parquet SCAN in the real append — replicate
+    // that so the pin covers the actual input shape
+    val dir = java.nio.file.Files.createTempDirectory("abspin").toString
+    Seq((0L, "m20", 5L, 6L), (1L, "r1", 7L, 8L)).toDF("doc_id", "md5", "h0", "h1")
+      .write.mode("overwrite").parquet(dir)
+    val resident = spark.read.parquet(dir)
+    val newSigs = Seq((20L, "m20", 1L, 2L), (21L, "m21", 3L, 4L))
+      .toDF("doc_id", "md5", "h0", "h1").localCheckpoint()
+    val out = Multimodal.absorptionSurvivors(newSigs, resident)
+    // value contract first: md5-matching delta rows absorb, the rest
+    // survive as fresh reps
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(21L))
+    // plan pin: BOTH joins broadcast their delta-sized side — the
+    // resident scan feeds a broadcast semi-join map-side and is NEVER
+    // exchanged (the r14 intersect planned resident md5s into a set-op
+    // aggregate, shuffling the full resident _sigs on every append).
+    // AQE's plan string appends an "== Initial Plan ==" copy — check
+    // the final plan only.
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange hashpartitioning") &&
+           !plan.contains("Exchange rangepartitioning"),
+      s"absorption probe must not shuffle either side:\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).size == 2,
+      s"expected both absorption joins to broadcast the small side:\n$plan")
+    graft.CacheRegistry.unpersistAll()
+  }
+
+  test("media append refuses an explicit gate that disagrees with the stored contract") {
+    graft.CacheRegistry.unpersistAll()
+    val base = baseDocs.toDF("doc_id", "text")
+    // build under a CUSTOM gate; the append must enforce that stored
+    // contract whether the caller repeats it, forgets it (default), or
+    // contradicts it
+    val customGate = 1L << 18
+    val bm = Multimodal.mediaMeta(
+      graft.QueryHelpers.docsFingerprintMax(base), customGate)
+    Multimodal.ensureMediaIndexFor(spark, base, "mapx_gate", bm, force = true,
+      maxBandBucket = customGate)
+    val delta = Seq((30L, "a fresh gate-test payload")).toDF("doc_id", "text")
+    val grown = base.unionByName(delta)
+    val gm = Multimodal.mediaMeta(
+      graft.QueryHelpers.docsFingerprintMax(grown), customGate)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.appendToMediaIndex(spark, delta, "mapx_gate", bm, gm,
+        maxBandBucket = 12345L)
+    }
+    assert(e.getMessage.contains("disagrees with the gate"),
+      s"contradicting explicit gate must refuse: ${e.getMessage}")
+    // forgetting the custom gate (param left at default) uses the STORED
+    // gate — the r14 spurious-refusal hole — and the append succeeds
+    Multimodal.appendToMediaIndex(spark, delta, "mapx_gate", bm, gm)
+    val sigs = spark.read.parquet(
+      graft.plans.PersistedIndex.location(spark, "mapx_gate", "_sigs"))
+    assert(sigs.filter($"doc_id" === 30L).count() == 1)
+    graft.CacheRegistry.unpersistAll()
+  }
+
   test("media append refuses out-of-order deltas, poisoned meta, and old layouts") {
     graft.CacheRegistry.unpersistAll()
     val P = graft.plans.PersistedIndex

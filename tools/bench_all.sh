@@ -42,8 +42,10 @@ stage BENCH_full.json SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_
 stage BENCH_full.sf1.json SPARK_GRAFT_SF_DIR="$PWD/target/sfdata/sf1" SPARK_GRAFT_BENCH_REPS=3
 stage BENCH_full.sf3.json SPARK_GRAFT_SF_DIR="$PWD/target/sfdata/sf3" SPARK_GRAFT_BENCH_REPS=3
 if [ -d "$PWD/target/sfdata/sf6.4" ]; then
-  # 64x: single rep (the sf3 reps-3 stage alone is ~30 min; at 64x one
-  # rep keeps the chain under budget and PROBES adjudicates any outlier)
-  stage BENCH_full.sf6.4.json SPARK_GRAFT_SF_DIR="$PWD/target/sfdata/sf6.4" SPARK_GRAFT_BENCH_REPS=1
+  # 64x at median-of-3 like every other tier (r14 verdict #2: the reps=1
+  # artifact made the cross-tier serve-band table compare one-shot cold
+  # numbers against warm medians — d02 read "22x" when its build-inclusive
+  # first-reps traced linear). ~45 min; the chain is a nohup job anyway.
+  stage BENCH_full.sf6.4.json SPARK_GRAFT_SF_DIR="$PWD/target/sfdata/sf6.4" SPARK_GRAFT_BENCH_REPS=3
 fi
 echo "=== DONE ==="
