@@ -565,12 +565,24 @@ object Embeddings {
     * path — same note as p05's strata. Cap arithmetic is pure integer
     * (ceil-div twice) so the DuckDB oracle derives the IDENTICAL cap
     * from its own COUNT(*). */
-  def clusterBalancedSample(vectors: DataFrame, cells: Int = 8, iters: Int = 3,
+  def clusterBalancedSample(vectors: DataFrame, cells: Int = 0, iters: Int = 3,
       keepDiv: Long = 2L): DataFrame = {
     require(keepDiv > 0, s"keepDiv must be positive, got $keepDiv")
     val session = vectors.sparkSession
     import session.implicits._
-    val model = kMeansModel(vectors, cells, iters)
+    // `cells <= 0` derives the count from the corpus ([[kMeansCells]],
+    // d07's treatment but with a PARTITION-SIZED occupancy target of
+    // 65536): p09's per-cell work is a linear window rank, not d07's
+    // quadratic pair kernel, so the only thing the cell count must
+    // bound is the per-cell SORT (8 cells = 1/8 of the corpus on one
+    // window partition however big it grows — the bound this operator's
+    // scaladoc hedged with p01's two-phase fallback). 65536-row cells
+    // keep every bench tier at the floor of 8 (no trainer-cost
+    // inflation: the argmax pass is n·cells) and start splitting cells
+    // exactly when they outgrow a comfortable partition sort
+    val nPre = vectors.select(col("vec_id")).count()
+    val k = if (cells > 0) cells else kMeansCells(nPre, targetCell = 65536L)
+    val model = kMeansModel(vectors, k, iters)
     if (model.isEmpty)
       return Seq.empty[(Long, Long, Long, Long)].toDF("cell", "vec_id", "rk", "n_c")
     val bc = session.sparkContext.broadcast(model)
@@ -591,15 +603,13 @@ object Embeddings {
         (id, bestCell)
       }
     }.toDF("vec_id", "cell")
-    // trainer already scanned the corpus; this count reuses the cached
-    // relation metadata and keeps the cap a plain literal in the plan.
     // Both divisions take the CEILING (ceil(ceil(n/keepDiv)/cells)) so a
     // nonempty corpus always keeps at least one row per populated cell —
     // a floored n/keepDiv goes to 0 whenever n < keepDiv and the
     // "sample" would silently discard the whole corpus (review catch;
-    // the oracle derives the identical double-ceil from its COUNT(*))
-    val nTotal = base.count()
-    val cap = (((nTotal + keepDiv - 1) / keepDiv) + cells - 1) / cells
+    // the oracle derives the identical double-ceil — and the identical
+    // derived cell count — from its COUNT(*))
+    val cap = (((nPre + keepDiv - 1) / keepDiv) + k - 1) / k
     val wc = Window.partitionBy($"cell").orderBy($"h".asc, $"vec_id".asc)
     val cw = Window.partitionBy($"cell")
     assigned
@@ -1340,7 +1350,16 @@ object Embeddings {
     * this prolog and [[KMeansOracleProlog]] agree there; above
     * 8 · 2048 vectors they diverge and only this form stays linear. */
   private val KMeansOraclePrologDerived: String =
-    "WITH " + kMeansCellsSql(8, 4096, 2048L, EmbeddingsBaseSelect) + ",\n        " +
+    kMeansOraclePrologDerived(2048L)
+
+  /** [[KMeansOraclePrologDerived]] with the occupancy target as a
+    * parameter: d07's pair kernel is within-cell QUADRATIC so its
+    * target is small (2048); p09's per-cell work is a window rank
+    * (linear) and only the per-cell SORT size needs bounding, so its
+    * target is partition-sized (65536) — cells stay at the floor of 8
+    * through every bench tier and grow only past 0.5M vectors. */
+  private[operators] def kMeansOraclePrologDerived(targetCell: Long): String =
+    "WITH " + kMeansCellsSql(8, 4096, targetCell, EmbeddingsBaseSelect) + ",\n        " +
       kMeansPrologSqlK("", "(SELECT k FROM cellp)", EmbeddingsBaseSelect)
 
   /** Shared DuckDB oracle for v12 and v15: replays the 4 subspace
@@ -2808,18 +2827,22 @@ object Embeddings {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         // cluster-balanced downsampling under the hash gate: the same
-        // deterministic trainer as v09/d07 (cells=8/iters=3 bounds the
-        // oracle's 8·n assignment cross-join), keepDiv=2 targets half
-        // the corpus spread evenly over cells. The oracle reuses the
-        // verified k-means prolog (`corp`), reapplies p05's hash-rank
-        // inside each cell, and derives the SAME integer cap from its
-        // own COUNT(*) — so the clustering, the per-cell ordering and
-        // the budget arithmetic are all DuckDB-checked in one query.
+        // deterministic trainer as d07 with the CORPUS-DERIVED cell
+        // count at p09's partition-sized occupancy target (65536 —
+        // clamps to 8 through every bench tier, splits cells only when
+        // one would outgrow a comfortable window-partition sort; see
+        // clusterBalancedSample's comment for why p09's target differs
+        // from d07's 2048), keepDiv=2 targets half the corpus spread
+        // evenly over cells. The oracle replays the derived count from
+        // its own COUNT(*) (`cellp`), reapplies p05's hash-rank inside
+        // each cell, and derives the SAME integer cap — clustering,
+        // cell-count arithmetic, per-cell ordering and the budget cap
+        // all DuckDB-checked in one query.
         Embeddings.clusterBalancedSample(based(s, dir),
-            cells = 8, iters = 3, keepDiv = 2L)
+            cells = 0, iters = 3, keepDiv = 2L)
           .orderBy($"cell", $"rk")
       },
-      Some(KMeansOracleProlog + """,
+      Some(kMeansOraclePrologDerived(65536L) + """,
         ranked AS MATERIALIZED (
           SELECT cell, cid AS vec_id, h,
             CAST(row_number() OVER (PARTITION BY cell ORDER BY h, cid) AS BIGINT) AS rk,
@@ -2828,7 +2851,8 @@ object Embeddings {
                   ((((cid % 1048573) + 1048573) % 1048573) * 2654435761) % 1000000007 AS h
                 FROM corp)),
         cap AS MATERIALIZED (
-          SELECT (((COUNT(*) + 1) // 2) + 7) // 8 AS cap FROM corp)
+          SELECT (((COUNT(*) + 1) // 2) + MAX(c.k) - 1) // MAX(c.k) AS cap
+          FROM corp, cellp c)
         SELECT cell, vec_id, rk, n_c FROM ranked, cap
         WHERE rk <= cap ORDER BY cell, rk"""))
   )
