@@ -345,16 +345,27 @@ object Multimodal {
     val hottest = Option(banded.toDF("bi", "bv", "doc_id", "h0", "h1")
       .groupBy($"bi", $"bv").count()
       .agg(max($"count")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
-    if (hottest > maxBandBucket)
+    if (hottest > maxBandBucket) {
+      // context-specific route: the FLAT kernel's refusal points at the
+      // cell-partitioned operator; a refusal from INSIDE that operator
+      // means one feature cell still concentrates past the bound — the
+      // lever there is a finer partition, not a re-route to itself
+      val route =
+        if (what == "cells")
+          "pass a larger explicit `cells` to phashPairsViaCells (more, " +
+            "smaller cells split the concentrated slice further), or " +
+            "raise maxBandBucket explicitly if the quadratic cost is budgeted."
+        else
+          "use Multimodal.phashPairsViaCells (m10: k-means cells over the m03 " +
+            "feature histograms, banded kernel within cells) to pair such a " +
+            "corpus under this bound, or raise maxBandBucket explicitly if " +
+            "the quadratic cost is budgeted."
       throw new graft.util.GateRefusal(
         s"media near-dup band bucket ($what) holds $hottest blobs (> $maxBandBucket): " +
           "byte-identical blobs are already collapsed, so the corpus " +
           "concentrates this many DISTINCT payloads into one 8-bit hash " +
-          "slice and the kernel task owning it would run quadratically — " +
-          "use Multimodal.phashPairsViaCells (m10: k-means cells over the m03 " +
-          "feature histograms, banded kernel within cells) to pair such a " +
-          "corpus under this bound, or raise maxBandBucket explicitly if " +
-          "the quadratic cost is budgeted.")
+          "slice and the kernel task owning it would run quadratically — " + route)
+    }
   }
 
   /** Stage 3: per-bucket primitive kernel over band rows. A qualifying

@@ -236,6 +236,14 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b, ham.toLong)).toSet
     assert(allPairs.size > want.size,
       "fixture must witness the documented cross-cell drop")
+    // a refusal from INSIDE the cell-partitioned kernel (one cell still
+    // too hot) must route to a finer partition, not back to itself
+    val e = intercept[graft.util.GateRefusal] {
+      Multimodal.phashPairsViaCells(deg, cells = 1, iters = 1,
+        maxBandBucket = 100L).count()
+    }
+    assert(e.getMessage.contains("larger explicit `cells`"),
+      s"cells-context refusal must route to a finer partition: ${e.getMessage}")
     graft.CacheRegistry.unpersistAll()
   }
 
