@@ -152,7 +152,14 @@ object Bench {
         catch {
           case e: Throwable =>
             failed = true
-            failures ::= (s"isolated:$name" -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            // same type-classification as the shared pass: a designed
+            // GateRefusal surfacing only here (e.g. a future
+            // cache-dependent gate) must be recorded as a refusal, not
+            // flip the artifact to .failed.json (r15 advice)
+            if (isRefusal(e))
+              refusals ::= (s"isolated:$name" -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            else
+              failures ::= (s"isolated:$name" -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }.toVector

@@ -158,6 +158,11 @@ object Embeddings {
     * [[annTopK]]'s LSH buckets (v02). The count is one column-pruned
     * pass; a caller who has genuinely budgeted the quadratic cost can
     * raise the bound explicitly.
+    *
+    * Since r15 the refusal is a [[graft.util.GateRefusal]] (an
+    * IllegalStateException) where it was previously a `require`
+    * (IllegalArgumentException) — callers catching the gate by type
+    * must catch GateRefusal.
     */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double, blocks: Int = 8,
       maxRows: Long = AllPairsMaxRows): DataFrame = {

@@ -569,7 +569,7 @@ object Multimodal {
     * proportional to the delta. */
   def appendToMediaIndex(s: SparkSession, newDocs: DataFrame, table: String,
       base: Seq[(String, Long)], grown: Seq[(String, Long)],
-      maxBandBucket: Long = MaxBandBucket): String = {
+      maxBandBucket: Option[Long] = None): String = {
     import s.implicits._
     val P = graft.plans.PersistedIndex
     // same plan-match staleness class as the build: the delta's hash
@@ -617,15 +617,31 @@ object Multimodal {
         "representatives; rebuild with ensureMediaIndex instead")
     // enforce the gate the BASE was built under (it is part of the
     // verified _meta tuple): a caller who built with a custom bound and
-    // forgets to repeat it here must not gate the merged profile under
-    // the default (spurious refusal) or silently append past a tighter
-    // stored contract — an explicit non-default argument must agree.
-    val baseGate = base.collectFirst { case ("gate", v) => v }.getOrElse(maxBandBucket)
-    require(maxBandBucket == MaxBandBucket || maxBandBucket == baseGate,
-      s"appendToMediaIndex($table): explicit maxBandBucket=$maxBandBucket " +
-        s"disagrees with the gate the index was built under ($baseGate) — " +
-        "the append enforces the stored contract; rebuild with " +
-        "ensureMediaIndex to change the gate")
+    // omits it here (None) must not gate the merged profile under the
+    // default (spurious refusal) or silently append past a tighter
+    // stored contract — and ANY explicit argument must agree, including
+    // an explicit Some(MaxBandBucket) against a custom-gate index (the
+    // r15 Long-default form made that disagreement indistinguishable
+    // from an omission and silently used the stored gate).
+    val baseGate = base.collectFirst { case ("gate", v) => v }
+      .orElse(maxBandBucket).getOrElse(MaxBandBucket)
+    maxBandBucket.foreach { explicit =>
+      require(explicit == baseGate,
+        s"appendToMediaIndex($table): explicit maxBandBucket=$explicit " +
+          s"disagrees with the gate the index was built under ($baseGate) — " +
+          "the append enforces the stored contract; rebuild with " +
+          "ensureMediaIndex to change the gate")
+    }
+    // the GROWN tuple is stamped verbatim as the next append's verified
+    // base — a grown "gate" entry that differs from baseGate would
+    // silently rewrite the stored gate contract for every future append
+    // (r15 advice), the drift class this validation exists to close
+    grown.collectFirst { case ("gate", v) => v }.foreach { g =>
+      require(g == baseGate,
+        s"appendToMediaIndex($table): grown meta carries gate=$g but the " +
+          s"index's verified gate is $baseGate — the append cannot change " +
+          "the gate contract; rebuild with ensureMediaIndex to re-gate")
+    }
     val newSigs = phashSigsOf(newDocs).localCheckpoint()
     try {
       // absorption: md5 matches collapse into the resident rep (no new

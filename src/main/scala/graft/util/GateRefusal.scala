@@ -9,6 +9,11 @@ package graft.util
   * ("raise maxBandBucket") would also have classified a genuine
   * correctness bug whose wrapped message happened to embed the guidance
   * text as a designed refusal, keeping a broken artifact "official"
-  * (r14 advice). Extends IllegalStateException so existing callers
-  * catching the gate by its old type keep working. */
+  * (r14 advice). Extends IllegalStateException, which preserves
+  * catch-compatibility for the MEDIA gate only (it previously threw
+  * IllegalStateException); `cosineNearDupPairs`' gate was previously a
+  * `require` (IllegalArgumentException), so external code catching
+  * IllegalArgumentException around that gate must switch to catching
+  * GateRefusal (or IllegalStateException) — a deliberate type change,
+  * noted in that operator's scaladoc (r15 advice). */
 class GateRefusal(message: String) extends IllegalStateException(message)

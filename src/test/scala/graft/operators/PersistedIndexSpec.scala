@@ -381,11 +381,29 @@ class PersistedIndexSpec extends SparkSpec {
       graft.QueryHelpers.docsFingerprintMax(grown), customGate)
     val e = intercept[IllegalArgumentException] {
       Multimodal.appendToMediaIndex(spark, delta, "mapx_gate", bm, gm,
-        maxBandBucket = 12345L)
+        maxBandBucket = Some(12345L))
     }
     assert(e.getMessage.contains("disagrees with the gate"),
       s"contradicting explicit gate must refuse: ${e.getMessage}")
-    // forgetting the custom gate (param left at default) uses the STORED
+    // an EXPLICIT default-valued bound is a disagreement too, not an
+    // omission — the r15 Long-signature form could not tell them apart
+    // and silently gated at the stored custom bound (r15 advice)
+    val eDefault = intercept[IllegalArgumentException] {
+      Multimodal.appendToMediaIndex(spark, delta, "mapx_gate", bm, gm,
+        maxBandBucket = Some(Multimodal.MaxBandBucket))
+    }
+    assert(eDefault.getMessage.contains("disagrees with the gate"),
+      s"explicit Some(default) against a custom gate must refuse: ${eDefault.getMessage}")
+    // a grown tuple whose gate entry drifts from the verified contract
+    // would be stamped verbatim as the next append's base, silently
+    // re-gating every future append (r15 advice) — refuse before poison
+    val eGrown = intercept[IllegalArgumentException] {
+      Multimodal.appendToMediaIndex(spark, delta, "mapx_gate", bm,
+        gm.map { case ("gate", _) => ("gate", 99999L); case kv => kv })
+    }
+    assert(eGrown.getMessage.contains("cannot change the gate contract"),
+      s"grown-gate drift must refuse: ${eGrown.getMessage}")
+    // forgetting the custom gate (param omitted, None) uses the STORED
     // gate — the r14 spurious-refusal hole — and the append succeeds
     Multimodal.appendToMediaIndex(spark, delta, "mapx_gate", bm, gm)
     val sigs = spark.read.parquet(
