@@ -294,6 +294,47 @@ object Embeddings {
       .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
   }
 
+  /** The trainer's deterministic sample bound: Knuth-hash values BELOW
+    * this cut select ~`sampleTarget` of the `n` rows (hash is ~uniform
+    * on `[0, 1000000007)`, so `cut/1000000007 ≈ sampleTarget/n`). Pure
+    * integer arithmetic — `max(1, 1000000007·S ÷ n)` with floor
+    * division — so a SQL oracle derives the IDENTICAL cut from its own
+    * `COUNT(*)` (the `scut` CTE). When `n ≤ sampleTarget` the cut is
+    * ≥ 1000000007, above every possible hash, and the filter is a
+    * NO-OP: small corpora train on everything and existing hashes are
+    * unchanged — one formula, no branch, in both engines. */
+  def trainSampleCut(n: Long, sampleTarget: Long): Long = {
+    require(sampleTarget > 0, s"sampleTarget must be positive, got $sampleTarget")
+    if (n <= 0L) 1000000007L else math.max(1L, 1000000007L * sampleTarget / n)
+  }
+
+  /** Default trainer sample size for the derived-cells families
+    * (d07/p09/m10): centroids need statistics, not every row, and the
+    * per-round assignment argmax is rows × cells flops — unsampled that
+    * is n²/targetCell once the cell count is corpus-derived (the r15
+    * verdict's remaining 100 TB-posture gap). 65536 training rows keep
+    * every sub-64× tier EXACTLY as before (the cut is a no-op below
+    * 65536 rows) and bound the trainer at sample × cells forever. */
+  val TrainSampleTarget: Long = 65536L
+
+  /** Argmax fixed-point cosine against a centroid array in ascending-id
+    * order under SQL NaN semantics ([[sqlGt]] — NaN ranks first, ties
+    * keep the smallest id, zero-norm rows land on the first centroid).
+    * THE assignment arithmetic: the trainer, d07/p09/m10's assignment
+    * passes and [[CellModel.assign]] all route through this one loop so
+    * engine and oracle cannot drift per-consumer. */
+  private[operators] def argmaxCell(cs: Array[(Long, Array[Double], Double)],
+      v: Array[Double], nrm: Double): Long = {
+    var best = Long.MinValue; var bestC = Double.NegativeInfinity; var any = false
+    var ci = 0
+    while (ci < cs.length) {
+      val c = fpCos(v, cs(ci)._2, nrm, cs(ci)._3)
+      if (!any || sqlGt(c, bestC)) { bestC = c; best = cs(ci)._1; any = true }
+      ci += 1
+    }
+    best
+  }
+
   /** Deterministic Lloyd's k-means over a `(vec_id, v)` frame — the
     * trainer v06's label-centroid stand-in lacks, making IVF possible on
     * UNLABELED data (the normal case). Every step is reproducible:
@@ -310,18 +351,38 @@ object Embeddings {
     *    a cell that loses all members keeps its previous centroid;
     *  - a FIXED iteration count, no convergence RNG.
     *
+    * `sampleTarget > 0` trains on the deterministic Knuth-hash sample
+    * `hash(vec_id) < trainSampleCut(n, sampleTarget)` instead of the
+    * full corpus — the r15 scaladoc's "sample the trainer" guidance as
+    * code: seeding and every Lloyd round see only ~`sampleTarget` rows,
+    * so per-round cost is sample × cells however big `n` grows. The cut
+    * is a NO-OP when `n ≤ sampleTarget` (existing corpora/hashes
+    * unchanged), and because the sample is a hash PREFIX (everything
+    * below the cut), the k smallest hashes — the seeds — are the same
+    * rows the unsampled trainer picks whenever the sample holds ≥ k
+    * rows. `knownN` skips the count when the caller already has it.
+    *
     * Scale: each round is one narrow map pass (argmax against a broadcast
     * array) plus one partial-aggregated groupBy of (cell, dim) — no
     * shuffle of vectors by cell, no driver materialization of data. At
-    * 100 TB run the trainer on a deterministic hash-sample of the corpus
-    * (centroids need statistics, not every row) and raise `k` toward √n.
+    * 100 TB pass `sampleTarget` (the derived-cells families default to
+    * [[TrainSampleTarget]]) and raise `k` toward √n — past
+    * [[TwoLevelCellCap]] cells use [[cellModel]]'s coarse→fine form.
     */
-  def kMeansModel(vectors: DataFrame, k: Int, iters: Int = 3): Array[(Long, Array[Double], Double)] = {
+  def kMeansModel(vectors: DataFrame, k: Int, iters: Int = 3,
+      sampleTarget: Long = 0L, knownN: Long = -1L): Array[(Long, Array[Double], Double)] = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val session = vectors.sparkSession
     import session.implicits._
-    val base = vectors.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
+    val src = vectors.select(col("vec_id").cast("long"), col("v"))
+    val filtered =
+      if (sampleTarget > 0L) {
+        val n = if (knownN >= 0L) knownN else src.select(col("vec_id")).count()
+        src.filter(graft.QueryHelpers.knuthHash(col("vec_id")) <
+          lit(trainSampleCut(n, sampleTarget)))
+      } else src
+    val base = filtered.as[(Long, Array[Double])]
     val seeds = base.toDF("vec_id", "v")
       .withColumn("_r", graft.QueryHelpers.knuthHash($"vec_id"))
       .orderBy($"_r", $"vec_id").limit(k)
@@ -357,6 +418,182 @@ object Embeddings {
       round += 1
     }
     model
+  }
+
+  /** Cell count above which [[cellModel]] switches from the flat
+    * [[kMeansModel]] to the coarse→fine two-level form: flat assignment
+    * is rows × cells flops and the broadcast model is cells × dims
+    * doubles, both fine to ~4096 cells (the r15 cap) and degrading
+    * linearly past it; two-level splits cells into ~√cells coarse ×
+    * ~√cells fine so assignment is rows × 2√cells — at the 100 TB
+    * posture (≥10⁸ vectors, ≥48k derived cells) that is the difference
+    * between 48k and 440 flops per row. */
+  val TwoLevelCellCap: Int = 4096
+
+  /** A trained cell assignment model: flat (fine empty — exactly
+    * [[kMeansModel]]'s array) or two-level (coarse centroids plus
+    * per-coarse fine centroids carrying GLOBAL cell ids
+    * `coarse · fineStride + fineIdx`, ascending). [[assign]] is the one
+    * assignment rule every derived-cells consumer (d07/p09/m10) shares:
+    * coarse argmax, then fine argmax within the winning coarse cell's
+    * centroids; a coarse cell that trained no fine centroids (no sample
+    * row landed there) assigns `coarse · fineStride` — deterministic,
+    * replayed by the v22 oracle's COALESCE. */
+  final class CellModel(
+      val coarse: Array[(Long, Array[Double], Double)],
+      val fine: Map[Long, Array[(Long, Array[Double], Double)]],
+      val fineStride: Long) extends Serializable {
+    def isEmpty: Boolean = coarse.isEmpty
+    /** Total distinct cell-id space (for occupancy math in specs). */
+    def cellSpace: Long =
+      if (fineStride <= 0L) coarse.length.toLong else coarse.length * fineStride
+    def assign(v: Array[Double], nrm: Double): Long = {
+      val cc = argmaxCell(coarse, v, nrm)
+      if (fineStride <= 0L) cc
+      else fine.get(cc) match {
+        case Some(fcs) if fcs.nonEmpty => argmaxCell(fcs, v, nrm)
+        case _ => cc * fineStride
+      }
+    }
+  }
+
+  /** Coarse→fine two-level trainer — the designed answer past
+    * [[TwoLevelCellCap]] cells (r15 verdict #1): train `coarseCells`
+    * centroids with the sampled [[kMeansModel]], assign the SAMPLE to
+    * its final coarse cells, then train `finePer` centroids per coarse
+    * cell on that sample partition (seeds = the `finePer` smallest
+    * Knuth hashes within each coarse cell; Lloyd update = exact
+    * per-(cell, dim) DECIMAL(38,12) mean; empty cells keep their
+    * previous centroid — the flat trainer's rules, partitioned). Every
+    * step is a pure function of `vec_id` hashes and fixed-point
+    * arithmetic, so the v22 DuckDB oracle replays the whole composition.
+    *
+    * Scale shape: the corpus is scanned ONCE to build the hash-prefix
+    * sample (bounded at ~`sampleTarget` rows, localCheckpointed so the
+    * coarse trainer, the seed rank and each fine round re-read the
+    * small frame, not the corpus); both models are broadcast
+    * (coarse + fine ≈ total-cells × dims — the same size the flat
+    * model would be); full-corpus assignment is one map pass at
+    * coarse + fine ≈ 2√cells flops per row. Nothing shuffles vectors
+    * by cell at any step. */
+  def twoLevelModel(vectors: DataFrame, coarseCells: Int, finePer: Int,
+      iters: Int = 3, sampleTarget: Long = TrainSampleTarget,
+      knownN: Long = -1L): CellModel = {
+    require(coarseCells > 0, s"coarseCells must be positive, got $coarseCells")
+    require(finePer > 0, s"finePer must be positive, got $finePer")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val session = vectors.sparkSession
+    import session.implicits._
+    val src = vectors.select(col("vec_id").cast("long"), col("v"))
+    val sampDf =
+      if (sampleTarget > 0L) {
+        val n = if (knownN >= 0L) knownN else src.select(col("vec_id")).count()
+        src.filter(graft.QueryHelpers.knuthHash(col("vec_id")) <
+          lit(trainSampleCut(n, sampleTarget)))
+      } else src
+    // the sample feeds the coarse trainer (1 + iters scans), the seed
+    // rank and each fine round — checkpoint the bounded frame so none
+    // of those re-scan the corpus-sized input
+    val samp = sampDf.localCheckpoint()
+    try {
+      val coarse = kMeansModel(samp, coarseCells, iters)
+      if (coarse.isEmpty)
+        return new CellModel(coarse, Map.empty, finePer.toLong)
+      val bcC = session.sparkContext.broadcast(coarse)
+      val sampAssigned = samp.as[(Long, Array[Double])].mapPartitions { rows =>
+        val cs = bcC.value
+        rows.map { case (id, v) =>
+          val nrm = fpNorm(v)
+          (id, argmaxCell(cs, v, nrm), v, nrm)
+        }
+      }.toDF("vec_id", "cc", "v", "nrm").localCheckpoint()
+      try {
+        val wseed = Window.partitionBy($"cc").orderBy($"h".asc, $"vec_id".asc)
+        // fine seeds are model-sized (≤ coarse × finePer rows) — the
+        // only collects here are the model, never the data
+        val seedRows = sampAssigned
+          .withColumn("h", graft.QueryHelpers.knuthHash($"vec_id"))
+          .withColumn("rn", row_number().over(wseed))
+          .filter($"rn" <= finePer)
+          .select($"cc", ($"rn" - 1).cast("long").as("fi"), $"v")
+          .as[(Long, Long, Array[Double])].collect()
+        val stride = finePer.toLong
+        var fine: Map[Long, Array[(Long, Array[Double], Double)]] =
+          seedRows.groupBy(_._1).map { case (cc, rows) =>
+            cc -> rows.sortBy(_._2).map { case (_, fi, v) =>
+              (cc * stride + fi, v, fpNorm(v))
+            }
+          }
+        var round = 0
+        while (round < iters) {
+          val bcF = session.sparkContext.broadcast(fine)
+          val means = sampAssigned.as[(Long, Long, Array[Double], Double)]
+            .mapPartitions { rows =>
+              val fm = bcF.value
+              rows.flatMap { case (_, cc, v, nrm) =>
+                fm.get(cc) match {
+                  case Some(fcs) if fcs.nonEmpty =>
+                    Iterator.single((argmaxCell(fcs, v, nrm), v))
+                  case _ => Iterator.empty
+                }
+              }
+            }.toDF("cell", "v")
+            .select($"cell", posexplode($"v").as(Seq("pos", "x")))
+            .groupBy($"cell", $"pos")
+            .agg((sum($"x".cast(DecimalType38)).cast("double") / count(lit(1))).as("m"))
+            .groupBy($"cell")
+            .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
+            .as[(Long, Array[Double])].collect().toMap
+          fine = fine.map { case (cc, fcs) =>
+            cc -> fcs.map { case (g, cv, cn) =>
+              means.get(g).map(m => (g, m, fpNorm(m))).getOrElse((g, cv, cn))
+            }
+          }
+          bcF.destroy()
+          round += 1
+        }
+        new CellModel(coarse, fine, stride)
+      } finally sampAssigned.unpersist(false)
+    } finally samp.unpersist(false)
+  }
+
+  /** The one router every derived-cells consumer calls: flat sampled
+    * [[kMeansModel]] up to [[TwoLevelCellCap]] cells (every measured
+    * tier — results byte-identical to the flat trainer), the
+    * [[twoLevelModel]] coarse→fine split above it (`coarse = ⌈√cells⌉`,
+    * `finePer = ⌈cells/coarse⌉`, so the id space covers ≥ `cells` and
+    * per-level argmax stays ~√cells). This is what lifts r15's 4096-cell
+    * cap: [[kMeansCells]] now derives uncapped and occupancy stays at
+    * the target forever. */
+  def cellModel(vectors: DataFrame, cells: Int, iters: Int = 3,
+      sampleTarget: Long = TrainSampleTarget, knownN: Long = -1L): CellModel = {
+    require(cells > 0, s"cells must be positive, got $cells")
+    if (cells <= TwoLevelCellCap)
+      new CellModel(kMeansModel(vectors, cells, iters, sampleTarget, knownN),
+        Map.empty, 0L)
+    else {
+      val kc = math.ceil(math.sqrt(cells.toDouble)).toInt
+      val kf = (cells + kc - 1) / kc
+      twoLevelModel(vectors, kc, kf, iters, sampleTarget, knownN)
+    }
+  }
+
+  /** One map pass assigning every `(vec_id, v)` row its [[CellModel]]
+    * cell — the broadcast-argmax assignment d07/p09/m10 inline, exposed
+    * so v22 (and any external consumer of a trained model) serves the
+    * assignment directly. No shuffle: the model rides the broadcast,
+    * rows never leave their partitions. */
+  def assignCells(vectors: DataFrame, model: CellModel): DataFrame = {
+    val session = vectors.sparkSession
+    import session.implicits._
+    if (model.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("vec_id", "cell")
+    val bc = session.sparkContext.broadcast(model)
+    vectors.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val m = bc.value
+        rows.map { case (id, v) => (id, m.assign(v, fpNorm(v))) }
+      }.toDF("vec_id", "cell")
   }
 
   /** IVF ANN over k-means cells for every vector: approximate top-`k`
@@ -459,18 +696,26 @@ object Embeddings {
     * within-cell quadratic stays ~linear in n as the corpus grows (a
     * FIXED count fattens every cell linearly and the pair kernel
     * quadratically: measured 5.8 s at 60k → 20.0 s at 128k vectors
-    * under cells=8). The count() that feeds it is a column-pruned scan
-    * the trainer repeats anyway. Pass an explicit positive `cells` only
-    * to pin a shape (tests, cross-query consistency at a known scale).
-    * Returns survivors as (vec_id, cell).
+    * under cells=8). The derivation is UNCAPPED since r16: past
+    * [[TwoLevelCellCap]] cells [[cellModel]] routes to the coarse→fine
+    * two-level trainer, and the trainer itself runs on the
+    * deterministic `sampleTarget` hash-prefix sample (a no-op below
+    * [[TrainSampleTarget]] rows — every sub-64× tier is byte-identical
+    * to the r15 flat form), so neither the trainer argmax nor cell
+    * occupancy re-quadratifies at ANY n. The count() that feeds the
+    * derivation also feeds the sample cut. Pass an explicit positive
+    * `cells` only to pin a shape (tests, cross-query consistency at a
+    * known scale). Returns survivors as (vec_id, cell).
     */
   def semanticDedup(vectors: DataFrame, cells: Int = 0, iters: Int = 3,
-      threshold: Double = 0.45, blocks: Int = 4): DataFrame = {
+      threshold: Double = 0.45, blocks: Int = 4,
+      sampleTarget: Long = TrainSampleTarget): DataFrame = {
     require(blocks > 0, s"blocks must be positive, got $blocks")
     val session = vectors.sparkSession
     import session.implicits._
-    val k = if (cells > 0) cells else kMeansCells(vectors.count())
-    val model = kMeansModel(vectors, k, iters)
+    val nAll = vectors.select(col("vec_id")).count()
+    val k = if (cells > 0) cells else kMeansCells(nAll)
+    val model = cellModel(vectors, k, iters, sampleTarget, nAll)
     if (model.isEmpty)
       return Seq.empty[(Long, Long)].toDF("vec_id", "cell")
     val bc = session.sparkContext.broadcast(model)
@@ -478,17 +723,10 @@ object Embeddings {
     // same argmax arithmetic and (cosine desc, cell asc) ordering as the
     // trainer's assignment step — so the cells equal v09's `corp` CTE
     val assigned = base.mapPartitions { rows =>
-      val cs = bc.value
+      val m = bc.value
       rows.map { case (id, v) =>
         val nrm = fpNorm(v)
-        var bestCell = Long.MinValue; var bestC = Double.NegativeInfinity; var any = false
-        var ci = 0
-        while (ci < cs.length) {
-          val c = fpCos(v, cs(ci)._2, nrm, cs(ci)._3)
-          if (!any || sqlGt(c, bestC)) { bestC = c; bestCell = cs(ci)._1; any = true }
-          ci += 1
-        }
-        (id, bestCell, v, nrm)
+        (id, m.assign(v, nrm), v, nrm)
       }
     }
     // the assignment pass (full-corpus scan + per-row argmax over the
@@ -497,7 +735,7 @@ object Embeddings {
     // cost twice (same discipline as annTopK/ivfTopK's tagged frames;
     // kernel-rooted plans never sameResult-match, so the registry keeps
     // exactly one live copy per cell count)
-    val assignedDf = graft.CacheRegistry.retain(s"semdedup.assigned.c$k",
+    val assignedDf = graft.CacheRegistry.retain(s"semdedup.assigned.c$k.s$sampleTarget",
       assigned.toDF("vec_id", "cell", "v", "nrm"))
     val assignedDs = assignedDf.as[(Long, Long, Array[Double], Double)]
     val B = blocks
@@ -571,7 +809,7 @@ object Embeddings {
     * (ceil-div twice) so the DuckDB oracle derives the IDENTICAL cap
     * from its own COUNT(*). */
   def clusterBalancedSample(vectors: DataFrame, cells: Int = 0, iters: Int = 3,
-      keepDiv: Long = 2L): DataFrame = {
+      keepDiv: Long = 2L, sampleTarget: Long = TrainSampleTarget): DataFrame = {
     require(keepDiv > 0, s"keepDiv must be positive, got $keepDiv")
     val session = vectors.sparkSession
     import session.implicits._
@@ -582,12 +820,14 @@ object Embeddings {
     // bound is the per-cell SORT (8 cells = 1/8 of the corpus on one
     // window partition however big it grows — the bound this operator's
     // scaladoc hedged with p01's two-phase fallback). 65536-row cells
-    // keep every bench tier at the floor of 8 (no trainer-cost
-    // inflation: the argmax pass is n·cells) and start splitting cells
-    // exactly when they outgrow a comfortable partition sort
+    // keep every bench tier at the floor of 8 and start splitting cells
+    // exactly when they outgrow a comfortable partition sort; the
+    // trainer runs on the `sampleTarget` hash-prefix sample (no-op at
+    // n ≤ 65536), so its per-round argmax is sample · cells, not
+    // n · cells — r15's "trainer-cost inflation" caveat dissolved
     val nPre = vectors.select(col("vec_id")).count()
     val k = if (cells > 0) cells else kMeansCells(nPre, targetCell = 65536L)
-    val model = kMeansModel(vectors, k, iters)
+    val model = cellModel(vectors, k, iters, sampleTarget, nPre)
     if (model.isEmpty)
       return Seq.empty[(Long, Long, Long, Long)].toDF("cell", "vec_id", "rk", "n_c")
     val bc = session.sparkContext.broadcast(model)
@@ -595,17 +835,9 @@ object Embeddings {
     // same argmax arithmetic and tie order as the trainer's assignment
     // step — the cells equal v09's `corp` CTE (semanticDedup's contract)
     val assigned = base.mapPartitions { rows =>
-      val cs = bc.value
+      val m = bc.value
       rows.map { case (id, v) =>
-        val nrm = fpNorm(v)
-        var bestCell = Long.MinValue; var bestC = Double.NegativeInfinity; var any = false
-        var ci = 0
-        while (ci < cs.length) {
-          val c = fpCos(v, cs(ci)._2, nrm, cs(ci)._3)
-          if (!any || sqlGt(c, bestC)) { bestC = c; bestCell = cs(ci)._1; any = true }
-          ci += 1
-        }
-        (id, bestCell)
+        (id, m.assign(v, fpNorm(v)))
       }
     }.toDF("vec_id", "cell")
     // Both divisions take the CEILING (ceil(ceil(n/keepDiv)/cells)) so a
@@ -660,10 +892,14 @@ object Embeddings {
     * Pure integer arithmetic (one ceil-div + clamp) so a SQL oracle
     * derives the IDENTICAL count from its own `COUNT(*)`
     * ([[kMeansCellsSql]]). The floor of 8 preserves the small-corpus
-    * shape (≤ `minCells · targetCell` rows train exactly as before);
-    * above `maxCells · targetCell` rows occupancy grows again — raise
-    * `maxCells` toward √n, or sample the trainer (kMeansModel's note). */
-  def kMeansCells(n: Long, minCells: Int = 8, maxCells: Int = 4096,
+    * shape (≤ `minCells · targetCell` rows train exactly as before).
+    * UNCAPPED by default since r16: the r15 cap of 4096 existed to
+    * bound the flat trainer's n × cells argmax and let occupancy grow
+    * again past ~8.4M vectors; with the trainer sampled
+    * ([[TrainSampleTarget]]) and [[cellModel]] routing to the
+    * coarse→fine two-level form past [[TwoLevelCellCap]] cells, the
+    * derived count can track ⌈n/targetCell⌉ forever. */
+  def kMeansCells(n: Long, minCells: Int = 8, maxCells: Int = Int.MaxValue,
       targetCell: Long = 2048L): Int = {
     require(minCells >= 1 && maxCells >= minCells,
       s"bad cell range: $minCells..$maxCells")
@@ -679,11 +915,16 @@ object Embeddings {
     * first CTE of a derived-cells oracle; the prolog's seed filter then
     * reads `(SELECT k FROM cellp)`. */
   private[operators] def kMeansCellsSql(minCells: Int, maxCells: Int, targetCell: Long,
-      baseSelect: String): String =
+      baseSelect: String): String = {
+    val clamp =
+      if (maxCells == Int.MaxValue)
+        s"GREATEST($minCells, (t.n + ${targetCell - 1}) // $targetCell)"
+      else
+        s"LEAST($maxCells, GREATEST($minCells, (t.n + ${targetCell - 1}) // $targetCell))"
     s"""cellp AS MATERIALIZED (
-          SELECT CAST(LEAST($maxCells, GREATEST($minCells,
-                   (t.n + ${targetCell - 1}) // $targetCell)) AS BIGINT) AS k
+          SELECT CAST($clamp AS BIGINT) AS k
           FROM (SELECT COUNT(*) AS n FROM ($baseSelect) _cnt) t)"""
+  }
 
   /** The SQL fragment of [[lshPlanes]] — a params CTE deriving the
     * identical plane count from `COUNT(*) over `embeddings``, integer
@@ -1229,10 +1470,14 @@ object Embeddings {
         WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
   /** Template for [[kMeansPrologSql]]: the trainer-replay CTE chain
-    * (no leading WITH) with `__BASE__` = the (vec_id, v) source select
-    * and `__K__` = the cell count. */
+    * (no leading WITH) with `__BASE__` = the (vec_id, v) source select,
+    * `__K__` = the cell count, `__TRAIN__` = the frame the TRAINER
+    * reads (seeding + the three Lloyd rounds — `base` for the full
+    * corpus, `samp` for the sampled form; the final `pd`/`pr`/`corp`
+    * assignment always reads `base`), and `__SAMPLE_CTES__` = the
+    * sample-cut CTEs (empty for the unsampled form). */
   private val KMeansPrologTemplate: String =
-    """base AS MATERIALIZED (__BASE__),
+    """base AS MATERIALIZED (__BASE__),__SAMPLE_CTES__
         n2 AS MATERIALIZED (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x*x) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nrm
                FROM (SELECT vec_id, unnest(v) AS x FROM base) GROUP BY vec_id),
         -- seeding: k smallest Knuth multiplicative hashes of vec_id, ties by id;
@@ -1241,7 +1486,7 @@ object Embeddings {
                          row_number() OVER (ORDER BY
                            ((vec_id % 1048573 + 1048573) % 1048573) * 2654435761 % 1000000007,
                            vec_id) AS rn
-                  FROM base),
+                  FROM __TRAIN__),
         m0v AS MATERIALIZED (SELECT CAST(rn - 1 AS BIGINT) AS cell, v AS cv FROM seeds WHERE rn <= __K__),
         m0n AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
                 FROM (SELECT cell, unnest(cv) AS e FROM m0v) GROUP BY cell),
@@ -1251,7 +1496,7 @@ object Embeddings {
         -- mean, empty cells carry the previous centroid
         d1 AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
                FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
-                     FROM base b, m0 m) GROUP BY 1, 2),
+                     FROM __TRAIN__ b, m0 m) GROUP BY 1, 2),
         a1 AS MATERIALIZED (SELECT vid, cell FROM (
                  SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
                           ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
@@ -1259,7 +1504,7 @@ object Embeddings {
                WHERE rn = 1),
         g1 AS MATERIALIZED (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
                FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
-                     FROM base b JOIN a1 a ON b.vec_id = a.vid) GROUP BY 1, 2),
+                     FROM __TRAIN__ b JOIN a1 a ON b.vec_id = a.vid) GROUP BY 1, 2),
         u1 AS MATERIALIZED (SELECT cell, list(mn ORDER BY pos) AS cv FROM g1 GROUP BY cell),
         w1 AS MATERIALIZED (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m0 p LEFT JOIN u1 u ON p.cell = u.cell),
         x1 AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
@@ -1268,7 +1513,7 @@ object Embeddings {
         -- Lloyd round 2
         d2 AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
                FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
-                     FROM base b, m1 m) GROUP BY 1, 2),
+                     FROM __TRAIN__ b, m1 m) GROUP BY 1, 2),
         a2 AS MATERIALIZED (SELECT vid, cell FROM (
                  SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
                           ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
@@ -1276,7 +1521,7 @@ object Embeddings {
                WHERE rn = 1),
         g2 AS MATERIALIZED (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
                FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
-                     FROM base b JOIN a2 a ON b.vec_id = a.vid) GROUP BY 1, 2),
+                     FROM __TRAIN__ b JOIN a2 a ON b.vec_id = a.vid) GROUP BY 1, 2),
         u2 AS MATERIALIZED (SELECT cell, list(mn ORDER BY pos) AS cv FROM g2 GROUP BY cell),
         w2 AS MATERIALIZED (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m1 p LEFT JOIN u2 u ON p.cell = u.cell),
         x2 AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
@@ -1285,7 +1530,7 @@ object Embeddings {
         -- Lloyd round 3
         d3 AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS dot
                FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
-                     FROM base b, m2 m) GROUP BY 1, 2),
+                     FROM __TRAIN__ b, m2 m) GROUP BY 1, 2),
         a3 AS MATERIALIZED (SELECT vid, cell FROM (
                  SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
                           ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
@@ -1293,7 +1538,7 @@ object Embeddings {
                WHERE rn = 1),
         g3 AS MATERIALIZED (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
                FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
-                     FROM base b JOIN a3 a ON b.vec_id = a.vid) GROUP BY 1, 2),
+                     FROM __TRAIN__ b JOIN a3 a ON b.vec_id = a.vid) GROUP BY 1, 2),
         u3 AS MATERIALIZED (SELECT cell, list(mn ORDER BY pos) AS cv FROM g3 GROUP BY cell),
         w3 AS MATERIALIZED (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv FROM m2 p LEFT JOIN u3 u ON p.cell = u.cell),
         x3 AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS cn
@@ -1312,7 +1557,7 @@ object Embeddings {
   /** CTE names the template defines, longest-first so suffixing via
     * word-boundary replace cannot clip a longer name (m0v before m0). */
   private val KMeansCteNames: Seq[String] = Seq(
-    "base", "n2", "seeds", "m0v", "m0n", "m0",
+    "base", "n2", "scut", "samp", "seeds", "m0v", "m0n", "m0",
     "d1", "a1", "g1", "u1", "w1", "x1", "m1",
     "d2", "a2", "g2", "u2", "w2", "x2", "m2",
     "d3", "a3", "g3", "u3", "w3", "x3", "m3",
@@ -1333,10 +1578,41 @@ object Embeddings {
     * of an integer literal — the derived-cells form splices
     * `(SELECT k FROM cellp)` so the oracle's seed filter reads the same
     * corpus-derived count [[kMeansCells]] computes on the Spark side. */
-  private[operators] def kMeansPrologSqlK(suffix: String, kExpr: String, baseSelect: String): String = {
+  private[operators] def kMeansPrologSqlK(suffix: String, kExpr: String, baseSelect: String): String =
+    kMeansPrologSqlT(suffix, kExpr, baseSelect, sampleTarget = 0L)
+
+  /** [[kMeansPrologSqlK]] with the trainer SAMPLED: adds the `scut`
+    * (the [[trainSampleCut]] integer arithmetic over the replay's own
+    * COUNT(*)) and `samp` (the hash-prefix filter) CTEs and points the
+    * seeding + Lloyd rounds at `samp` while the final `pd`/`pr`/`corp`
+    * assignment still covers every `base` row — exactly
+    * [[kMeansModel]]'s `sampleTarget` form. Below `sampleTarget` rows
+    * the cut exceeds every hash and the replay degenerates to the
+    * unsampled chain (same results, slightly more SQL). */
+  private[operators] def kMeansPrologSqlSampled(suffix: String, kExpr: String,
+      baseSelect: String, sampleTarget: Long): String = {
+    require(sampleTarget > 0, s"sampleTarget must be positive, got $sampleTarget")
+    kMeansPrologSqlT(suffix, kExpr, baseSelect, sampleTarget)
+  }
+
+  private def kMeansPrologSqlT(suffix: String, kExpr: String, baseSelect: String,
+      sampleTarget: Long): String = {
+    val sampleCtes =
+      if (sampleTarget <= 0L) ""
+      else s"""
+        -- deterministic trainer sample: hash-prefix cut derived from the
+        -- corpus's own COUNT(*) (trainSampleCut's integer arithmetic; a
+        -- no-op whenever n <= $sampleTarget because the cut then exceeds
+        -- every possible hash value)
+        scut AS MATERIALIZED (SELECT GREATEST(1, (1000000007::BIGINT * $sampleTarget) // t.n) AS cut
+                 FROM (SELECT GREATEST(COUNT(*), 1) AS n FROM base) t),
+        samp AS MATERIALIZED (SELECT b.vec_id, b.v FROM base b, scut
+                 WHERE ((b.vec_id % 1048573 + 1048573) % 1048573) * 2654435761 % 1000000007 < scut.cut),"""
     val body = KMeansPrologTemplate
       .replace("__BASE__", baseSelect)
       .replace("__K__", kExpr)
+      .replace("__SAMPLE_CTES__", sampleCtes)
+      .replace("__TRAIN__", if (sampleTarget > 0L) "samp" else "base")
     if (suffix.isEmpty) body
     else KMeansCteNames.foldLeft(body)((acc, n) =>
       acc.replaceAll("\\b" + n + "\\b", n + suffix))
@@ -1364,8 +1640,81 @@ object Embeddings {
     * target is partition-sized (65536) — cells stay at the floor of 8
     * through every bench tier and grow only past 0.5M vectors. */
   private[operators] def kMeansOraclePrologDerived(targetCell: Long): String =
-    "WITH " + kMeansCellsSql(8, 4096, targetCell, EmbeddingsBaseSelect) + ",\n        " +
-      kMeansPrologSqlK("", "(SELECT k FROM cellp)", EmbeddingsBaseSelect)
+    // uncapped cell derivation + sampled trainer, matching semanticDedup/
+    // clusterBalancedSample's r16 defaults. This single-level replay is
+    // valid while the derived count stays <= TwoLevelCellCap (4096 —
+    // n <= 8.4M vectors at d07's target, every tier DuckDB can hold);
+    // past it the engine routes to cellModel's two-level form, whose
+    // replay is v22's oracle.
+    "WITH " + kMeansCellsSql(8, Int.MaxValue, targetCell, EmbeddingsBaseSelect) + ",\n        " +
+      kMeansPrologSqlSampled("", "(SELECT k FROM cellp)", EmbeddingsBaseSelect,
+        TrainSampleTarget)
+
+  /** v22's DuckDB replay of the FULL two-level composition
+    * ([[twoLevelModel]] + [[assignCells]]): the sampled coarse prolog
+    * (scut/samp + 3 Lloyd rounds + full-corpus coarse assignment
+    * `corp`), the per-coarse-cell fine trainer (seeds = the `finePer`
+    * smallest Knuth hashes WITHIN each coarse cell, `iters` unrolled
+    * Lloyd rounds whose argmax joins each sample row to its own coarse
+    * cell's fine centroids only, exact DECIMAL(38,12) means, empty
+    * cells keeping their previous centroid via COALESCE), and the final
+    * full-corpus fine assignment with the engine's fallback — a coarse
+    * cell that trained no fine centroids assigns `coarse · finePer`.
+    * Generated by the same loop that fixes the round count, so the
+    * engine's `iters` and the SQL's unroll depth cannot drift (the
+    * MmrOracleSql discipline). */
+  private[operators] def twoLevelOracleSql(coarseCells: Int, finePer: Int,
+      iters: Int, sampleTarget: Long, baseSelect: String): String = {
+    val kf = finePer
+    val fp = "1000000000000.0"
+    val coarse = kMeansPrologSqlSampled("", coarseCells.toString, baseSelect, sampleTarget)
+    def normCte(name: String, src: String) =
+      s"""$name AS MATERIALIZED (SELECT cell, sqrt(CAST(SUM(CAST(FLOOR((e*e) * $fp + 0.5) AS BIGINT)) AS DOUBLE) / $fp) AS cn
+               FROM (SELECT cell, unnest(cv) AS e FROM $src) GROUP BY cell)"""
+    val head = s"""scorp AS MATERIALIZED (
+          SELECT c.cid AS vec_id, c.cell AS cc, s.v, n2.nrm
+          FROM corp c JOIN samp s ON c.cid = s.vec_id JOIN n2 ON c.cid = n2.vec_id),
+        fseeds AS MATERIALIZED (
+          SELECT cc, vec_id, v, row_number() OVER (PARTITION BY cc ORDER BY
+            ((vec_id % 1048573 + 1048573) % 1048573) * 2654435761 % 1000000007,
+            vec_id) AS rn
+          FROM scorp),
+        fm0v AS MATERIALIZED (SELECT cc, CAST(cc * $kf + rn - 1 AS BIGINT) AS cell, v AS cv
+          FROM fseeds WHERE rn <= $kf),
+        ${normCte("fm0n", "fm0v")},
+        fm0 AS MATERIALIZED (SELECT v.cc, v.cell, v.cv, n.cn FROM fm0v v JOIN fm0n n ON v.cell = n.cell)"""
+    val rounds = (1 to iters).map { r =>
+      val prev = s"fm${r - 1}"
+      s"""fd$r AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * $fp + 0.5) AS BIGINT)) AS DOUBLE) / $fp AS dot
+               FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
+                     FROM scorp b JOIN $prev m ON m.cc = b.cc) GROUP BY 1, 2),
+        fa$r AS MATERIALIZED (SELECT vid, cell FROM (
+                 SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
+                          ORDER BY d.dot / (b.nrm * m.cn) DESC, d.cell) AS rn
+                 FROM fd$r d JOIN scorp b ON d.vid = b.vec_id JOIN $prev m ON d.cell = m.cell)
+               WHERE rn = 1),
+        fg$r AS MATERIALIZED (SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mn
+               FROM (SELECT a.cell, generate_subscripts(b.v, 1) AS pos, unnest(b.v) AS x
+                     FROM scorp b JOIN fa$r a ON b.vec_id = a.vid) GROUP BY 1, 2),
+        fu$r AS MATERIALIZED (SELECT cell, list(mn ORDER BY pos) AS cv FROM fg$r GROUP BY cell),
+        fw$r AS MATERIALIZED (SELECT p.cc, p.cell, COALESCE(u.cv, p.cv) AS cv FROM $prev p LEFT JOIN fu$r u ON p.cell = u.cell),
+        ${normCte(s"fx$r", s"fw$r")},
+        fm$r AS MATERIALIZED (SELECT w.cc, w.cell, w.cv, x.cn FROM fw$r w JOIN fx$r x ON w.cell = x.cell)"""
+    }
+    val last = s"fm$iters"
+    val tail = s"""ffd AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * $fp + 0.5) AS BIGINT)) AS DOUBLE) / $fp AS dot
+               FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
+                     FROM base b JOIN corp c ON b.vec_id = c.cid JOIN $last m ON m.cc = c.cell) GROUP BY 1, 2),
+        ffa AS MATERIALIZED (SELECT vid, cell FROM (
+                 SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
+                          ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
+                 FROM ffd d JOIN n2 ON d.vid = n2.vec_id JOIN $last m ON d.cell = m.cell)
+               WHERE rn = 1)
+        SELECT c.cid AS vec_id, COALESCE(f.cell, c.cell * $kf) AS cell
+        FROM corp c LEFT JOIN ffa f ON c.cid = f.vid ORDER BY vec_id"""
+    "WITH " + coarse + ",\n        " + head + ",\n        " +
+      (rounds :+ tail).mkString(",\n        ")
+  }
 
   /** Shared DuckDB oracle for v12 and v15: replays the 4 subspace
     * trainers ([[kMeansPrologSql]] once per slice), the corpus encoding,
@@ -2859,7 +3208,32 @@ object Embeddings {
           SELECT (((COUNT(*) + 1) // 2) + MAX(c.k) - 1) // MAX(c.k) AS cap
           FROM corp, cellp c)
         SELECT cell, vec_id, rk, n_c FROM ranked, cap
-        WHERE rk <= cap ORDER BY cell, rk"""))
+        WHERE rk <= cap ORDER BY cell, rk""")),
+
+    QueryDef("v22_twolevel_cells",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the r16 trainer posture's BOTH mechanisms as one hash-gated
+        // row: the deterministic hash-prefix trainer sample AND the
+        // coarse→fine two-level assignment ([[twoLevelModel]] +
+        // [[assignCells]] — the code path cellModel routes d07/p09/m10
+        // through past TwoLevelCellCap cells, where no DuckDB-holdable
+        // corpus can push the DERIVED count). Pinned at an explicit
+        // small shape (coarse=3, fine-per=3, sampleTarget=256) so the
+        // sampled path DIVERGES from the full trainer at every tier —
+        // 256 < the sf0.01 gate's corpus — and the fine trainer, the
+        // per-coarse seeding, the empty-cell fallback and the final
+        // two-argmax assignment are all DuckDB-replayed everywhere the
+        // sweeps run. Scale shape under test is the real one: one
+        // corpus scan builds the bounded sample, models broadcast, the
+        // full-corpus assignment is one map pass at coarse+fine flops
+        // per row, nothing shuffles vectors by cell.
+        val base = based(s, dir)
+        val model = Embeddings.twoLevelModel(base, coarseCells = 3,
+          finePer = 3, iters = 3, sampleTarget = 256L)
+        Embeddings.assignCells(base, model).orderBy($"vec_id")
+      },
+      Some(twoLevelOracleSql(3, 3, 3, 256L, EmbeddingsBaseSelect)))
   )
 
   /** v21's oracle: top-20 exact panel, candidate-pair similarities, and

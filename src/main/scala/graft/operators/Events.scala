@@ -302,22 +302,46 @@ object Events {
         import s.implicits._
         // rolling 7-day active users — the WAU/MAU family. Genuinely
         // hard in windowed SQL (COUNT(DISTINCT) OVER RANGE is
-        // unsupported in Spark); the scalable form dedups to (day,
-        // user) FIRST — event-count → active-pair-count reduction at
-        // the earliest aggregate — then EXPLODES each pair into the 7
-        // report days it contributes to: shuffle is 7× the deduped
-        // pairs, never 7× the raw events, and no per-day self-join of
-        // the event log. Output restricted to days that actually occur
-        // (semi-join with the tiny day list).
+        // unsupported in Spark); dedup to (day, user) FIRST — event-
+        // count → active-pair-count reduction at the earliest
+        // aggregate — then SWEEP-LINE instead of the r15 7×-explode +
+        // countDistinct: a user counts toward WAU(d) iff d lies in the
+        // union of [a, a+6] over their active days a, so merge each
+        // user's active days into coverage segments (consecutive days
+        // ≤ 6 apart extend one segment — one lag + running sum over
+        // the user partition), emit ±1 deltas at segment boundaries,
+        // and evaluate the running delta sum at each observed day.
+        // PROBES_r15 flagged the explode form's sf6.4 step at 2.76×
+        // for 2.13× data with LINEAR inputs (user-day fill is constant
+        // 0.891 across tiers) — the growing term was the 7×-expanded
+        // distinct aggregate's hash state (17.9M rows into 2.9M keys
+        // at 64×), a constant-factor cache effect, not input growth.
+        // The sweep-line never materializes the ×7 stream: shuffle is
+        // the deduped pairs once (by user) plus a day-keyed delta agg
+        // that map-side combines to ~2 rows per distinct day, and the
+        // final evaluation joins two day-count-sized frames (broadcast
+        // nested loop — both sides are calendar-sized, never data-
+        // sized). Output restricted to days that actually occur.
         val ud = eventsTbl(s, dir)
           .select(to_date(date_trunc("day", $"ts")).as("day"), $"user_id")
           .distinct()
+        val wU = Window.partitionBy($"user_id").orderBy($"day")
+        val cumU = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val seg = ud
+          .withColumn("prev", lag($"day", 1).over(wU))
+          .withColumn("newseg",
+            when($"prev".isNull || datediff($"day", $"prev") > 6, 1L).otherwise(0L))
+          .withColumn("segid", sum($"newseg").over(cumU))
+          .groupBy($"user_id", $"segid")
+          .agg(min($"day").as("s"), date_add(max($"day"), 6).as("e"))
+        val deltas = seg.select($"s".as("d"), lit(1L).as("delta"))
+          .unionByName(seg.select(date_add($"e", 1).as("d"), lit(-1L).as("delta")))
+          .groupBy($"d").agg(sum($"delta").as("delta"))
         val days = ud.select($"day").distinct()
-        ud.withColumn("d", explode(expr("sequence(day, date_add(day, 6))")))
-          .join(days.withColumnRenamed("day", "d"), Seq("d"), "left_semi")
-          .groupBy($"d")
-          .agg(countDistinct($"user_id").as("wau"))
-          .select(date_format($"d", "yyyy-MM-dd").as("day"), $"wau")
+        days.join(broadcast(deltas), deltas("d") <= days("day"))
+          .groupBy($"day")
+          .agg(sum($"delta").as("wau"))
+          .select(date_format($"day", "yyyy-MM-dd").as("day"), $"wau")
           .orderBy($"day")
       },
       // oracle: the equivalent day-range join over the deduped pairs

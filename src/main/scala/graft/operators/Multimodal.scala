@@ -475,13 +475,18 @@ object Multimodal {
     * gate still fires if a single CELL's band bucket exceeds the bound
     * — raise `cells` (more, smaller cells) before raising the gate. */
   def phashPairsViaCells(docs: DataFrame, cells: Int = 0, iters: Int = 3,
-      maxBandBucket: Long = MaxBandBucket): DataFrame = {
+      maxBandBucket: Long = MaxBandBucket,
+      sampleTarget: Long = Embeddings.TrainSampleTarget): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val sf = graft.CacheRegistry.retain("media.cellsigs", phashSigFeats(docs))
-    val k = if (cells > 0) cells else Embeddings.kMeansCells(sf.count())
-    val model = Embeddings.kMeansModel(
-      sf.select($"doc_id".as("vec_id"), $"v"), k, iters)
+    val nReps = sf.count()
+    val k = if (cells > 0) cells else Embeddings.kMeansCells(nReps)
+    // d07's r16 trainer posture, shared: derivation uncapped, trainer on
+    // the deterministic hash-prefix sample (no-op below 65536 reps),
+    // coarse→fine routing past 4096 cells — see Embeddings.cellModel
+    val model = Embeddings.cellModel(
+      sf.select($"doc_id".as("vec_id"), $"v"), k, iters, sampleTarget, nReps)
     if (model.isEmpty)
       return Seq.empty[(Long, Long, Long)].toDF("doc_a", "doc_b", "hamming")
     val bc = s.sparkContext.broadcast(model)
@@ -490,18 +495,8 @@ object Multimodal {
       .flatMap { case (id, h0, h1, v) =>
         // same argmax arithmetic and (cosine desc, cell asc) tie order
         // as the trainer's assignment step (semanticDedup's contract)
-        val cs = bc.value
         val nrm = Embeddings.fpNorm(v)
-        var bestCell = Long.MinValue; var bestC = Double.NegativeInfinity
-        var any = false
-        var ci = 0
-        while (ci < cs.length) {
-          val c = Embeddings.fpCos(v, cs(ci)._2, nrm, cs(ci)._3)
-          if (!any || Embeddings.sqlGt(c, bestC)) {
-            bestC = c; bestCell = cs(ci)._1; any = true
-          }
-          ci += 1
-        }
+        val bestCell = bc.value.assign(v, nrm)
         // the cell id packs into the band VALUE (bv is 8-bit), so the
         // kernel's (band, value) bucketing becomes (band, cell, value)
         // with no schema or kernel change — first-matching-band dedup
@@ -771,9 +766,9 @@ object Multimodal {
                     FROM fden n, (SELECT unnest(generate_series(0, 15)) AS b) gs) g
               LEFT JOIN fcnt f ON f.doc_id = g.doc_id AND f.bucket = g.b)
             GROUP BY doc_id)"""
-    val cellp = Embeddings.kMeansCellsSql(8, 4096, 2048L, "SELECT vec_id FROM fvec")
-    val prolog = Embeddings.kMeansPrologSqlK("", "(SELECT k FROM cellp)",
-      "SELECT vec_id, v FROM fvec")
+    val cellp = Embeddings.kMeansCellsSql(8, Int.MaxValue, 2048L, "SELECT vec_id FROM fvec")
+    val prolog = Embeddings.kMeansPrologSqlSampled("", "(SELECT k FROM cellp)",
+      "SELECT vec_id, v FROM fvec", Embeddings.TrainSampleTarget)
     s"""WITH $MediaHashCtes,
           $fvecCtes,
           $cellp,

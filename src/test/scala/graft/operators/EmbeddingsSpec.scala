@@ -750,7 +750,15 @@ class EmbeddingsSpec extends SparkSpec {
     assert(Embeddings.kMeansCells(20000) == 10, "sf1: ceil(20000/2048)")
     assert(Embeddings.kMeansCells(60000) == 30, "sf3: ceil(60000/2048)")
     assert(Embeddings.kMeansCells(128000) == 63, "sf6.4: ceil(128000/2048)")
-    assert(Embeddings.kMeansCells(Long.MaxValue / 2) == 4096, "huge corpora clamp to the cap")
+    // r16: the derivation is UNCAPPED by default (cellModel routes past
+    // TwoLevelCellCap to the coarse→fine form instead of letting
+    // occupancy grow) — an explicit maxCells still clamps
+    assert(Embeddings.kMeansCells(10_000_000_000L) == 4882813,
+      "uncapped: 10B vectors derive ceil(n/2048) cells")
+    assert(Embeddings.kMeansCells(10_000_000_000L, maxCells = 4096) == 4096,
+      "an explicit cap still clamps")
+    assert(Embeddings.kMeansCells(Long.MaxValue / 2) == Int.MaxValue,
+      "absurd corpora saturate at Int.MaxValue, no overflow")
     // the derived default routes through the SAME trainer as an explicit
     // count — cells=0 must equal cells=kMeansCells(n) row for row
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -763,6 +771,73 @@ class EmbeddingsSpec extends SparkSpec {
       .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(derived == explicit && derived.nonEmpty,
       s"derived default must equal the explicit kMeansCells($n) shape")
+  }
+
+  test("sampled trainer: cut contract, sampled == trained-on-filter, no-op below target") {
+    import org.apache.spark.sql.functions._
+    def key(m: Array[(Long, Array[Double], Double)]) =
+      m.map { case (c, v, n) => (c, v.toSeq, n) }.toSeq
+    // the scut CTE's integer contract: floor(1000000007·S/n), min 1,
+    // keep-all (cut above every possible hash) whenever n <= S
+    assert(Embeddings.trainSampleCut(500, 65536) >= 1000000007L,
+      "n <= target: the cut exceeds the hash range and filters nothing")
+    assert(Embeddings.trainSampleCut(128000, 65536) == 1000000007L * 65536 / 128000)
+    assert(Embeddings.trainSampleCut(Long.MaxValue / 16, 1) == 1L,
+      "the cut never reaches 0 however large n grows")
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    val full = Embeddings.kMeansModel(vecs, k = 6, iters = 2)
+    // S >= n: sampling is a NO-OP — the r15 model is bit-identical, which
+    // is why every sub-64x tier's hashes were unchanged by this change
+    assert(key(Embeddings.kMeansModel(vecs, k = 6, iters = 2, sampleTarget = 500L)) ==
+      key(full), "sampleTarget >= n must reproduce the unsampled model exactly")
+    // S < n: the sampled trainer IS the unsampled trainer over the
+    // explicit hash-prefix filter — the identity the samp CTE replays
+    val cut = Embeddings.trainSampleCut(500, 128)
+    val filtered = vecs.filter(graft.QueryHelpers.knuthHash(col("vec_id")) < lit(cut))
+    val nSamp = filtered.count()
+    assert(nSamp > 0 && nSamp < 500, s"cut must genuinely sample the fixture: $nSamp")
+    val sampled = Embeddings.kMeansModel(vecs, k = 6, iters = 2, sampleTarget = 128L)
+    assert(key(sampled) == key(Embeddings.kMeansModel(filtered, k = 6, iters = 2)),
+      "sampled trainer must equal the full trainer over the hash-prefix sample")
+    assert(key(sampled) != key(full),
+      "a 128-row sample must diverge from the 500-row trainer on this fixture")
+  }
+
+  test("cellModel: flat below the cap, coarse→fine above it, deterministic fallback") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    // flat routing: the CellModel wraps exactly kMeansModel's array and
+    // assign() is the same argmax (d07/p09/m10's pre-r16 semantics —
+    // also pinned corpus-wide by the 118-green oracle gate)
+    val flat = Embeddings.cellModel(vecs, cells = 6, iters = 2, sampleTarget = 0L)
+    assert(flat.fineStride == 0L && flat.coarse.length == 6 && flat.fine.isEmpty)
+    // routing above TwoLevelCellCap: the ceil-sqrt split, same
+    // assignments as the explicit twoLevelModel call
+    val cells = Embeddings.TwoLevelCellCap + 4
+    val kc = math.ceil(math.sqrt(cells.toDouble)).toInt
+    val kf = (cells + kc - 1) / kc
+    val routed = Embeddings.cellModel(vecs, cells, iters = 2, sampleTarget = 256L)
+    assert(routed.fineStride == kf.toLong && routed.coarse.length == kc,
+      s"expected $kc coarse x $kf fine, got ${routed.coarse.length} x ${routed.fineStride}")
+    val explicit = Embeddings.twoLevelModel(vecs, kc, kf, iters = 2, sampleTarget = 256L)
+    def asg(m: Embeddings.CellModel) = Embeddings.assignCells(vecs, m)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val routedA = asg(routed)
+    assert(routedA == asg(explicit),
+      "cellModel's routed two-level must equal the explicit twoLevelModel")
+    assert(routedA.forall { case (_, c) => c >= 0L && c < kc.toLong * kf },
+      "every assigned cell id lives in [0, coarse*fine)")
+    assert(routedA.map(_._2).distinct.size > 1, "the fixture must spread across cells")
+    // fallback: a coarse cell with no trained fine centroids assigns
+    // coarse*stride — the COALESCE the v22 oracle replays
+    val cm = new Embeddings.CellModel(
+      Array((0L, Array(1.0, 0.0), 1.0), (1L, Array(0.0, 1.0), 1.0)),
+      Map(0L -> Array((0L, Array(1.0, 0.0), 1.0))), 5L)
+    assert(cm.assign(Array(0.0, 1.0), 1.0) == 5L,
+      "missing fine set must assign coarse*stride")
+    assert(cm.assign(Array(1.0, 0.0), 1.0) == 0L)
+    assert(cm.cellSpace == 10L)
   }
 
   test("p09 cluster-balanced sample: exact per-cell cap, hash-rank membership, replayable") {
