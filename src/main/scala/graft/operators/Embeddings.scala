@@ -455,6 +455,36 @@ object Embeddings {
         case _ => cc * fineStride
       }
     }
+    /** The row's `probes` nearest cells under the trainer's (cosine
+      * desc, cell asc) ordering — multi-probe for bucketed consumers
+      * (m10): a pair split by the argmax BOUNDARY is recovered whenever
+      * the two probe sets intersect, [[ivfTopK]]'s query-side economics
+      * applied to candidate generation. `probe(v, n, 1)` equals
+      * `assign(v, n)`. Two-level models probe the top-`probes` FINE
+      * cells within the winning coarse cell (the fine boundary is where
+      * near-identical rows split; a residual coarse-boundary split is
+      * part of the two-level approximation, disclosed in v22's doc). */
+    def probe(v: Array[Double], nrm: Double, probes: Int): Array[Long] = {
+      require(probes > 0, s"probes must be positive, got $probes")
+      if (fineStride <= 0L) topCells(coarse, v, nrm, probes)
+      else {
+        val cc = argmaxCell(coarse, v, nrm)
+        fine.get(cc) match {
+          case Some(fcs) if fcs.nonEmpty => topCells(fcs, v, nrm, probes)
+          case _ => Array(cc * fineStride)
+        }
+      }
+    }
+    private def topCells(cs: Array[(Long, Array[Double], Double)],
+        v: Array[Double], nrm: Double, p: Int): Array[Long] = {
+      val top = new TopKBuffer(p)
+      var ci = 0
+      while (ci < cs.length) {
+        top.insert(fpCos(v, cs(ci)._2, nrm, cs(ci)._3), cs(ci)._1)
+        ci += 1
+      }
+      top.ids.take(top.filled)
+    }
   }
 
   /** Coarse→fine two-level trainer — the designed answer past

@@ -193,6 +193,21 @@ object Multimodal {
     * bound is a skew/wall-clock guard, not a memory one). */
   val MaxBandBucket: Long = 1L << 16
 
+  /** m10's cell-count derivation: the smallest count splitting the
+    * hottest flat band bucket to an expected half-gate occupancy
+    * (`max(8, ceil(2·hottest/gate))` — 2× headroom for an uneven
+    * split), floored at 8. Pure integer arithmetic so the oracle
+    * derives the IDENTICAL count from its own band profile. Unlike
+    * d07's rep-count occupancy derivation, this tracks the quantity
+    * the GATE measures: cells here exist to split hot buckets, and
+    * every cell past that costs recall (PROBES_r16: 0.92 at 8 cells
+    * vs 0.75 at 25 on the same corpus). */
+  def mediaCells(hottest: Long, gate: Long): Int = {
+    require(gate > 0, s"gate must be positive, got $gate")
+    math.min(Int.MaxValue.toLong,
+      math.max(8L, (2L * hottest + gate - 1L) / gate)).toInt
+  }
+
   private val phashPairsMemo = new java.util.concurrent.atomic.AtomicReference[
     (String, SparkSession, Long, (Long, Long, Long), DataFrame)]()
 
@@ -356,9 +371,11 @@ object Multimodal {
             "smaller cells split the concentrated slice further), or " +
             "raise maxBandBucket explicitly if the quadratic cost is budgeted."
         else
-          "use Multimodal.phashPairsViaCells (m10: k-means cells over the m03 " +
-            "feature histograms, banded kernel within cells) to pair such a " +
-            "corpus under this bound, or raise maxBandBucket explicitly if " +
+          "use Multimodal.phashPairsViaCells (m10: k-means cells over the " +
+            "hash's band bytes, top-2 probed, banded kernel within cells — " +
+            "measured recall 0.92+ vs this exact kernel at sf0.1/sf1, " +
+            "PROBES_r16) to pair such a corpus under this bound, or raise " +
+            "maxBandBucket explicitly if the exact pair set is required and " +
             "the quadratic cost is budgeted."
       throw new graft.util.GateRefusal(
         s"media near-dup band bucket ($what) holds $hottest blobs (> $maxBandBucket): " +
@@ -427,10 +444,17 @@ object Multimodal {
   }
 
   /** Signature + feature rows `(doc_id, h0, h1, v)` per representative —
-    * [[phashSigsOf]]'s decode→collapse pass also emitting the m03
-    * 16-bucket byte-histogram density vector (IDENTICAL arithmetic to
-    * [[featureExtract]]), so [[phashPairsViaCells]] trains and assigns
-    * its cells without a second decode pass or any join. */
+    * [[phashSigsOf]]'s decode→collapse pass also emitting the
+    * clustering feature vector [[phashPairsViaCells]] trains on: the 8
+    * BAND BYTES of the aHash itself (`bandSlice(b)/255` for b = 0..7 —
+    * the exact slices the kernel buckets on), so cells partition the
+    * SAME space the hamming kernel measures distance in. The r15 form
+    * clustered the m03 byte-histogram density instead, and because
+    * histogram proximity correlates only weakly with aHash hamming on
+    * short payloads, single-probe recall vs the exact kernel measured
+    * 0.218 (sf0.1) / 0.123 (sf1); band-byte cells with top-2 probing
+    * measure 0.92+ on the same corpora (PROBES_r16). No second decode
+    * pass, no join — the vector is 8 shifts off the hash. */
   private def phashSigFeats(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -440,10 +464,10 @@ object Multimodal {
       }.reduceGroups((a, b) => if (a.doc_id <= b.doc_id) a else b)
       .map { case (_, r) =>
         val (h0, h1) = aHash64(r.payload)
-        val hist = new Array[Double](16)
-        r.payload.foreach(b => hist((b & 0xFF) / 16) += 1.0)
-        val n = math.max(1.0, r.payload.length.toDouble)
-        (r.doc_id, h0, h1, hist.map(_ / n))
+        val v = new Array[Double](8)
+        var b = 0
+        while (b < 8) { v(b) = bandSlice(b, h0, h1).toDouble / 255.0; b += 1 }
+        (r.doc_id, h0, h1, v)
       }.toDF("doc_id", "h0", "h1", "v")
   }
 
@@ -451,62 +475,95 @@ object Multimodal {
     * flat kernel's gate refusal names: for corpora that LEGITIMATELY
     * concentrate more than `maxBandBucket` distinct payloads into one
     * 8-bit band slice (near-dup-heavy crawls do this; the 64× synthetic
-    * corpus does it structurally), pre-cluster the representatives by
-    * their m03 feature histograms ([[Embeddings.kMeansModel]], cell
-    * count corpus-derived via [[Embeddings.kMeansCells]]) and run the
-    * banded hamming kernel WITHIN cells only. A structurally hot band
-    * bucket splits across feature cells, so each (cell, band, value)
+    * corpus does it structurally), pre-cluster the representatives and
+    * run the banded hamming kernel WITHIN cells only. A structurally
+    * hot band bucket splits across cells, so each (cell, band, value)
     * task stays under the same per-bucket gate the flat kernel
     * enforces — bounded wall-clock where [[phashPairs]] refuses.
     *
-    * APPROXIMATE by design, exactly like [[Embeddings.semanticDedup]]'s
-    * within-cell contract: a hamming ≤ 6 pair whose members land in
-    * different feature cells is not emitted (perceptually near-identical
-    * payloads have near-identical byte histograms, so in practice the
-    * cells separate what the hash bands concentrate). The DuckDB oracle
-    * replays the whole composition — collapse, aHash, feature vectors,
-    * the trainer (same fixed-point prolog as d07/v09), the cell-keyed
-    * band join — so the approximation is pinned, not fuzzy.
+    * The cells are trained ON THE HASH'S OWN BAND BYTES
+    * (`bandSlice(b)/255`, b = 0..7 — [[phashSigFeats]]) and every rep
+    * probes its top-`probes` cells ([[Embeddings.CellModel.probe]], the
+    * IVF multi-probe move): a hamming ≤ 6 pair survives whenever the
+    * two probe sets intersect. MEASURED recall vs the exact kernel
+    * (PROBES_r16): 0.92+ at sf0.1/sf1 under the defaults; the r15
+    * design (m03 byte-histogram cells, single probe) measured
+    * 0.218/0.123 on the same corpora because histogram proximity
+    * correlates only weakly with aHash hamming. Still APPROXIMATE by
+    * design, like [[Embeddings.semanticDedup]]'s within-cell contract —
+    * a pair whose probe sets are disjoint is not emitted — and the
+    * DuckDB oracle replays the whole composition (collapse, aHash, band
+    * bytes, the sampled trainer prolog, top-2 probe ranks, the
+    * cell-keyed band join), so the approximation is pinned, not fuzzy.
+    * A user needing the EXACT pair set must raise `maxBandBucket` on
+    * the flat kernel with the quadratic cost budgeted.
     *
     * Scale shape: one decode→collapse pass (map-side combining), one
-    * broadcast-argmax assignment fused into band-row generation (no
+    * broadcast-probe assignment fused into band-row generation (no
     * join — the cell id packs into the band-value key), one shuffle
-    * keyed (band, cell·256+value), then [[phashKernel]] unchanged. The
-    * gate still fires if a single CELL's band bucket exceeds the bound
-    * — raise `cells` (more, smaller cells) before raising the gate. */
+    * keyed (band, cell·256+value) carrying `probes ×` the flat row
+    * count, then [[phashKernel]] plus one distinct() (a pair sharing
+    * BOTH probed cells is emitted once per shared cell — the
+    * first-matching-band rule dedups within a cell, not across probes;
+    * output-sized exchange, never candidate-sized). The gate still
+    * fires if a single CELL's band bucket exceeds the bound — raise
+    * `cells` (more, smaller cells) before raising the gate. */
   def phashPairsViaCells(docs: DataFrame, cells: Int = 0, iters: Int = 3,
       maxBandBucket: Long = MaxBandBucket,
-      sampleTarget: Long = Embeddings.TrainSampleTarget): DataFrame = {
+      sampleTarget: Long = Embeddings.TrainSampleTarget,
+      probes: Int = 2): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val sf = graft.CacheRegistry.retain("media.cellsigs", phashSigFeats(docs))
     val nReps = sf.count()
-    val k = if (cells > 0) cells else Embeddings.kMeansCells(nReps)
-    // d07's r16 trainer posture, shared: derivation uncapped, trainer on
-    // the deterministic hash-prefix sample (no-op below 65536 reps),
-    // coarse→fine routing past 4096 cells — see Embeddings.cellModel
+    // cell count derived from the HOTTEST flat band bucket — the exact
+    // quantity the gate measures — not from rep count (d07's occupancy
+    // derivation): cells exist here only to split hot buckets below the
+    // gate, and every extra cell costs recall (boundary-split pairs).
+    // ceil(2·hottest/gate) targets an even split at half the gate bound
+    // (2× headroom for skew); the rep-count form derived 156 cells at
+    // 64× where 8 suffice, and recall falls with the cell count (0.75
+    // at 25 cells vs 0.92 at 8, PROBES_r16). One extra bounded
+    // aggregation over the 8×reps band rows, map-side combined.
+    val k =
+      if (cells > 0) cells
+      else {
+        val hottest = Option(sf.select($"doc_id", $"h0", $"h1")
+          .as[(Long, Long, Long)]
+          .flatMap { case (id, h0, h1) =>
+            (0 until 8).iterator.map(b => (b, bandSlice(b, h0, h1), id))
+          }.toDF("b", "bv", "doc_id")
+          .groupBy($"b", $"bv").count()
+          .agg(max($"count")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+        mediaCells(hottest, maxBandBucket)
+      }
+    // d07's r16 trainer posture, shared: trainer on the deterministic
+    // hash-prefix sample (no-op below 65536 reps), coarse→fine routing
+    // past 4096 cells — see Embeddings.cellModel
     val model = Embeddings.cellModel(
       sf.select($"doc_id".as("vec_id"), $"v"), k, iters, sampleTarget, nReps)
     if (model.isEmpty)
       return Seq.empty[(Long, Long, Long)].toDF("doc_a", "doc_b", "hamming")
     val bc = s.sparkContext.broadcast(model)
+    val P = probes
     val banded = sf.select($"doc_id", $"h0", $"h1", $"v")
       .as[(Long, Long, Long, Array[Double])]
       .flatMap { case (id, h0, h1, v) =>
-        // same argmax arithmetic and (cosine desc, cell asc) tie order
-        // as the trainer's assignment step (semanticDedup's contract)
+        // same ranking arithmetic and (cosine desc, cell asc) tie order
+        // as the trainer's assignment step — probe cells are the
+        // oracle's `pr WHERE rn <= probes`
         val nrm = Embeddings.fpNorm(v)
-        val bestCell = bc.value.assign(v, nrm)
         // the cell id packs into the band VALUE (bv is 8-bit), so the
         // kernel's (band, value) bucketing becomes (band, cell, value)
-        // with no schema or kernel change — first-matching-band dedup
-        // still holds because both members of a within-cell pair carry
-        // the same cell in every band
-        (0 until 8).iterator.map(b =>
-          (b, bestCell * 256L + bandSlice(b, h0, h1), id, h0, h1))
+        // with no schema or kernel change
+        bc.value.probe(v, nrm, P).iterator.flatMap(c =>
+          (0 until 8).iterator.map(b =>
+            (b, c * 256L + bandSlice(b, h0, h1), id, h0, h1)))
       }
     phashGate(banded, maxBandBucket, "cells")
-    phashKernel(banded)
+    // distinct: one emission per SHARED probed cell (≤ probes); the
+    // exchange is output-pair-sized
+    phashKernel(banded).distinct()
   }
 
   /** Shared build body for the dir-keyed and frame-keyed ensures —
@@ -749,26 +806,34 @@ object Multimodal {
     * approximate composition is hash-pinned, including which pairs the
     * cell partition drops. */
   private def M10OracleSql: String = {
+    // clustering features = the hash's own 8 band bytes / 255 (exactly
+    // phashSigFeats / the engine's bandSlice order: b 0..3 from h0,
+    // 4..7 from h1)
+    val bandExprs = (0 until 8).map { b =>
+      val src = if (b < 4) s"(h0 >> ${b * 8})" else s"(h1 >> ${(b - 4) * 8})"
+      s"CAST(($src & 255) AS DOUBLE) / 255.0"
+    }.mkString(", ")
     val fvecCtes =
-      """fch AS MATERIALIZED (SELECT d.doc_id,
-                 unnest(generate_series(1, length(d.text))) AS i, d.text
-               FROM documents d JOIN reps r USING (doc_id)),
-          fcnt AS MATERIALIZED (SELECT doc_id,
-                 (ascii(substr(text, i, 1)) % 128) // 16 AS bucket,
-                 COUNT(*) AS cnt
-               FROM fch GROUP BY 1, 2),
-          fden AS MATERIALIZED (SELECT d.doc_id, GREATEST(length(d.text), 1) AS n
-               FROM documents d JOIN reps r USING (doc_id)),
-          fvec AS MATERIALIZED (
-            SELECT doc_id AS vec_id, list(dens ORDER BY b) AS v FROM (
-              SELECT g.doc_id, g.b, CAST(COALESCE(f.cnt, 0) AS DOUBLE) / g.n AS dens
-              FROM (SELECT n.doc_id, n.n, gs.b
-                    FROM fden n, (SELECT unnest(generate_series(0, 15)) AS b) gs) g
-              LEFT JOIN fcnt f ON f.doc_id = g.doc_id AND f.bucket = g.b)
-            GROUP BY doc_id)"""
-    val cellp = Embeddings.kMeansCellsSql(8, Int.MaxValue, 2048L, "SELECT vec_id FROM fvec")
+      s"""fvec AS MATERIALIZED (
+            SELECT doc_id AS vec_id, [$bandExprs] AS v FROM hs)"""
+    // mediaCells' replay: k = max(8, ceil(2·hottest/gate)) from the
+    // replay's own flat band profile (the quantity the gate measures)
+    val cellp =
+      s"""heat AS MATERIALIZED (
+            SELECT MAX(c) AS h FROM (
+              SELECT COUNT(*) AS c FROM (
+                SELECT t.b, ((CASE WHEN t.b < 4 THEN h0 >> (t.b * 8)
+                                   ELSE h1 >> ((t.b - 4) * 8) END) & 255) AS bv
+                FROM hs, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(b))
+              GROUP BY b, bv)),
+          cellp AS MATERIALIZED (
+            SELECT CAST(GREATEST(8, (2 * t.h + ${MaxBandBucket - 1}) // $MaxBandBucket) AS BIGINT) AS k
+            FROM heat t)"""
     val prolog = Embeddings.kMeansPrologSqlSampled("", "(SELECT k FROM cellp)",
       "SELECT vec_id, v FROM fvec", Embeddings.TrainSampleTarget)
+    // top-2 probe cells per rep: the prolog's `pr` rank (the same
+    // (cosine desc, cell asc) ordering v09's probe replay uses) at
+    // rn <= 2 — the engine's CellModel.probe(v, nrm, 2)
     s"""WITH $MediaHashCtes,
           $fvecCtes,
           $cellp,
@@ -777,7 +842,7 @@ object Multimodal {
             SELECT h.doc_id, h.h0, h.h1, c.cell, t.b,
                    ((CASE WHEN t.b < 4 THEN h.h0 >> (t.b * 8)
                           ELSE h.h1 >> ((t.b - 4) * 8) END) & 255) AS bv
-            FROM hs h JOIN corp c ON h.doc_id = c.cid,
+            FROM hs h JOIN pr c ON h.doc_id = c.vid AND c.rn <= 2,
                  (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(b)),
           cpairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1209,14 +1274,16 @@ object Multimodal {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         // the media gate's ESCAPE HATCH as a first-class operator
-        // ([[phashPairsViaCells]]): k-means cells over the m03 feature
-        // histograms (cell count corpus-derived, d07's kMeansCells),
-        // banded hamming kernel WITHIN cells — pairs a corpus whose
-        // band buckets legitimately exceed maxBandBucket, where the
-        // flat m05 kernel refuses by design. Approximate (cross-cell
-        // pairs dropped) with the approximation itself hash-pinned:
-        // the oracle replays collapse, features, trainer, and the
-        // cell-keyed band join.
+        // ([[phashPairsViaCells]]): k-means cells over the hash's own
+        // band bytes (cell count derived from the hottest band bucket,
+        // [[mediaCells]]; trainer sampled), top-2 probed, banded
+        // hamming kernel WITHIN cells — pairs a corpus whose band
+        // buckets legitimately exceed maxBandBucket, where the flat
+        // m05 kernel refuses by design. Approximate (probe-disjoint
+        // pairs dropped; measured recall vs m05 0.92+ at sf0.1/sf1 —
+        // PROBES_r16) with the approximation itself hash-pinned: the
+        // oracle replays collapse, band-byte features, the sampled
+        // trainer, the top-2 probe ranks and the cell-keyed band join.
         phashPairsViaCells(tbl(s, dir, "documents"))
           .orderBy($"doc_a", $"doc_b")
       },
