@@ -221,17 +221,35 @@ class PlanRegressionSpec extends SparkSpec {
       s"corpus norm computed below the semi-join:\n${p.take(3000)}")
   }
 
-  test("e15: the 7-day explode fans out DEDUPED (day,user) pairs, not raw events") {
+  test("e15: sweep-line — no ×7 explode; the range join sees only day-keyed aggregates") {
     val p = planOf("e15_rolling_wau")
-    // parents print before children: the Generate (explode) must sit
-    // ABOVE the (day, user_id) dedup aggregate — fanning out raw events
-    // would multiply the event log by 7 before any reduction
-    val genIdx = p.indexOf("Generate explode")
-    assert(genIdx >= 0, s"explode missing:\n${p.take(3000)}")
-    val dedupBelow = p.substring(genIdx).linesIterator
-      .exists(l => l.contains("HashAggregate") && l.contains("keys=") && l.contains("user_id"))
-    assert(dedupBelow,
-      s"no (day,user) dedup aggregate below the explode — fan-out hits raw events:\n${p.take(3000)}")
+    // r15 shipped a 7× explode of the deduped pairs; its expanded
+    // distinct-aggregate hash state was the measured super-unit term
+    // at sf6.4 (PROBES_r15). The sweep-line must never materialize
+    // that stream
+    assert(!p.contains("Generate explode"), s"the ×7 explode is back:\n${p.take(3000)}")
+    // dedup to (day, user) still happens FIRST, and the segment merge
+    // windows over the user partition (never a global window)
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("day") && l.contains("user_id")),
+      s"(day,user) dedup aggregate missing:\n${p.take(3000)}")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("[user_id")),
+      s"per-user segment window missing:\n${p.take(3000)}")
+    // the d <= day evaluation join is the one sanctioned nested loop:
+    // BOTH inputs must be day-keyed aggregates (calendar-sized), so a
+    // HashAggregate appears between the join and the first scan under
+    // each child (parents print before children; probe child prints
+    // first, build child under BroadcastExchange)
+    val bnl = p.indexOf("BroadcastNestedLoopJoin")
+    assert(bnl >= 0, s"sweep evaluation join missing:\n${p.take(3000)}")
+    for (side <- Seq(bnl, p.indexOf("BroadcastExchange", bnl))) {
+      assert(side >= 0, s"evaluation join lost its broadcast build side:\n${p.take(3000)}")
+      val sub = p.substring(side)
+      val scan = sub.indexOf("FileScan")
+      assert(scan >= 0 && sub.substring(0, scan).contains("HashAggregate"),
+        s"nested-loop join touches an un-aggregated (data-sized) input:\n${p.take(3000)}")
+    }
   }
 
   test("p06: the cluster frame broadcasts; the unit hash is a projection, not a shuffle") {
