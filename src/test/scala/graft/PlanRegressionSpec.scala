@@ -241,13 +241,28 @@ class PlanRegressionSpec extends SparkSpec {
     // HashAggregate appears between the join and the first scan under
     // each child (parents print before children; probe child prints
     // first, build child under BroadcastExchange)
-    val bnl = p.indexOf("BroadcastNestedLoopJoin")
-    assert(bnl >= 0, s"sweep evaluation join missing:\n${p.take(3000)}")
-    for (side <- Seq(bnl, p.indexOf("BroadcastExchange", bnl))) {
-      assert(side >= 0, s"evaluation join lost its broadcast build side:\n${p.take(3000)}")
-      val sub = p.substring(side)
-      val scan = sub.indexOf("FileScan")
-      assert(scan >= 0 && sub.substring(0, scan).contains("HashAggregate"),
+    // locate the BNL's DIRECT children by tree indentation (a flat
+    // indexOf("BroadcastExchange", bnl) would anchor on any exchange
+    // anywhere below — e.g. a future broadcast hash join inside the
+    // probe subtree — and leave the true build side unchecked)
+    val lines = p.linesIterator.toVector
+    def indent(l: String): Int = l.indexWhere(c => !" :+-".contains(c))
+    val bnlIdx = lines.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlIdx >= 0, s"sweep evaluation join missing:\n${p.take(3000)}")
+    val bi = indent(lines(bnlIdx))
+    def subtreeEnd(from: Int, ind: Int): Int = {
+      val rel = lines.drop(from + 1).indexWhere(l => indent(l) >= 0 && indent(l) <= ind)
+      if (rel < 0) lines.size else from + 1 + rel
+    }
+    val kids = (bnlIdx + 1 until subtreeEnd(bnlIdx, bi))
+      .filter(i => indent(lines(i)) == bi + 3)
+    assert(kids.size == 2, s"evaluation join should have exactly two children:\n${p.take(3000)}")
+    assert(kids.exists(i => lines(i).contains("BroadcastExchange")),
+      s"evaluation join lost its broadcast build side:\n${p.take(3000)}")
+    for (k <- kids) {
+      val sub = lines.slice(k, subtreeEnd(k, indent(lines(k))))
+      val scan = sub.indexWhere(_.contains("FileScan"))
+      assert(scan >= 0 && sub.take(scan).exists(_.contains("HashAggregate")),
         s"nested-loop join touches an un-aggregated (data-sized) input:\n${p.take(3000)}")
     }
   }

@@ -52,31 +52,65 @@ def main():
     # before the aggregate sees a row (m10 at sf6.4: a 208M-row external
     # sort spilling >76 GB for ordering the aggregate ignores). Strip a
     # FINAL top-level ORDER BY clause (plain column list only — never
-    # matches window-internal ORDER BYs, which are followed by ')')
-    stripped = re.sub(r"ORDER BY[\sa-zA-Z0-9_,.]+$", "", sql.rstrip())
-    if stripped != sql.rstrip():
+    # matches window-internal ORDER BYs, which are followed by ')').
+    # An ORDER BY followed by LIMIT is SEMANTIC (top-N) — stripping it
+    # would change the result set, so keep the SQL unmodified there
+    # (the sort is then only LIMIT-sized anyway, no spill concern)
+    m = re.search(r"ORDER BY[\sa-zA-Z0-9_,.]+$", sql.rstrip())
+    if m and re.search(r"\bLIMIT\b", m.group(0), re.I):
+        print("note: trailing ORDER BY kept (LIMIT makes it semantic)", flush=True)
+    elif m:
+        sql = sql.rstrip()[: m.start()]
         print("note: trailing ORDER BY stripped for the aggregate", flush=True)
-    sql = stripped
     files = sorted(glob.glob(f"{outdir}/{query}/*.parquet"))
     assert files, f"no engine parquet for {query} under {outdir}"
     flist = ", ".join(f"'{f}'" for f in files)
 
-    # column names/order from a LIMIT 0 probe of each side; the compare
-    # concatenates values in SORTED column-name order (the driver's rule)
-    eng_cols = [d[0] for d in con.execute(
-        f"SELECT * FROM read_parquet([{flist}]) LIMIT 0").description]
-    ora_cols = [d[0] for d in con.execute(
-        f"SELECT * FROM ({sql}) LIMIT 0").description]
+    # column names + TYPES from a LIMIT 0 probe of each side (relation
+    # API exposes DuckDB types); the compare concatenates values in
+    # SORTED column-name order (the driver's rule)
+    eng_rel = con.sql(f"SELECT * FROM read_parquet([{flist}]) LIMIT 0")
+    ora_rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+    eng_cols = list(eng_rel.columns)
+    ora_cols = list(ora_rel.columns)
+    eng_types = {c: str(t) for c, t in zip(eng_rel.columns, eng_rel.types)}
+    ora_types = {c: str(t) for c, t in zip(ora_rel.columns, ora_rel.types)}
     if sorted(eng_cols) != sorted(ora_cols):
         print(f"FAIL {query}: schema mismatch {sorted(eng_cols)} vs {sorted(ora_cols)}")
         sys.exit(1)
+
+    # numeric type drift (DECIMAL vs DOUBLE, INT vs BIGINT) renders
+    # differently as VARCHAR ('1.00' vs '1.0'); when the two sides
+    # disagree on a numeric column's type, route BOTH through DOUBLE
+    # so rendering is canonical. Identical types keep the exact cast
+    NUMERIC = re.compile(r"^(DECIMAL|U?TINYINT|U?SMALLINT|U?INTEGER|"
+                         r"U?BIGINT|HUGEINT|FLOAT|DOUBLE)")
+    norm = {}
+    for c in eng_cols:
+        if eng_types[c] != ora_types[c]:
+            if NUMERIC.match(eng_types[c]) and NUMERIC.match(ora_types[c]):
+                norm[c] = "DOUBLE"
+                print(f"note: {c} type drift {eng_types[c]} vs {ora_types[c]}"
+                      " — normalizing via DOUBLE", flush=True)
+            else:
+                print(f"warn: {c} type drift {eng_types[c]} vs {ora_types[c]}"
+                      " (non-numeric, compared as-is)", flush=True)
 
     part_col = sys.argv[5] if len(sys.argv) > 5 else None
     parts = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 
     def agg(src, where=""):
+        # injective row text: every field is length-prefixed, so a '|'
+        # inside a value cannot shift field boundaries, and NULL's
+        # marker (chr(1), no length prefix) cannot collide with any
+        # prefixed value (those always start with a digit)
+        def field(c):
+            v = (f'CAST(CAST("{c}" AS {norm[c]}) AS VARCHAR)' if c in norm
+                 else f'CAST("{c}" AS VARCHAR)')
+            return (f"COALESCE(CAST(length({v}) AS VARCHAR) || ':' || {v},"
+                    f" chr(1))")
         row = "concat_ws('|', " + ", ".join(
-            f"COALESCE(CAST(\"{c}\" AS VARCHAR), chr(1))" for c in sorted(eng_cols)) + ")"
+            field(c) for c in sorted(eng_cols)) + ")"
         r = con.execute(
             f"SELECT COUNT(*), COALESCE(SUM(hash({row}) >> 1), 0), "
             f"COALESCE(SUM(hash({row} || '#2') >> 1), 0) FROM ({src}) {where}").fetchone()
@@ -93,14 +127,25 @@ def main():
     def sliced(src, tag, is_oracle=False):
         if not part_col:
             return agg(src)
+        # slice on abs(col) so negative values land in a real slice
+        # (DuckDB % keeps sign: -3 % 8 = -3, matching no k), plus an
+        # explicit IS NULL slice (NULL % p is NULL) — together the
+        # slices partition ALL rows, so no row escapes the compare.
+        # The textual m10 path needs no NULL slice: its rows already
+        # pass `a.doc_id < b.doc_id`, which a NULL doc_id cannot
         tot = (0, 0, 0)
         for k in range(parts):
             if is_oracle and M10_PRED in src and part_col == "doc_a":
                 s = agg(src.replace(
-                    M10_PRED, f"{M10_PRED} AND a.doc_id % {parts} = {k}"))
+                    M10_PRED, f"{M10_PRED} AND abs(a.doc_id) % {parts} = {k}"))
             else:
-                s = agg(src, f'WHERE "{part_col}" % {parts} = {k}')
+                s = agg(src, f'WHERE abs("{part_col}") % {parts} = {k}')
             print(f"  {tag} slice {k}/{parts}: rows={s[0]}", flush=True)
+            tot = tuple(a + b for a, b in zip(tot, s))
+        if not (is_oracle and M10_PRED in src and part_col == "doc_a"):
+            s = agg(src, f'WHERE "{part_col}" IS NULL')
+            if s[0]:
+                print(f"  {tag} NULL slice: rows={s[0]}", flush=True)
             tot = tuple(a + b for a, b in zip(tot, s))
         return tot
 
@@ -112,6 +157,9 @@ def main():
         print(f"PASS {query} (checksum mode, {got[0]} rows)")
     else:
         print(f"FAIL {query}: checksum mismatch")
+        for c in sorted(eng_cols):
+            mark = "" if eng_types[c] == ora_types[c] else "   <-- type drift"
+            print(f"  {c}: engine {eng_types[c]} vs oracle {ora_types[c]}{mark}")
         sys.exit(1)
 
 
