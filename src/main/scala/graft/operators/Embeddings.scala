@@ -75,7 +75,7 @@ object Embeddings {
     while (j < a.length) { acc += math.floor(a(j) * b(j) * ScaleD + 0.5).toLong; j += 1 }
     acc
   }
-  private[operators] def fpNorm(v: Array[Double]): Double =
+  private[graft] def fpNorm(v: Array[Double]): Double =
     math.sqrt(fpDot(v, v).toDouble / ScaleD)
   private[operators] def fpCos(a: Array[Double], b: Array[Double], na: Double, nb: Double): Double =
     (fpDot(a, b).toDouble / ScaleD) / (na * nb)

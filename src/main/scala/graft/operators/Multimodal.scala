@@ -322,7 +322,7 @@ object Multimodal {
     * the shuffle), then [[aHash64]]. The md5 travels with the signature
     * because the APPEND path must absorb new byte-identical blobs into
     * their resident representative instead of minting a duplicate rep. */
-  private def phashSigsOf(docs: DataFrame): DataFrame = {
+  private[graft] def phashSigsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     decode(fromDocuments(docs)).groupByKey { r =>
@@ -339,7 +339,7 @@ object Multimodal {
     if (b < 4) (h0 >>> (b * 8)) & 255L else (h1 >>> ((b - 4) * 8)) & 255L
 
   /** Band rows `(bi, bv, doc_id, h0, h1)` of a signature frame. */
-  private def phashBandRows(sigs: DataFrame): Dataset[(Int, Long, Long, Long, Long)] = {
+  private[graft] def phashBandRows(sigs: DataFrame): Dataset[(Int, Long, Long, Long, Long)] = {
     val s = sigs.sparkSession
     import s.implicits._
     sigs.select(col("doc_id"), col("h0"), col("h1")).as[(Long, Long, Long)]
@@ -351,7 +351,7 @@ object Multimodal {
   /** Hot-bucket gate over band rows (see [[MaxBandBucket]]); `what`
     * names the corpus in the refusal so an append-time firing reads
     * differently from a build-time one. */
-  private def phashGate(banded: Dataset[(Int, Long, Long, Long, Long)],
+  private[graft] def phashGate(banded: Dataset[(Int, Long, Long, Long, Long)],
       maxBandBucket: Long, what: String): Unit = {
     val s = banded.sparkSession
     import s.implicits._
@@ -388,7 +388,7 @@ object Multimodal {
   /** Stage 3: per-bucket primitive kernel over band rows. A qualifying
     * pair is emitted only in its FIRST matching band, so the output
     * carries no cross-band duplicates and needs no distinct() exchange. */
-  private def phashKernel(
+  private[graft] def phashKernel(
       banded: Dataset[(Int, Long, Long, Long, Long)]): DataFrame = {
     val s = banded.sparkSession
     import s.implicits._
@@ -455,7 +455,7 @@ object Multimodal {
     * 0.218 (sf0.1) / 0.123 (sf1); band-byte cells with top-2 probing
     * measure 0.92+ on the same corpora (PROBES_r16). No second decode
     * pass, no join — the vector is 8 shifts off the hash. */
-  private def phashSigFeats(docs: DataFrame): DataFrame = {
+  private[graft] def phashSigFeats(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     decode(fromDocuments(docs)).groupByKey { r =>
@@ -502,12 +502,17 @@ object Multimodal {
     * broadcast-probe assignment fused into band-row generation (no
     * join — the cell id packs into the band-value key), one shuffle
     * keyed (band, cell·256+value) carrying `probes ×` the flat row
-    * count, then [[phashKernel]] plus one distinct() (a pair sharing
-    * BOTH probed cells is emitted once per shared cell — the
-    * first-matching-band rule dedups within a cell, not across probes;
-    * output-sized exchange, never candidate-sized). The gate still
-    * fires if a single CELL's band bucket exceeds the bound — raise
-    * `cells` (more, smaller cells) before raising the gate. */
+    * count, then [[phashKernelCells]] — a pair sharing BOTH probed
+    * cells is emitted ONLY in its minimum shared cell (each band row
+    * carries its rep's sorted probe set), so the output is unique by
+    * construction across bands AND probes and needs no distinct()
+    * exchange. The r16 form deduped cross-probe emissions with an
+    * output-sized distinct() instead; at sf3 that exchange measured
+    * ~9.5 s of the 12.4 s warm total (PROBES_r17) — the min-shared-cell
+    * rule is the first-matching-band argument applied one level up. The
+    * gate still fires if a single CELL's band bucket exceeds the
+    * bound — raise `cells` (more, smaller cells) before raising the
+    * gate. */
   def phashPairsViaCells(docs: DataFrame, cells: Int = 0, iters: Int = 3,
       maxBandBucket: Long = MaxBandBucket,
       sampleTarget: Long = Embeddings.TrainSampleTarget,
@@ -553,17 +558,86 @@ object Multimodal {
         // as the trainer's assignment step — probe cells are the
         // oracle's `pr WHERE rn <= probes`
         val nrm = Embeddings.fpNorm(v)
+        val pc = bc.value.probe(v, nrm, P)
+        java.util.Arrays.sort(pc)
         // the cell id packs into the band VALUE (bv is 8-bit), so the
         // kernel's (band, value) bucketing becomes (band, cell, value)
-        // with no schema or kernel change
-        bc.value.probe(v, nrm, P).iterator.flatMap(c =>
+        // with no schema change; each row also carries its rep's full
+        // sorted probe set so the kernel can apply the min-shared-cell
+        // emission rule without a post-hoc distinct
+        pc.iterator.flatMap(c =>
           (0 until 8).iterator.map(b =>
-            (b, c * 256L + bandSlice(b, h0, h1), id, h0, h1)))
+            (b, c * 256L + bandSlice(b, h0, h1), id, h0, h1, pc)))
       }
-    phashGate(banded, maxBandBucket, "cells")
-    // distinct: one emission per SHARED probed cell (≤ probes); the
-    // exchange is output-pair-sized
-    phashKernel(banded).distinct()
+    phashGate(banded.map(t => (t._1, t._2, t._3, t._4, t._5)),
+      maxBandBucket, "cells")
+    phashKernelCells(banded)
+  }
+
+  /** [[phashKernel]] for cell-probed band rows: same per-bucket
+    * primitive hamming loop, but each row carries its representative's
+    * sorted probe-cell set and a qualifying pair is emitted only when
+    * this bucket's band is the pair's FIRST matching band AND this
+    * bucket's cell is the pair's MINIMUM shared probed cell — unique by
+    * construction across both bands and probes, so the cells path needs
+    * no output distinct() (the min-shared-cell rule is the
+    * first-matching-band argument applied to the probe dimension; the
+    * intersection is non-empty for every co-bucketed pair, so exactly
+    * one (band, cell) bucket emits it). The shared-set walk runs only
+    * on hamming hits that already won the band rule, never in the n²/2
+    * probe loop. */
+  private def phashKernelCells(
+      banded: Dataset[(Int, Long, Long, Long, Long, Array[Long])]): DataFrame = {
+    val s = banded.sparkSession
+    import s.implicits._
+    banded.groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Long), iter: Iterator[(Int, Long, Long, Long, Long, Array[Long])]) =>
+        val bi = key._1
+        val cell = key._2 >>> 8 // key = cell·256 + 8-bit band value
+        val items = iter.toArray
+        val n = items.length
+        val ids = new Array[Long](n)
+        val h0s = new Array[Long](n)
+        val h1s = new Array[Long](n)
+        val pcs = new Array[Array[Long]](n)
+        var i = 0
+        while (i < n) {
+          val t = items(i)
+          ids(i) = t._3; h0s(i) = t._4; h1s(i) = t._5; pcs(i) = t._6
+          i += 1
+        }
+        // first common element of two sorted probe sets
+        def minShared(a: Array[Long], b: Array[Long]): Long = {
+          var x = 0; var y = 0
+          while (x < a.length && y < b.length) {
+            if (a(x) == b(y)) return a(x)
+            else if (a(x) < b(y)) x += 1
+            else y += 1
+          }
+          -1L
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        i = 0
+        while (i < n) {
+          val ida = ids(i); val a0 = h0s(i); val a1 = h1s(i); val pa = pcs(i)
+          var j = i + 1
+          while (j < n) {
+            val ham = java.lang.Long.bitCount(a0 ^ h0s(j)) +
+              java.lang.Long.bitCount(a1 ^ h1s(j))
+            if (ham <= 6) {
+              var fb = 0
+              while (bandSlice(fb, a0, a1) != bandSlice(fb, h0s(j), h1s(j))) fb += 1
+              if (fb == bi && minShared(pa, pcs(j)) == cell) {
+                val idb = ids(j)
+                out += ((math.min(ida, idb), math.max(ida, idb), ham.toLong))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }.toDF("doc_a", "doc_b", "hamming")
   }
 
   /** Shared build body for the dir-keyed and frame-keyed ensures —

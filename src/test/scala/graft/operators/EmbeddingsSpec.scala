@@ -840,6 +840,58 @@ class EmbeddingsSpec extends SparkSpec {
     assert(cm.cellSpace == 10L)
   }
 
+  test("two-level vs flat cells: d07 pair recall measured and floored (the m10 lesson)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // r16 pinned cellModel's two-level routing bit-for-bit against the
+    // explicit twoLevelModel, but never measured what the coarse→fine
+    // split COSTS in pair recall — exactly the gap that hid m10's
+    // 0.12-recall r15 design. Ground truth: d07's own near-dup relation
+    // (fpCos >= threshold, NaN counts, the semanticDedup emit rule)
+    // over all pairs of the fixture. A cell model's pair recall is the
+    // fraction of those pairs it keeps in one cell — the pairs
+    // semanticDedup can still see. Compare flat k against the router's
+    // ceil-sqrt split (kc x kf >= k) on the SAME corpus and floor the
+    // two-level's cost: it may lose boundary pairs to the coarse split
+    // (disclosed in v22's doc) but must stay within 25% of flat.
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    val all = vecs.as[(Long, Array[Double])].collect()
+      .map { case (id, v) => (id, v, Embeddings.fpNorm(v)) }
+    // d07's default threshold leaves only 7 pairs on this 500-vector
+    // fixture — too sparse to measure a partition's pair-keeping. The
+    // question is structural (do both models co-locate cosine-near
+    // pairs?), so relax the threshold to 0.30 (920 pairs) while keeping
+    // d07's exact near-dup relation; PROBES_r17 carries the larger-
+    // corpus numbers at the real threshold.
+    val truePairs = (for {
+      i <- all.indices.iterator
+      j <- (i + 1 until all.length).iterator
+      c = Embeddings.fpCos(all(i)._2, all(j)._2, all(i)._3, all(j)._3)
+      if c >= 0.30 || c.isNaN
+    } yield (all(i)._1, all(j)._1)).toVector
+    assert(truePairs.size >= 200,
+      s"fixture must carry enough near-dup pairs to measure recall: ${truePairs.size}")
+    val k = 16
+    val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+    val kf = (k + kc - 1) / kc
+    def recallOf(m: Embeddings.CellModel): Double = {
+      val cellOf = Embeddings.assignCells(vecs, m)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      truePairs.count { case (a, b) => cellOf(a) == cellOf(b) }.toDouble / truePairs.size
+    }
+    val flatRecall = recallOf(
+      Embeddings.cellModel(vecs, k, iters = 2, sampleTarget = 0L))
+    val twoRecall = recallOf(
+      Embeddings.twoLevelModel(vecs, kc, kf, iters = 2, sampleTarget = 0L))
+    info(f"flat=$flatRecall%.3f two-level=$twoRecall%.3f ratio=${twoRecall / flatRecall}%.3f")
+    assert(flatRecall > 0.0 && flatRecall <= 1.0)
+    assert(twoRecall >= 0.75 * flatRecall,
+      f"two-level pair recall $twoRecall%.3f fell below 0.75x flat $flatRecall%.3f " +
+        "— the coarse boundary is splitting near-dup pairs the flat model keeps " +
+        "(m10's r15 failure mode, now in the trainer the d07/p09/m10 router shares)")
+  }
+
   test("p09 cluster-balanced sample: exact per-cell cap, hash-rank membership, replayable") {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
