@@ -62,9 +62,22 @@ object ProbeM10 {
       kept.toDouble / nTrue
     }
     val rFlat = recallOf(Embeddings.cellModel(vecs, k, iters = 3, knownN = n))
-    val rTwo = recallOf(Embeddings.twoLevelModel(vecs, kc, kf, iters = 3, knownN = n))
+    val two = Embeddings.twoLevelModel(vecs, kc, kf, iters = 3, knownN = n)
+    val rTwo = recallOf(two)
+    // v23's knob: pair kept iff the top-2 probe sets intersect
+    val bc = spark.sparkContext.broadcast(two)
+    import spark.implicits._
+    val probed = vecs.as[(Long, Array[Double])].flatMap { case (id, v) =>
+      bc.value.probe(v, Embeddings.fpNorm(v), 2).iterator.map(c => (id, c))
+    }.toDF("vid", "cell")
+    val keptP2 = truth
+      .join(probed.withColumnRenamed("vid", "doc_a").withColumnRenamed("cell", "ca"), "doc_a")
+      .join(probed.withColumnRenamed("vid", "doc_b").withColumnRenamed("cell", "cb"), "doc_b")
+      .filter(col("ca") === col("cb"))
+      .select(col("doc_a"), col("doc_b")).distinct().count()
     println(f"[d07recall] $sfDir n=$n truePairs=$nTrue k=$k (two-level ${kc}x$kf) " +
-      f"flat=$rFlat%.4f two=$rTwo%.4f ratio=${rTwo / rFlat}%.3f")
+      f"flat=$rFlat%.4f two=$rTwo%.4f ratio=${rTwo / rFlat}%.3f " +
+      f"two-probe2=${keptP2.toDouble / nTrue}%.4f")
     CacheRegistry.unpersistAll(blocking = true)
   }
 

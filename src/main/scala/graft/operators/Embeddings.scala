@@ -740,12 +740,39 @@ object Embeddings {
   def semanticDedup(vectors: DataFrame, cells: Int = 0, iters: Int = 3,
       threshold: Double = 0.45, blocks: Int = 4,
       sampleTarget: Long = TrainSampleTarget): DataFrame = {
-    require(blocks > 0, s"blocks must be positive, got $blocks")
     val session = vectors.sparkSession
     import session.implicits._
     val nAll = vectors.select(col("vec_id")).count()
     val k = if (cells > 0) cells else kMeansCells(nAll)
     val model = cellModel(vectors, k, iters, sampleTarget, nAll)
+    if (model.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("vec_id", "cell")
+    semanticDedupWith(vectors, model, threshold, blocks,
+      probes = 1, cacheTag = s"c$k.s$sampleTarget")
+  }
+
+  /** [[semanticDedup]]'s core over an already-trained [[CellModel]],
+    * with the boundary-recall knob the two-level posture needs:
+    * `probes > 1` evaluates each row inside its top-`probes` cells
+    * (`CellModel.probe` — m10's multi-probe move applied to SemDeDup),
+    * so a near-dup pair split by the argmax boundary is still pruned
+    * whenever the two probe sets intersect. The default `probes = 1`
+    * is byte-identical to the classic form (`probe(v, n, 1)` ==
+    * `assign`, and the tagged stream reuses the cached assignment
+    * directly). Survivors keep their PRIMARY (rank-1) cell in the
+    * output either way. Measured on the fixture corpora: two-level
+    * models lose 12–23% relative pair recall to the coarse/fine
+    * boundaries at probes = 1 (PROBES_r17); probes = 2 recovers the
+    * fine-boundary share at the cost of ≤ `probes` × the tagged rows
+    * (the dropped-id set stays id-bounded — the cross-probe dedup is a
+    * distinct over vec_id, never over pairs). */
+  def semanticDedupWith(vectors: DataFrame, model: CellModel,
+      threshold: Double = 0.45, blocks: Int = 4, probes: Int = 1,
+      cacheTag: String = "explicit"): DataFrame = {
+    require(blocks > 0, s"blocks must be positive, got $blocks")
+    require(probes > 0, s"probes must be positive, got $probes")
+    val session = vectors.sparkSession
+    import session.implicits._
     if (model.isEmpty)
       return Seq.empty[(Long, Long)].toDF("vec_id", "cell")
     val bc = session.sparkContext.broadcast(model)
@@ -765,17 +792,25 @@ object Embeddings {
     // cost twice (same discipline as annTopK/ivfTopK's tagged frames;
     // kernel-rooted plans never sameResult-match, so the registry keeps
     // exactly one live copy per cell count)
-    val assignedDf = graft.CacheRegistry.retain(s"semdedup.assigned.c$k.s$sampleTarget",
+    val assignedDf = graft.CacheRegistry.retain(s"semdedup.assigned.$cacheTag.p$probes",
       assigned.toDF("vec_id", "cell", "v", "nrm"))
     val assignedDs = assignedDf.as[(Long, Long, Array[Double], Double)]
     val B = blocks
     val t = threshold
+    val P = probes
     val tagged = assignedDs.flatMap { case (id, cell, v, nrm) =>
       val b = java.lang.Math.floorMod(id, B.toLong).toInt
-      (0 until B).iterator.map { c2 =>
-        // group key = cell * B² + unordered block pair: a pair of rows
-        // can only meet inside their shared cell's groups
-        (cell * (B * B).toLong + (math.min(b, c2) * B + math.max(b, c2)), b, id, v, nrm)
+      // probes = 1 rides the cached assignment (cell) untouched; the
+      // multi-probe path re-ranks against the broadcast model once per
+      // row — the same flops the assignment pass paid
+      val cs = if (P == 1) Iterator.single(cell)
+        else bc.value.probe(v, nrm, P).iterator
+      cs.flatMap { c =>
+        (0 until B).iterator.map { c2 =>
+          // group key = cell * B² + unordered block pair: a pair of rows
+          // can only meet inside their shared cell's groups
+          (c * (B * B).toLong + (math.min(b, c2) * B + math.max(b, c2)), b, id, v, nrm)
+        }
       }
     }
     val dropped = tagged.groupByKey(_._1).flatMapGroups { (key, iter) =>
@@ -1693,7 +1728,7 @@ object Embeddings {
     * Generated by the same loop that fixes the round count, so the
     * engine's `iters` and the SQL's unroll depth cannot drift (the
     * MmrOracleSql discipline). */
-  private[operators] def twoLevelOracleSql(coarseCells: Int, finePer: Int,
+  private[operators] def twoLevelRankedCtes(coarseCells: Int, finePer: Int,
       iters: Int, sampleTarget: Long, baseSelect: String): String = {
     val kf = finePer
     val fp = "1000000000000.0"
@@ -1732,19 +1767,63 @@ object Embeddings {
         fm$r AS MATERIALIZED (SELECT w.cc, w.cell, w.cv, x.cn FROM fw$r w JOIN fx$r x ON w.cell = x.cell)"""
     }
     val last = s"fm$iters"
-    val tail = s"""ffd AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * $fp + 0.5) AS BIGINT)) AS DOUBLE) / $fp AS dot
+    // ffr carries the FULL fine ranking per row (rank 1 = assign; the
+    // top-P prefix = CellModel.probe(v, nrm, P)) so both the v22
+    // assignment tail and v23's multi-probe tail share one chain
+    val ranked = s"""ffd AS MATERIALIZED (SELECT vid, cell, CAST(SUM(CAST(FLOOR((bx*cx) * $fp + 0.5) AS BIGINT)) AS DOUBLE) / $fp AS dot
                FROM (SELECT b.vec_id AS vid, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
                      FROM base b JOIN corp c ON b.vec_id = c.cid JOIN $last m ON m.cc = c.cell) GROUP BY 1, 2),
-        ffa AS MATERIALIZED (SELECT vid, cell FROM (
+        ffr AS MATERIALIZED (
                  SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
                           ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rn
-                 FROM ffd d JOIN n2 ON d.vid = n2.vec_id JOIN $last m ON d.cell = m.cell)
-               WHERE rn = 1)
-        SELECT c.cid AS vec_id, COALESCE(f.cell, c.cell * $kf) AS cell
-        FROM corp c LEFT JOIN ffa f ON c.cid = f.vid ORDER BY vec_id"""
+                 FROM ffd d JOIN n2 ON d.vid = n2.vec_id JOIN $last m ON d.cell = m.cell),
+        ffa AS MATERIALIZED (SELECT vid, cell FROM ffr WHERE rn = 1)"""
     "WITH " + coarse + ",\n        " + head + ",\n        " +
-      (rounds :+ tail).mkString(",\n        ")
+      (rounds :+ ranked).mkString(",\n        ")
   }
+
+  private[operators] def twoLevelOracleSql(coarseCells: Int, finePer: Int,
+      iters: Int, sampleTarget: Long, baseSelect: String): String =
+    twoLevelRankedCtes(coarseCells, finePer, iters, sampleTarget, baseSelect) +
+      s"""
+        SELECT c.cid AS vec_id, COALESCE(f.cell, c.cell * $finePer) AS cell
+        FROM corp c LEFT JOIN ffa f ON c.cid = f.vid ORDER BY vec_id"""
+
+  /** v23's oracle: the two-level chain's ranked assignment at
+    * `rn <= probes` (plus the no-fine-cells COALESCE fallback, which
+    * probes exactly its one fallback cell — [[CellModel.probe]]'s
+    * contract), then [[semanticDedupWith]]'s prune replayed over the
+    * PROBED cells: a pair is evaluated whenever the probe sets
+    * intersect, the larger id drops, survivors keep their rank-1 cell.
+    * Same per-pair fixed-point list-fold and join shape as the d07
+    * oracle (corpus enriched first, ONE self-join straight into the
+    * DISTINCT — nothing builds on the pair stream). */
+  private[operators] def multiProbeDedupOracleSql(coarseCells: Int, finePer: Int,
+      iters: Int, sampleTarget: Long, probes: Int, threshold: Double,
+      baseSelect: String): String =
+    twoLevelRankedCtes(coarseCells, finePer, iters, sampleTarget, baseSelect) +
+      s""",
+        prim AS MATERIALIZED (
+                 SELECT c.cid AS vid, COALESCE(f.cell, c.cell * $finePer) AS cell
+                 FROM corp c LEFT JOIN ffa f ON c.cid = f.vid),
+        probed AS MATERIALIZED (
+                 SELECT vid, cell FROM ffr WHERE rn <= $probes
+                 UNION ALL
+                 SELECT c.cid, c.cell * $finePer FROM corp c
+                 WHERE NOT EXISTS (SELECT 1 FROM ffr f WHERE f.vid = c.cid)),
+        enp AS MATERIALIZED (
+                 SELECT p.vid AS cid, p.cell, b.v, n.nrm
+                 FROM probed p JOIN base b ON p.vid = b.vec_id
+                 JOIN n2 n ON p.vid = n.vec_id),
+        dropped AS (
+                 SELECT DISTINCT c.cid AS vec_id
+                 FROM enp q JOIN enp c ON q.cell = c.cell AND q.cid < c.cid
+                 WHERE (CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                          i -> CAST(FLOOR((q.v[i] * c.v[i]) * 1000000000000.0 + 0.5) AS BIGINT))) AS DOUBLE)
+                          / 1000000000000.0) / (q.nrm * c.nrm) >= $threshold)
+        SELECT p.vid AS vec_id, p.cell FROM prim p
+        LEFT JOIN dropped d ON p.vid = d.vec_id
+        WHERE d.vec_id IS NULL ORDER BY vec_id"""
 
   /** Shared DuckDB oracle for v12 and v15: replays the 4 subspace
     * trainers ([[kMeansPrologSql]] once per slice), the corpus encoding,
@@ -3263,7 +3342,33 @@ object Embeddings {
           finePer = 3, iters = 3, sampleTarget = 256L)
         Embeddings.assignCells(base, model).orderBy($"vec_id")
       },
-      Some(twoLevelOracleSql(3, 3, 3, 256L, EmbeddingsBaseSelect)))
+      Some(twoLevelOracleSql(3, 3, 3, 256L, EmbeddingsBaseSelect))),
+
+    QueryDef("v23_semantic_multiprobe",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the boundary-recall knob for the 100 TB two-level posture as
+        // a hash-gated row: SemDeDup over v22's explicit coarse→fine
+        // shape with [[semanticDedupWith]]'s top-2 multi-probe — a
+        // near-dup pair split by the fine argmax boundary (the 12–23%
+        // relative recall cost PROBES_r17 measured at probes = 1) is
+        // still pruned whenever the two probe sets intersect. The
+        // oracle replays the ENTIRE composition: the sampled coarse
+        // trainer, the per-coarse fine trainer, the ranked two-level
+        // assignment at rn <= 2 (+ the empty-cell fallback probing its
+        // one fallback cell), the probed-cell pair prune and the
+        // rank-1 survivor cells — so the knob's exact semantics are
+        // cross-engine pinned, not a tuning anecdote. Scale shape: the
+        // tagged stream is probes × the classic row count, the
+        // dropped-id dedup stays id-bounded (distinct over vec_id,
+        // never pairs), and nothing shuffles vectors by cell.
+        val base = based(s, dir)
+        val model = Embeddings.twoLevelModel(base, coarseCells = 3,
+          finePer = 3, iters = 3, sampleTarget = 256L)
+        Embeddings.semanticDedupWith(base, model, threshold = 0.45,
+          blocks = 4, probes = 2, cacheTag = "v23").orderBy($"vec_id")
+      },
+      Some(multiProbeDedupOracleSql(3, 3, 3, 256L, 2, 0.45, EmbeddingsBaseSelect)))
   )
 
   /** v21's oracle: top-20 exact panel, candidate-pair similarities, and

@@ -882,14 +882,63 @@ class EmbeddingsSpec extends SparkSpec {
     }
     val flatRecall = recallOf(
       Embeddings.cellModel(vecs, k, iters = 2, sampleTarget = 0L))
-    val twoRecall = recallOf(
-      Embeddings.twoLevelModel(vecs, kc, kf, iters = 2, sampleTarget = 0L))
-    info(f"flat=$flatRecall%.3f two-level=$twoRecall%.3f ratio=${twoRecall / flatRecall}%.3f")
+    val two = Embeddings.twoLevelModel(vecs, kc, kf, iters = 2, sampleTarget = 0L)
+    val twoRecall = recallOf(two)
+    // the v23 knob: with top-2 probing a pair is seen whenever the
+    // probe sets intersect — measure how much of the boundary loss the
+    // multi-probe recovers on the same model
+    val probeCellsOf = vecs.as[(Long, Array[Double])].collect()
+      .map { case (id, v) => id -> two.probe(v, Embeddings.fpNorm(v), 2).toSet }.toMap
+    val probe2Recall = truePairs.count { case (a, b) =>
+      (probeCellsOf(a) & probeCellsOf(b)).nonEmpty }.toDouble / truePairs.size
+    info(f"flat=$flatRecall%.3f two-level=$twoRecall%.3f ratio=${twoRecall / flatRecall}%.3f " +
+      f"two-level-probe2=$probe2Recall%.3f")
     assert(flatRecall > 0.0 && flatRecall <= 1.0)
     assert(twoRecall >= 0.75 * flatRecall,
       f"two-level pair recall $twoRecall%.3f fell below 0.75x flat $flatRecall%.3f " +
         "— the coarse boundary is splitting near-dup pairs the flat model keeps " +
         "(m10's r15 failure mode, now in the trainer the d07/p09/m10 router shares)")
+    assert(probe2Recall >= twoRecall,
+      "top-2 probing can only widen the pair relation (rank-1 is probed)")
+    assert(probe2Recall > twoRecall,
+      "fixture must witness the multi-probe recovering a boundary pair " +
+        "(else the v23 knob is untested here)")
+  }
+
+  test("v23 semantic multi-probe: nests around probes=1; recovers boundary drops; fallback probes") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    val model = Embeddings.twoLevelModel(vecs, coarseCells = 3, finePer = 3,
+      iters = 3, sampleTarget = 256L)
+    def survivors(p: Int): Set[Long] =
+      Embeddings.semanticDedupWith(vecs, model, threshold = 0.45, blocks = 4,
+          probes = p, cacheTag = s"spec.p$p")
+        .collect().map(_.getLong(0)).toSet
+    val s1 = survivors(1)
+    val s2 = survivors(2)
+    // widening the pair relation can only drop MORE rows
+    assert(s2.subsetOf(s1), "probes=2 survivors must nest inside probes=1's")
+    assert(s2.size < s1.size,
+      "fixture must witness a boundary pair the single probe misses " +
+        s"(probes=1 kept ${s1.size}, probes=2 kept ${s2.size})")
+    // primary cells in the output equal assign() regardless of probes
+    val asg = Embeddings.assignCells(vecs, model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out2 = Embeddings.semanticDedupWith(vecs, model, threshold = 0.45,
+        blocks = 4, probes = 2, cacheTag = "spec.cells")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out2.forall { case (id, c) => asg(id) == c },
+      "survivors must carry their rank-1 (assign) cell")
+    // a model with an un-trained coarse cell: the fallback row probes
+    // exactly its one fallback cell (CellModel.probe's contract) — a
+    // pair of fallback rows in the same coarse cell still meets
+    val cm = new Embeddings.CellModel(
+      Array((0L, Array(1.0, 0.0), 1.0), (1L, Array(0.0, 1.0), 1.0)),
+      Map(0L -> Array((0L, Array(1.0, 0.0), 1.0))), 5L)
+    assert(cm.probe(Array(0.0, 1.0), 1.0, 2).toSeq == Seq(5L),
+      "fallback rows probe their single fallback cell at any probe count")
+    graft.CacheRegistry.unpersistAll()
   }
 
   test("p09 cluster-balanced sample: exact per-cell cap, hash-rank membership, replayable") {
