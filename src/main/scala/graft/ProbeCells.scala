@@ -1,18 +1,22 @@
 package graft
 
-/** TEMPORARY r17 measurement probe (deleted once PROBES_r17 carries the
-  * numbers). Modes:
+/** Measurement probe for the derived-cells kernels — the instrument
+  * behind PROBES_r17's recall/attribution tables, kept so future
+  * rounds re-measure instead of re-deriving. Modes:
   *
-  *   stages <sfDir> [reps]   — m10 stage attribution (VERDICT r16 #2)
+  *   stages <sfDir> [reps]   — m10 stage attribution (prolog / trainer /
+  *                             map side / shuffle+kernel / the r16
+  *                             form's distinct, timed in isolation)
   *   m10recall <sfDir>       — |m10 ∩ m05| / |m05| computed
-  *                             distributively (extends the recall table
-  *                             to tiers where collect() can't hold the
-  *                             exact pair set; VERDICT r16 #4)
+  *                             distributively (anti-join count — works
+  *                             at tiers where collect() can't hold the
+  *                             exact pair set)
   *   d07recall <sfDir> <k>   — flat-k vs two-level ceil-sqrt pair
   *                             recall against the exact cosine near-dup
-  *                             relation (VERDICT r16 #3's PROBES row)
+  *                             relation, plus the v23 top-2 probe
+  *                             variant
   */
-object ProbeM10 {
+object ProbeCells {
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "stages"
     val sfDir = if (args.length > 1) args(1) else "/root/repo/target/sfdata/sf3"
@@ -100,7 +104,7 @@ object ProbeM10 {
       val hottest = time("hottest-band agg")(
         Option(Multimodal.phashBandRows(sf.select($"doc_id", $"h0", $"h1"))
           .toDF("bi", "bv", "doc_id", "h0", "h1")
-          .groupBy($"bi", $"bv").count().agg(max($"count")).head.get(0))
+          .groupBy($"bi", $"bv").count().agg(max($"count")).head().get(0))
           .fold(0L)(_.asInstanceOf[Long]))
       val k = Multimodal.mediaCells(hottest, Multimodal.MaxBandBucket)
       println(s"[m10probe] nReps=$nReps hottest=$hottest cells=$k")
