@@ -15,6 +15,17 @@ package graft
   *                             recall against the exact cosine near-dup
   *                             relation, plus the v23 top-2 probe
   *                             variant
+  *   semrecall <sfDir>       — the d07recall measurement at the DERIVED
+  *                             shape (kMeansCells occupancy-2048 count,
+  *                             the router's ceil-sqrt split), assignment
+  *                             AND operator level: semanticDedupWith's
+  *                             actual dropped sets at probes=1/2 vs the
+  *                             flat prune (r17 verdict #1's measurement)
+  *   appendsplit <sfDir>     — d11/m09 build vs append-only wall-clock,
+  *                             at two delta sizes (1/3 and 1/9 of the
+  *                             corpus), so the append path's
+  *                             delta-proportionality claim has its own
+  *                             per-round number (r17 verdict #6)
   */
 object ProbeCells {
   def main(args: Array[String]): Unit = {
@@ -25,6 +36,8 @@ object ProbeCells {
       case "stages" => stages(spark, sfDir, if (args.length > 2) args(2).toInt else 2)
       case "m10recall" => m10Recall(spark, sfDir)
       case "d07recall" => d07Recall(spark, sfDir, if (args.length > 2) args(2).toInt else 16)
+      case "semrecall" => semRecall(spark, sfDir)
+      case "appendsplit" => appendSplit(spark, sfDir)
     } finally spark.stop()
   }
 
@@ -82,6 +95,136 @@ object ProbeCells {
     println(f"[d07recall] $sfDir n=$n truePairs=$nTrue k=$k (two-level ${kc}x$kf) " +
       f"flat=$rFlat%.4f two=$rTwo%.4f ratio=${rTwo / rFlat}%.3f " +
       f"two-probe2=${keptP2.toDouble / nTrue}%.4f")
+    CacheRegistry.unpersistAll(blocking = true)
+  }
+
+  /** r17 verdict #1's measurement half: what does the two-level split
+    * cost — and multi-probe buy back — at the shape PRODUCTION would
+    * run? The derived count is [[graft.operators.Embeddings
+    * .kMeansCells]]'s occupancy-2048 ceil-div; the two-level split is
+    * the router's own arithmetic (kc = ⌈√k⌉, kf = ⌈k/kc⌉ — what
+    * cellModel picks past TwoLevelCellCap, replicated here at the
+    * derived k so the boundary cost is measurable on DuckDB-holdable
+    * corpora). Reports BOTH levels:
+    *   - assignment pair recall (the PROBES_r17 metric): fraction of
+    *     exact cosine-0.45 near-dup pairs co-located (flat / two-level
+    *     / top-2 probe-intersect);
+    *   - operator dropped-set recall: |dropped_two ∩ dropped_flat| /
+    *     |dropped_flat| through semanticDedupWith's ACTUAL prune at
+    *     probes = 1 and probes = autoProbes(two, 0) = 2 — the number
+    *     the production wiring changes. */
+  private def semRecall(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Embeddings
+    val vecs = CacheRegistry.retain("probe.vecs",
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v"))
+    val n = vecs.count()
+    val k = Embeddings.kMeansCells(n)
+    val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+    val kf = (k + kc - 1) / kc
+    val truth = CacheRegistry.retain("probe.truth",
+      Embeddings.cosineNearDupPairs(vecs, 0.45, maxRows = 1000000L)
+        .select(col("doc_a"), col("doc_b")))
+    val nTrue = truth.count()
+    val flatM = Embeddings.cellModel(vecs, k, iters = 3, knownN = n)
+    val twoM = Embeddings.twoLevelModel(vecs, kc, kf, iters = 3, knownN = n)
+    def pairRecall(assigned: org.apache.spark.sql.DataFrame): Double = {
+      val kept = truth
+        .join(assigned.select(col("vid").as("doc_a"), col("cell").as("ca")), "doc_a")
+        .join(assigned.select(col("vid").as("doc_b"), col("cell").as("cb")), "doc_b")
+        .filter(col("ca") === col("cb"))
+        .select(col("doc_a"), col("doc_b")).distinct().count()
+      kept.toDouble / nTrue
+    }
+    def probedOf(m: Embeddings.CellModel, p: Int): org.apache.spark.sql.DataFrame = {
+      val bc = spark.sparkContext.broadcast(m)
+      vecs.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
+        .flatMap { case (id, v) =>
+          bc.value.probe(v, Embeddings.fpNorm(v), p).iterator.map(c => (id, c))
+        }.toDF("vid", "cell")
+    }
+    val rFlat = pairRecall(probedOf(flatM, 1))
+    val rTwo1 = pairRecall(probedOf(twoM, 1))
+    val rTwo2 = pairRecall(probedOf(twoM, 2))
+    println(f"[semrecall] $sfDir n=$n truePairs=$nTrue derived k=$k split=${kc}x$kf " +
+      f"pairRecall: flat=$rFlat%.4f two.p1=$rTwo1%.4f two.p2=$rTwo2%.4f " +
+      f"(p1/flat=${rTwo1 / rFlat}%.3f p2/flat=${rTwo2 / rFlat}%.3f)")
+    // operator level: the dropped set through the real prune
+    val ids = vecs.select(col("vec_id"))
+    def droppedOf(m: Embeddings.CellModel, p: Int, tag: String): org.apache.spark.sql.DataFrame =
+      CacheRegistry.retain(s"probe.dropped.$tag",
+        ids.join(Embeddings.semanticDedupWith(vecs, m, threshold = 0.45,
+            blocks = 4, probes = p, cacheTag = s"probe.$tag").select(col("vec_id")),
+          Seq("vec_id"), "left_anti"))
+    val dFlat = droppedOf(flatM, 1, "flat")
+    val nDFlat = dFlat.count()
+    val p2 = Embeddings.autoProbes(twoM, 0)
+    Seq(1 -> droppedOf(twoM, 1, "two.p1"), p2 -> droppedOf(twoM, p2, s"two.p$p2"))
+      .foreach { case (p, d) =>
+        val nD = d.count()
+        val inter = d.join(dFlat, Seq("vec_id"), "left_semi").count()
+        println(f"[semrecall] operator dropped-set: two.p$p drops=$nD " +
+          f"flat drops=$nDFlat overlap=$inter " +
+          f"droppedRecall=${if (nDFlat == 0) 1.0 else inter.toDouble / nDFlat}%.4f")
+      }
+    CacheRegistry.unpersistAll(blocking = true)
+  }
+
+  /** r17 verdict #6: the d11/m09 bench rows deliberately re-pay
+    * build + append per rep (self-contained builder-class cost), so the
+    * append path's own claim — cost tracks the DELTA, the resident side
+    * is scanned once and its pair files never rewritten — had no
+    * per-round number. Times build and append-only separately, at two
+    * delta sizes on the same corpus (≈1/3 and ≈1/9 of docs), fresh
+    * tables per case so no state leaks between measurements. */
+  private def appendSplit(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Documents, Multimodal}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tier = java.nio.file.Paths.get(sfDir).getFileName.toString
+      .toLowerCase.replaceAll("[^a-z0-9]+", "_")
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[appendsplit] $tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    // --- d11 family: simhash index, id-interleaved split (mod contract)
+    Seq(3L, 9L).foreach { mod =>
+      CacheRegistry.unpersistAll(blocking = true)
+      val table = s"probeapp_sim_${tier}_m$mod"
+      val base = docs.filter($"doc_id" % mod =!= 0L)
+      val delta = docs.filter($"doc_id" % mod === 0L)
+      val nDelta = delta.count()
+      val bfp = graft.QueryHelpers.docsFingerprint(base)
+      time(s"d11 build (base=${mod - 1}/$mod corpus)")(
+        Documents.ensureSimhashIndexFor(spark, base, table,
+          Seq("n" -> bfp._1, "fp" -> bfp._2), force = true))
+      time(s"d11 append-only (delta=1/$mod corpus, $nDelta docs)")(
+        Documents.appendToSimhashIndex(spark, delta, table, bfp,
+          graft.QueryHelpers.docsFingerprint(docs)))
+    }
+    // --- m09 family: media index, id-range split (monotone contract)
+    val (mn, mx) = docs.agg(min($"doc_id"), max($"doc_id")).as[(Long, Long)].head()
+    Seq(("2/3", mn + (mx - mn) * 2 / 3), ("8/9", mn + (mx - mn) * 8 / 9)).foreach {
+      case (label, cut) =>
+        CacheRegistry.unpersistAll(blocking = true)
+        val table = s"probeapp_med_${tier}_" + label.replace("/", "_")
+        val base = docs.filter($"doc_id" <= cut)
+        val delta = docs.filter($"doc_id" > cut)
+        val nDelta = delta.count()
+        val bm = Multimodal.mediaMeta(
+          graft.QueryHelpers.docsFingerprintMax(base), Multimodal.MaxBandBucket)
+        time(s"m09 build (base ids <= $label of range)")(
+          Multimodal.ensureMediaIndexFor(spark, base, table, bm, force = true))
+        time(s"m09 append-only (delta above $label, $nDelta docs)")(
+          Multimodal.appendToMediaIndex(spark, delta, table, bm,
+            Multimodal.mediaMeta(
+              graft.QueryHelpers.docsFingerprintMax(docs), Multimodal.MaxBandBucket)))
+    }
     CacheRegistry.unpersistAll(blocking = true)
   }
 

@@ -736,10 +736,24 @@ object Embeddings {
     * derivation also feeds the sample cut. Pass an explicit positive
     * `cells` only to pin a shape (tests, cross-query consistency at a
     * known scale). Returns survivors as (vec_id, cell).
-    */
+    *
+    * `probes = 0` (the default) resolves via [[autoProbes]]: flat models
+    * keep the classic single-assignment prune (byte-identical to every
+    * pre-knob round — all derived counts up to [[TwoLevelCellCap]], i.e.
+    * every DuckDB-holdable corpus), while two-level-routed models run
+    * [[semanticDedupWith]] at `probes = 2` so the coarse/fine boundary's
+    * measured 12–23% relative pair-recall cost (PROBES_r17) is bought
+    * back by top-2 fine probing (~2× split-pair recall, v23's measured
+    * knob) exactly where that cost exists. Explicit `probes >= 1`
+    * overrides (1 = classic prune on any model — the opt-out). */
   def semanticDedup(vectors: DataFrame, cells: Int = 0, iters: Int = 3,
       threshold: Double = 0.45, blocks: Int = 4,
-      sampleTarget: Long = TrainSampleTarget): DataFrame = {
+      sampleTarget: Long = TrainSampleTarget, probes: Int = 0): DataFrame = {
+    // cheap argument gates BEFORE the full-corpus count and the trainer:
+    // an invalid blocks/probes must fail in microseconds, not after the
+    // expensive model fit (r17 advice)
+    require(blocks > 0, s"blocks must be positive, got $blocks")
+    require(probes >= 0, s"probes must be >= 0 (0 = auto), got $probes")
     val session = vectors.sparkSession
     import session.implicits._
     val nAll = vectors.select(col("vec_id")).count()
@@ -748,8 +762,21 @@ object Embeddings {
     if (model.isEmpty)
       return Seq.empty[(Long, Long)].toDF("vec_id", "cell")
     semanticDedupWith(vectors, model, threshold, blocks,
-      probes = 1, cacheTag = s"c$k.s$sampleTarget")
+      probes = autoProbes(model, probes), cacheTag = s"c$k.s$sampleTarget")
   }
+
+  /** Probe-count resolution for the production semantic-dedup paths
+    * (d07's serving form, [[graft.pipeline.Curation.curateSemantic]]):
+    * an explicit `probes >= 1` wins; `0` means AUTO — 2 on a two-level
+    * model (where the fine argmax boundary costs measured pair recall
+    * and top-2 probing recovers it — PROBES_r17/r18), 1 on a flat model
+    * (no fine boundary exists; single assignment is already the exact
+    * within-cell contract, and probing flat cells would change d07's
+    * pinned hashes for no recall reason at DuckDB-holdable scales). */
+  private[graft] def autoProbes(model: CellModel, probes: Int): Int =
+    if (probes > 0) probes
+    else if (model.fineStride > 0L) 2
+    else 1
 
   /** [[semanticDedup]]'s core over an already-trained [[CellModel]],
     * with the boundary-recall knob the two-level posture needs:
@@ -791,8 +818,12 @@ object Embeddings {
     // join: retain it so one action doesn't pay the dominant map-side
     // cost twice (same discipline as annTopK/ivfTopK's tagged frames;
     // kernel-rooted plans never sameResult-match, so the registry keeps
-    // exactly one live copy per cell count)
-    val assignedDf = graft.CacheRegistry.retain(s"semdedup.assigned.$cacheTag.p$probes",
+    // exactly one live copy per cell count). The tag deliberately omits
+    // `probes`: the assigned frame (vec_id, cell, v, nrm) is
+    // probe-INDEPENDENT — multi-probe re-ranks inside the flatMap below —
+    // so probes=1 and probes=2 over the same vectors/model share one
+    // cached copy instead of pinning two identical ones (r17 advice)
+    val assignedDf = graft.CacheRegistry.retain(s"semdedup.assigned.$cacheTag",
       assigned.toDF("vec_id", "cell", "v", "nrm"))
     val assignedDs = assignedDf.as[(Long, Long, Array[Double], Double)]
     val B = blocks
@@ -1797,7 +1828,15 @@ object Embeddings {
     * intersect, the larger id drops, survivors keep their rank-1 cell.
     * Same per-pair fixed-point list-fold and join shape as the d07
     * oracle (corpus enriched first, ONE self-join straight into the
-    * DISTINCT — nothing builds on the pair stream). */
+    * DISTINCT — nothing builds on the pair stream). Since r18 the pair
+    * WHERE leads with v04's native `list_inner_product` PREFILTER
+    * (norm-relative slack, same bound: float-vs-fixed divergence ≤
+    * ~1e-12·‖a‖‖b‖ + 3.2e-11 absolute, dominated by 1e-6·(‖a‖‖b‖+1) at
+    * every norm scale; zero-norm rows pass the prefilter since
+    * 1e-6 ≥ 0) so only ~pair-count rows pay the exact fold that decides
+    * membership — the probed pair stream at sf3 is ~9× sf1's and the
+    * un-prefiltered form exceeded the sweep budget there (PROBES_r17);
+    * admitted-superset + exact decision keeps the result bit-identical. */
   private[operators] def multiProbeDedupOracleSql(coarseCells: Int, finePer: Int,
       iters: Int, sampleTarget: Long, probes: Int, threshold: Double,
       baseSelect: String): String =
@@ -1818,7 +1857,9 @@ object Embeddings {
         dropped AS (
                  SELECT DISTINCT c.cid AS vec_id
                  FROM enp q JOIN enp c ON q.cell = c.cell AND q.cid < c.cid
-                 WHERE (CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                 WHERE list_inner_product(q.v, c.v) + 1e-6 * (q.nrm * c.nrm + 1)
+                          >= $threshold * (q.nrm * c.nrm)
+                   AND (CAST(list_sum(list_transform(range(1, len(q.v) + 1),
                           i -> CAST(FLOOR((q.v[i] * c.v[i]) * 1000000000000.0 + 0.5) AS BIGINT))) AS DOUBLE)
                           / 1000000000000.0) / (q.nrm * c.nrm) >= $threshold)
         SELECT p.vid AS vec_id, p.cell FROM prim p
@@ -3361,7 +3402,13 @@ object Embeddings {
         // cross-engine pinned, not a tuning anecdote. Scale shape: the
         // tagged stream is probes × the classic row count, the
         // dropped-id dedup stays id-bounded (distinct over vec_id,
-        // never pairs), and nothing shuffles vectors by cell.
+        // never pairs), and nothing shuffles vectors by cell. COST
+        // class: the PINNED 3×3 shape makes within-cell pair work
+        // n²/9 by construction (the price of a DuckDB-replayable
+        // oracle), so this row is ANCHOR-classified in Bench
+        // (anchors_s, reps-capped like v04) since r18; the deployment
+        // path is semanticDedup's derived occupancy-pinned cells +
+        // autoProbes, which stays ~linear.
         val base = based(s, dir)
         val model = Embeddings.twoLevelModel(base, coarseCells = 3,
           finePer = 3, iters = 3, sampleTarget = 256L)

@@ -188,14 +188,15 @@ object Curation {
   def pretrainingCorpus(docs: DataFrame, vectors: Option[DataFrame] = None,
       minTokens: Int = 5, minUniqRatio: Double = 0.1, spanK: Int = 8,
       splitThreshold: Double = 0.3, holdoutPm: Long = 100L,
-      cells: Int = 0, iters: Int = 3, semThreshold: Double = 0.45): DataFrame = {
+      cells: Int = 0, iters: Int = 3, semThreshold: Double = 0.45,
+      semProbes: Int = 0): DataFrame = {
     require(splitThreshold <= 0.5,
       s"splitThreshold ($splitThreshold) must not exceed the 0.5 prune " +
         "threshold: split isolation is the LOOSER net")
     val cleaned = cutSpans(scrub(docs), spanK).drop("n_span_tokens_removed")
     val deduped = vectors match {
       case Some(v) => curateSemantic(cleaned, v, cells, iters, semThreshold,
-        minTokens, minUniqRatio)
+        minTokens, minUniqRatio, probes = semProbes)
       case None => curate(cleaned, minTokens, minUniqRatio)
     }
     Splits.assignLeakageSafe(deduped.drop("split"), splitThreshold, holdoutPm)
@@ -217,11 +218,21 @@ object Curation {
     * Split assignment is a pure
     * per-doc hash, so filtering after [[curate]] cannot skew the
     * train/valid/test proportions beyond the docs removed.
+    *
+    * `probes = 0` (default) is [[graft.operators.Embeddings
+    * .autoProbes]]'s AUTO: single-assignment pruning on flat-routed
+    * models (every DuckDB-holdable corpus — pipeline hashes unchanged),
+    * top-2 fine probing where the derived cell count routes two-level,
+    * so the production pipeline stops paying the measured 12–23%
+    * boundary-recall cost exactly at the scales it appears (r17
+    * verdict #1). Explicit `probes = 1` opts out; `probes >= 2` forces
+    * multi-probe on any model.
     */
   def curateSemantic(docs: DataFrame, vectors: DataFrame,
       cells: Int = 0, iters: Int = 3, threshold: Double = 0.45,
       minTokens: Int = 5, minUniqRatio: Double = 0.1,
-      weights: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+      weights: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+      probes: Int = 0)
       : DataFrame = {
     // the lexical survivor frame feeds THREE consumers (the vectors
     // semi-join behind the assignment cache, the drop-set derivation,
@@ -234,7 +245,8 @@ object Curation {
       curate(docs, minTokens, minUniqRatio, weights))
     val vecs = vectors.join(
       survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-    val kept = graft.operators.Embeddings.semanticDedup(vecs, cells, iters, threshold)
+    val kept = graft.operators.Embeddings.semanticDedup(vecs, cells, iters, threshold,
+      probes = probes)
     // the semantic stage can only judge docs that HAVE an embedding row:
     // a doc without one is no near-dup candidate and must pass through,
     // so remove exactly the embedded-but-pruned set instead of semi-

@@ -81,14 +81,24 @@ def main():
 
     # numeric type drift (DECIMAL vs DOUBLE, INT vs BIGINT) renders
     # differently as VARCHAR ('1.00' vs '1.0'); when the two sides
-    # disagree on a numeric column's type, route BOTH through DOUBLE
-    # so rendering is canonical. Identical types keep the exact cast
+    # disagree on a numeric column's type, normalize BOTH so rendering
+    # is canonical. Integer-vs-integer drift widens LOSSLESSLY through
+    # HUGEINT (a DOUBLE round-trip collapses 64-bit ids above 2^53 —
+    # two genuinely different BIGINTs could checksum equal, a false
+    # PASS); any drift involving a decimal/float side goes through
+    # DOUBLE as before. Identical types keep the exact cast.
     NUMERIC = re.compile(r"^(DECIMAL|U?TINYINT|U?SMALLINT|U?INTEGER|"
                          r"U?BIGINT|HUGEINT|FLOAT|DOUBLE)")
+    INTEGRAL = re.compile(r"^(U?TINYINT|U?SMALLINT|U?INTEGER|U?BIGINT|"
+                          r"HUGEINT)$")
     norm = {}
     for c in eng_cols:
         if eng_types[c] != ora_types[c]:
-            if NUMERIC.match(eng_types[c]) and NUMERIC.match(ora_types[c]):
+            if INTEGRAL.match(eng_types[c]) and INTEGRAL.match(ora_types[c]):
+                norm[c] = "HUGEINT"
+                print(f"note: {c} type drift {eng_types[c]} vs {ora_types[c]}"
+                      " — normalizing via HUGEINT (lossless)", flush=True)
+            elif NUMERIC.match(eng_types[c]) and NUMERIC.match(ora_types[c]):
                 norm[c] = "DOUBLE"
                 print(f"note: {c} type drift {eng_types[c]} vs {ora_types[c]}"
                       " — normalizing via DOUBLE", flush=True)
@@ -123,6 +133,14 @@ def main():
     # IS a.doc_id, so per-slice DISTINCT == global DISTINCT restricted
     # to the slice, and the slice union is exactly the original query.
     M10_PRED = "a.doc_id < b.doc_id"
+    # v23's analogue: `dropped` is a DISTINCT over c.cid (the output's
+    # vec_id), so slicing the pair join's c side restricts `dropped` to
+    # exactly the slice's ids — combined with the outer WHERE on vec_id
+    # the per-slice result equals the full result restricted to the
+    # slice (survivorship of a vid depends only on dropped ∩ its own
+    # slice). This bounds the within-cell candidate explosion's memory
+    # per slice; counts/checksums stay commutative over the partition.
+    V23_PRED = "q.cell = c.cell AND q.cid < c.cid"
 
     def sliced(src, tag, is_oracle=False):
         if not part_col:
@@ -131,18 +149,27 @@ def main():
         # (DuckDB % keeps sign: -3 % 8 = -3, matching no k), plus an
         # explicit IS NULL slice (NULL % p is NULL) — together the
         # slices partition ALL rows, so no row escapes the compare.
-        # The textual m10 path needs no NULL slice: its rows already
-        # pass `a.doc_id < b.doc_id`, which a NULL doc_id cannot
+        # The textual m10/v23 paths need no NULL slice: m10 rows already
+        # pass `a.doc_id < b.doc_id` (NULL can't), and v23's vec_id is
+        # corp.cid — non-null by the joins that build it (a NULL outer
+        # row would also re-run the FULL un-sliced pair join, defeating
+        # the slicing).
         tot = (0, 0, 0)
+        v23 = is_oracle and V23_PRED in src and part_col == "vec_id"
+        m10 = is_oracle and M10_PRED in src and part_col == "doc_a"
         for k in range(parts):
-            if is_oracle and M10_PRED in src and part_col == "doc_a":
+            if m10:
                 s = agg(src.replace(
                     M10_PRED, f"{M10_PRED} AND abs(a.doc_id) % {parts} = {k}"))
+            elif v23:
+                s = agg(src.replace(
+                    V23_PRED, f"{V23_PRED} AND abs(c.cid) % {parts} = {k}"),
+                    f'WHERE abs("vec_id") % {parts} = {k}')
             else:
                 s = agg(src, f'WHERE abs("{part_col}") % {parts} = {k}')
             print(f"  {tag} slice {k}/{parts}: rows={s[0]}", flush=True)
             tot = tuple(a + b for a, b in zip(tot, s))
-        if not (is_oracle and M10_PRED in src and part_col == "doc_a"):
+        if not (m10 or v23):
             s = agg(src, f'WHERE "{part_col}" IS NULL')
             if s[0]:
                 print(f"  {tag} NULL slice: rows={s[0]}", flush=True)
