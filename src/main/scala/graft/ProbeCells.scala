@@ -37,7 +37,8 @@ object ProbeCells {
       case "m10recall" => m10Recall(spark, sfDir)
       case "d07recall" => d07Recall(spark, sfDir, if (args.length > 2) args(2).toInt else 16)
       case "semrecall" => semRecall(spark, sfDir)
-      case "appendsplit" => appendSplit(spark, sfDir)
+      case "appendsplit" => appendSplit(spark, sfDir,
+        if (args.length > 2) args(2).split(',').map(_.toLong).toSeq else Seq(3L, 9L))
     } finally spark.stop()
   }
 
@@ -179,7 +180,8 @@ object ProbeCells {
     * per-round number. Times build and append-only separately, at two
     * delta sizes on the same corpus (≈1/3 and ≈1/9 of docs), fresh
     * tables per case so no state leaks between measurements. */
-  private def appendSplit(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+  private def appendSplit(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      mods: Seq[Long]): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import graft.operators.{Documents, Multimodal}
@@ -192,22 +194,33 @@ object ProbeCells {
       println(f"[appendsplit] $tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       r
     }
-    // --- d11 family: simhash index, id-interleaved split (mod contract)
-    Seq(3L, 9L).foreach { mod =>
+    // --- d11 family: simhash index, id-interleaved split (mod contract).
+    // mod <= 1 is the empty-delta diagnosis: append bookkeeping
+    // (corpus scan, metastore ops, meta writes) with ZERO pair work.
+    mods.foreach { mod =>
       CacheRegistry.unpersistAll(blocking = true)
       val table = s"probeapp_sim_${tier}_m$mod"
-      val base = docs.filter($"doc_id" % mod =!= 0L)
-      val delta = docs.filter($"doc_id" % mod === 0L)
+      val base = if (mod <= 1L) docs else docs.filter($"doc_id" % mod =!= 0L)
+      val delta = if (mod <= 1L) docs.filter($"doc_id" < Long.MinValue + 1)
+        else docs.filter($"doc_id" % mod === 0L)
       val nDelta = delta.count()
       val bfp = graft.QueryHelpers.docsFingerprint(base)
+      // the grown fingerprint is a FULL-corpus scan the catalog row pays
+      // inline; time it separately so the append-only number is the
+      // append PATH (delta hash + resident probe + pair append), not the
+      // caller's freshness bookkeeping
+      val gfp = time(s"d11 grown-corpus fingerprint (full scan)")(
+        graft.QueryHelpers.docsFingerprint(docs))
       time(s"d11 build (base=${mod - 1}/$mod corpus)")(
         Documents.ensureSimhashIndexFor(spark, base, table,
           Seq("n" -> bfp._1, "fp" -> bfp._2), force = true))
       time(s"d11 append-only (delta=1/$mod corpus, $nDelta docs)")(
-        Documents.appendToSimhashIndex(spark, delta, table, bfp,
-          graft.QueryHelpers.docsFingerprint(docs)))
+        Documents.appendToSimhashIndex(spark, delta, table, bfp, gfp))
     }
-    // --- m09 family: media index, id-range split (monotone contract)
+    // --- m09 family: media index, id-range split (monotone contract).
+    // Skipped when a custom mod list is passed (that's a d11-family
+    // delta-scaling diagnosis run).
+    if (mods != Seq(3L, 9L)) { CacheRegistry.unpersistAll(blocking = true); return }
     val (mn, mx) = docs.agg(min($"doc_id"), max($"doc_id")).as[(Long, Long)].head()
     Seq(("2/3", mn + (mx - mn) * 2 / 3), ("8/9", mn + (mx - mn) * 8 / 9)).foreach {
       case (label, cut) =>
@@ -218,12 +231,13 @@ object ProbeCells {
         val nDelta = delta.count()
         val bm = Multimodal.mediaMeta(
           graft.QueryHelpers.docsFingerprintMax(base), Multimodal.MaxBandBucket)
+        val gm = time(s"m09 grown-corpus fingerprint (full scan)")(
+          Multimodal.mediaMeta(
+            graft.QueryHelpers.docsFingerprintMax(docs), Multimodal.MaxBandBucket))
         time(s"m09 build (base ids <= $label of range)")(
           Multimodal.ensureMediaIndexFor(spark, base, table, bm, force = true))
         time(s"m09 append-only (delta above $label, $nDelta docs)")(
-          Multimodal.appendToMediaIndex(spark, delta, table, bm,
-            Multimodal.mediaMeta(
-              graft.QueryHelpers.docsFingerprintMax(docs), Multimodal.MaxBandBucket)))
+          Multimodal.appendToMediaIndex(spark, delta, table, bm, gm))
     }
     CacheRegistry.unpersistAll(blocking = true)
   }

@@ -638,35 +638,48 @@ object Documents {
   private def simhashSigsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val th = graft.pipeline.NearDup.shingled(docs)
-      .select($"doc_id", explode($"shingles").as("shingle"))
-      .as[(Long, String)]
-    th.groupByKey(_._1).mapGroups { (id, it) =>
-      val counts = new Array[Int](64)
-      it.foreach { case (_, str) =>
-        var h1 = 0L
-        var h2 = 0L
-        var i = 0
-        while (i < str.length) {
-          val c = str.charAt(i).toLong
-          h1 = (h1 * 31 + c) % 1000000007L
-          h2 = (h2 * 131 + c) % 998244353L
-          i += 1
+    // Fold the per-doc majority counts DIRECTLY over the shingle array:
+    // the rows of [[graft.pipeline.NearDup.shingled]] are already
+    // doc-grouped, so the former explode → groupByKey form shuffled the
+    // whole shingle stream (7.8M strings at sf3) only to re-group what
+    // one map pass reads in place. The explode was also a plan hazard:
+    // InferFiltersFromGenerate copies the generator's input — here the
+    // full interpreted shingle HOF — into a pre-Exchange Filter as
+    // size(...) > 0 AND isnotnull(...), re-evaluating the most expensive
+    // expression in the build 2× more per row (measured 23.7 s vs 2.9 s
+    // with the rule excluded on a 150-doc delta append at sf3;
+    // PROBES_r18). The fold is ±1 per shingle — commutative — so array
+    // order vs shuffle order cannot change the signature, and shingled()
+    // guarantees ≥1 shingle per surviving row, so the emitted doc set is
+    // identical to the exploded form's.
+    graft.pipeline.NearDup.shingled(docs)
+      .as[(Long, Seq[String])]
+      .map { case (id, shingles) =>
+        val counts = new Array[Int](64)
+        shingles.foreach { str =>
+          var h1 = 0L
+          var h2 = 0L
+          var i = 0
+          while (i < str.length) {
+            val c = str.charAt(i).toLong
+            h1 = (h1 * 31 + c) % 1000000007L
+            h2 = (h2 * 131 + c) % 998244353L
+            i += 1
+          }
+          val m1 = (h1 * 2654435761L) % 4294967296L
+          val m2 = (h2 * 2654435761L) % 4294967296L
+          var b = 0
+          while (b < 32) {
+            if (((m1 >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+            if (((m2 >>> b) & 1L) != 0L) counts(b + 32) += 1 else counts(b + 32) -= 1
+            b += 1
+          }
         }
-        val m1 = (h1 * 2654435761L) % 4294967296L
-        val m2 = (h2 * 2654435761L) % 4294967296L
+        var sh = 0L
         var b = 0
-        while (b < 32) {
-          if (((m1 >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
-          if (((m2 >>> b) & 1L) != 0L) counts(b + 32) += 1 else counts(b + 32) -= 1
-          b += 1
-        }
-      }
-      var sh = 0L
-      var b = 0
-      while (b < 64) { if (counts(b) > 0) sh |= 1L << b; b += 1 }
-      (id, sh)
-    }.toDF("doc_id", "simhash")
+        while (b < 64) { if (counts(b) > 0) sh |= 1L << b; b += 1 }
+        (id, sh)
+      }.toDF("doc_id", "simhash")
   }
 
   /** 8×8-bit band expansion of a `(doc_id, simhash)` frame —
@@ -816,12 +829,20 @@ object Documents {
               "the appendable layout. Run ensureSimhashIndex once to migrate " +
               "(the freshness probe requires _sigs and will rebuild).", e)
       }
-    val newSigs = simhashSigsOf(newDocs).localCheckpoint()
+    def diag[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (sys.env.contains("SPARK_GRAFT_DIAG"))
+        println(f"[append-diag] $tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    val newSigs = diag("newSigs localCheckpoint")(simhashSigsOf(newDocs).localCheckpoint())
     try {
+      diag("disjointness check")(
       require(resident.join(broadcast(newSigs), Seq("doc_id")).limit(1).count() == 0L,
         s"appendToSimhashIndex($table): newDocs doc_ids overlap the indexed corpus " +
-          "— an append cannot re-pair resident docs; rebuild instead")
-      P.poison(s, table, Seq("n", "fp"))
+          "— an append cannot re-pair resident docs; rebuild instead"))
+      diag("poison")(P.poison(s, table, Seq("n", "fp")))
       val newBand = simhashBanded(newSigs)
       val resBand = simhashBanded(resident)
       val cross = resBand.as("x").join(broadcast(newBand).as("y"),
@@ -834,10 +855,12 @@ object Documents {
         // identical either way (r14 advice)
         .filter(col("hamming") <= 6)
         .distinct()
+      diag("pairs append (cross + within)")(
       P.appendTable(cross.unionByName(simhashPairsFrom(newSigs))
-        .select(col("doc_a"), col("doc_b"), col("hamming")), table, "_pairs")
-      P.appendTable(newSigs.select(col("doc_id"), col("simhash")), table, "_sigs")
-      P.stamp(s, table, Seq("n" -> grown._1, "fp" -> grown._2))
+        .select(col("doc_a"), col("doc_b"), col("hamming")), table, "_pairs"))
+      diag("sigs append")(
+      P.appendTable(newSigs.select(col("doc_id"), col("simhash")), table, "_sigs"))
+      diag("stamp")(P.stamp(s, table, Seq("n" -> grown._1, "fp" -> grown._2)))
     } finally newSigs.unpersist(false)
     P.location(s, table, "_pairs")
   }

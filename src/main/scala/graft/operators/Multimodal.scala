@@ -768,16 +768,26 @@ object Multimodal {
           s"index's verified gate is $baseGate — the append cannot change " +
           "the gate contract; rebuild with ensureMediaIndex to re-gate")
     }
-    val newSigs = phashSigsOf(newDocs).localCheckpoint()
+    def diag[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (sys.env.contains("SPARK_GRAFT_DIAG"))
+        println(f"[mappend-diag] $tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    val newSigs = diag("newSigs (decode+collapse+hash delta)")(
+      phashSigsOf(newDocs).localCheckpoint())
     try {
       // absorption: md5 matches collapse into the resident rep (no new
       // rep, no pairs — the rebuild's collapse, reproduced); only
       // genuinely new payloads survive as fresh reps
-      val freshNew = absorptionSurvivors(newSigs, resident).localCheckpoint()
+      val freshNew = diag("absorption")(
+        absorptionSurvivors(newSigs, resident).localCheckpoint())
       try {
         // gate BEFORE poison, on the merged profile == grown corpus reps
+        diag("gate re-profile (merged)")(
         phashGate(phashBandRows(resident.unionByName(freshNew.select(
-          $"doc_id", $"md5", $"h0", $"h1"))), baseGate, "append")
+          $"doc_id", $"md5", $"h0", $"h1"))), baseGate, "append"))
         P.poison(s, table, base.map(_._1))
         val resBand = phashBandRows(resident).toDF("bi", "bv", "doc_id", "h0", "h1")
         val newBand = phashBandRows(freshNew).toDF("bi", "bv", "doc_id", "h0", "h1")
@@ -792,12 +802,14 @@ object Multimodal {
           // set is identical either way (r14 advice)
           .filter(col("hamming") <= 6)
           .distinct()
+        diag("pairs append (cross + within)")(
         P.appendTable(cross.unionByName(
             phashKernel(phashBandRows(freshNew))
               .select(col("doc_a"), col("doc_b"), col("hamming"))),
-          table, "_pairs")
+          table, "_pairs"))
+        diag("sigs append")(
         P.appendTable(freshNew.select($"doc_id", $"md5", $"h0", $"h1"),
-          table, "_sigs")
+          table, "_sigs"))
         P.stamp(s, table, grown)
       } finally freshNew.unpersist(false)
     } finally newSigs.unpersist(false)

@@ -900,6 +900,16 @@ class EmbeddingsSpec extends SparkSpec {
         "(m10's r15 failure mode, now in the trainer the d07/p09/m10 router shares)")
     assert(probe2Recall >= twoRecall,
       "top-2 probing can only widen the pair relation (rank-1 is probed)")
+    // the AUTO-wiring floor (r17 verdict #1): at probes = 2 — what
+    // autoProbes resolves on any two-level model — the two-level route
+    // must see at least as many near-dup pairs as the flat model it
+    // replaced (fixture 1.8x; derived-shape sf1/sf3 measured 1.58x/1.90x,
+    // PROBES_r18). A failure means the multi-probe no longer pays for
+    // the coarse/fine boundary and the production default is wrong.
+    assert(probe2Recall >= flatRecall,
+      f"two-level probes=2 recall $probe2Recall%.3f fell below flat " +
+        f"$flatRecall%.3f — the AUTO default (probes=2 on two-level) " +
+        "no longer recovers the boundary cost")
     // STRICT fixture-witness assertion: this is a property of the
     // embeddings FIXTURE (at least one near-dup pair split by the fine
     // argmax boundary), not of the operator. If it fails right after the
