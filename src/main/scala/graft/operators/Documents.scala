@@ -1428,10 +1428,28 @@ object Documents {
         // and pay ONE stream shuffle instead of three.
         val arr = toked(s, dir).select($"doc_id", $"toks")
           .filter(size($"toks") >= 2)
-        val pairs = arr.select($"doc_id", explode(expr(
-            "transform(sequence(2, size(toks), 1), " +
-              "i -> struct(toks[i-2] AS prev, toks[i-1] AS cur))")).as("p"))
-          .select($"doc_id", $"p.prev".as("prev"), $"p.cur".as("cur"))
+        // bigram stream via a primitive flatMap kernel (d08's span-kernel
+        // discipline). The former explode-over-transform form paid the
+        // InferFiltersFromGenerate tax: the optimizer copies the
+        // generator input — the whole interpreted bigram HOF — into a
+        // per-row Filter (size(...) > 0 AND isnotnull(...)), re-running
+        // the costliest expression 2× more per corpus row, and `pairs`
+        // feeds TWO consumers (the bigram table and the scoring join) so
+        // the duplication compounded: t15's sf3→sf6.4 step read 3.41×
+        // for 2.13× data (same root cause as the r18 simhash build fix).
+        // Variants measured warm at sf3/sf6.4 (PROBES_r18): HOF explode
+        // 4.4/13.3 s, sequence-explode + post-index 7.2/10.5 (the
+        // Generate copies the carried toks ARRAY into every output row —
+        // O(tokens) per pair), this kernel 5.0/9.5 — the only form whose
+        // top-tier step is sublinear (1.9× for 2.13×), at ~0.6 s cost on
+        // the mid tier (the object-serialization boundary). Pair set
+        // identical by construction: (toks[i-1], toks[i]) for i in
+        // 1..size-1 == the HOF's (toks[i-2], toks[i-1]) for i in 2..size.
+        val pairs = arr.as[(Long, Seq[String])]
+          .flatMap { case (id, toksSeq) =>
+            val t = toksSeq.toArray
+            (1 until t.length).iterator.map(i => (id, t(i - 1), t(i)))
+          }.toDF("doc_id", "prev", "cur")
         val big = pairs.groupBy($"prev", $"cur").agg(count(lit(1)).as("cb"))
         // the left marginal is the bigram table's own row-sum — derive it
         // from `big` (vocab²-bounded input) instead of re-scanning and
