@@ -26,6 +26,13 @@ package graft
   *                             corpus), so the append path's
   *                             delta-proportionality claim has its own
   *                             per-round number (r17 verdict #6)
+  *   genaudit <sfDir>        — plan-diff every catalog query with
+  *                             InferFiltersFromGenerate active vs
+  *                             excluded; DIFF rows print the inserted
+  *                             filter for cost classification (r18
+  *                             verdict #4)
+  *   genab <sfDir> <names> [reps] — warm A/B timing of flagged queries
+  *                             with the rule active vs excluded
   */
 object ProbeCells {
   def main(args: Array[String]): Unit = {
@@ -39,7 +46,90 @@ object ProbeCells {
       case "semrecall" => semRecall(spark, sfDir)
       case "appendsplit" => appendSplit(spark, sfDir,
         if (args.length > 2) args(2).split(',').map(_.toLong).toSeq else Seq(3L, 9L))
+      case "genaudit" => genAudit(spark, sfDir)
+      case "genab" => genAB(spark, sfDir,
+        args(2).split(',').toSeq, if (args.length > 3) args(3).toInt else 2)
     } finally spark.stop()
+  }
+
+  /** The InferFiltersFromGenerate rule name — the optimizer rule that
+    * copies a Generate's input expression into a pre-Generate Filter
+    * (`size(e) > 0 AND isnotnull(e)`). Found re-evaluating interpreted
+    * corpus-sized HOFs twice in r18 (simhash build, t15), both ad hoc;
+    * these two modes make the sweep systematic (r18 verdict #4). */
+  private val GenRule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+  /** Plan-diff every catalog query with [[GenRule]] active vs excluded:
+    * a query whose OPTIMIZED plan is byte-identical (modulo expr ids)
+    * under both settings carries no inferred-filter tax by construction
+    * and is statically exempt; a DIFF means the rule inserted a Filter —
+    * classify its generator-input cost and time it with `genab`. Plans
+    * are compared unexecuted (builder rows still run their ensure* side
+    * effects at construction — run this at sf0.01 where builds are
+    * seconds). */
+  private def genAudit(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    def normalized(p: org.apache.spark.sql.DataFrame): String =
+      p.queryExecution.optimizedPlan.toString
+        .replaceAll("#\\d+L?", "#x")
+        .replaceAll("plan_id=\\d+", "plan_id=x")
+        .replaceAll("\\[id=#?x?\\d*\\]", "[id=x]")
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    var diffs = List.empty[String]
+    names.foreach { name =>
+      val q = graft.SparkEntry.queries(name)
+      spark.conf.set("spark.sql.optimizer.excludedRules", GenRule)
+      val off = try Right(normalized(q(spark, sfDir))) catch { case e: Exception => Left(e) }
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
+      val on = try Right(normalized(q(spark, sfDir))) catch { case e: Exception => Left(e) }
+      (off, on) match {
+        case (Right(a), Right(b)) if a == b => println(s"[genaudit] $name SAME")
+        case (Right(a), Right(b)) =>
+          diffs ::= name
+          // the inserted lines are the Filter(s) present only with the
+          // rule active; print each (truncated) for cost classification
+          val added = b.linesIterator.toSet -- a.linesIterator.toSet
+          val filters = added.filter(_.contains("Filter")).toSeq.sorted
+          println(s"[genaudit] $name DIFF (${filters.size} inserted filter(s))")
+          filters.foreach(f => println("  + " + f.trim.take(400)))
+        case (a, b) =>
+          println(s"[genaudit] $name ERROR off=${a.left.toOption.map(_.getMessage)} " +
+            s"on=${b.left.toOption.map(_.getMessage)}")
+      }
+    }
+    println(s"[genaudit] summary: ${names.size} queries, ${diffs.size} diffs: " +
+      diffs.reverse.mkString(", "))
+  }
+
+  /** Warm A/B timing of named catalog queries with [[GenRule]] active vs
+    * excluded — alternating reps so page-cache warmth cancels. A ratio
+    * ~1 means the inserted filter's input is cheap (exempt); >1.2 means
+    * the generator input re-evaluation is real cost — convert the site
+    * to a kernel (the t15/simhash treatment). */
+  private def genAB(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      names: Seq[String], reps: Int): Unit = {
+    def run(name: String, exclude: Boolean): Double = {
+      CacheRegistry.unpersistAll(blocking = true)
+      if (exclude) spark.conf.set("spark.sql.optimizer.excludedRules", GenRule)
+      else spark.conf.unset("spark.sql.optimizer.excludedRules")
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    names.foreach { name =>
+      run(name, exclude = false) // untimed warmup (parquet + codegen)
+      val onT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val offT = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to reps).foreach { _ =>
+        onT += run(name, exclude = false)
+        offT += run(name, exclude = true)
+      }
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      println(f"[genab] $name ruleOn=${med(onT.toSeq)}%.2f s " +
+        f"ruleOff=${med(offT.toSeq)}%.2f s ratio=${med(onT.toSeq) / med(offT.toSeq)}%.3f " +
+        f"(on: ${onT.map(t => f"$t%.2f").mkString(",")}; off: ${offT.map(t => f"$t%.2f").mkString(",")})")
+    }
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
   private def m10Recall(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
@@ -69,6 +159,11 @@ object ProbeCells {
       Embeddings.cosineNearDupPairs(vecs, 0.45, maxRows = 1000000L)
         .select(col("doc_a"), col("doc_b")))
     val nTrue = truth.count()
+    if (nTrue == 0L) {
+      println(s"[d07recall] $sfDir n=$n truePairs=0 — recall undefined, skipping")
+      CacheRegistry.unpersistAll(blocking = true)
+      return
+    }
     val kc = math.ceil(math.sqrt(k.toDouble)).toInt
     val kf = (k + kc - 1) / kc
     def recallOf(m: Embeddings.CellModel): Double = {
@@ -129,6 +224,14 @@ object ProbeCells {
       Embeddings.cosineNearDupPairs(vecs, 0.45, maxRows = 1000000L)
         .select(col("doc_a"), col("doc_b")))
     val nTrue = truth.count()
+    if (nTrue == 0L) {
+      // no exact near-dup pairs at this corpus/threshold — every
+      // pair-recall below would print NaN (r18 advice); the dropped-set
+      // block already guards its own denominator
+      println(s"[semrecall] $sfDir n=$n truePairs=0 — pair-recall undefined, skipping")
+      CacheRegistry.unpersistAll(blocking = true)
+      return
+    }
     val flatM = Embeddings.cellModel(vecs, k, iters = 3, knownN = n)
     val twoM = Embeddings.twoLevelModel(vecs, kc, kf, iters = 3, knownN = n)
     def pairRecall(assigned: org.apache.spark.sql.DataFrame): Double = {
@@ -201,7 +304,9 @@ object ProbeCells {
       CacheRegistry.unpersistAll(blocking = true)
       val table = s"probeapp_sim_${tier}_m$mod"
       val base = if (mod <= 1L) docs else docs.filter($"doc_id" % mod =!= 0L)
-      val delta = if (mod <= 1L) docs.filter($"doc_id" < Long.MinValue + 1)
+      // lit(false) is PROVABLY empty — the former `doc_id < MinValue+1`
+      // still admitted a doc_id == Long.MinValue row (r18 advice)
+      val delta = if (mod <= 1L) docs.filter(lit(false))
         else docs.filter($"doc_id" % mod === 0L)
       val nDelta = delta.count()
       val bfp = graft.QueryHelpers.docsFingerprint(base)

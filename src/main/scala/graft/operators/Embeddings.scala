@@ -821,8 +821,13 @@ object Embeddings {
     // exactly one live copy per cell count). The tag deliberately omits
     // `probes`: the assigned frame (vec_id, cell, v, nrm) is
     // probe-INDEPENDENT — multi-probe re-ranks inside the flatMap below —
-    // so probes=1 and probes=2 over the same vectors/model share one
-    // cached copy instead of pinning two identical ones (r17 advice)
+    // so the registry is BOUNDED at one live entry across probe settings
+    // (a later probes=2 call SUPERSEDES the probes=1 entry rather than
+    // pinning a second identical copy). Note this bounds memory, not
+    // recompute: retain only reuses on sameResult, and kernel-rooted
+    // plans never sameResult-match across calls, so the superseding call
+    // recomputes the assignment — cross-call reuse would need the caller
+    // to hold the returned frame (r18 advice)
     val assignedDf = graft.CacheRegistry.retain(s"semdedup.assigned.$cacheTag",
       assigned.toDF("vec_id", "cell", "v", "nrm"))
     val assignedDs = assignedDf.as[(Long, Long, Array[Double], Double)]
