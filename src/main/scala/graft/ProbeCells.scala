@@ -47,6 +47,10 @@ object ProbeCells {
       case "appendsplit" => appendSplit(spark, sfDir,
         if (args.length > 2) args(2).split(',').map(_.toLong).toSeq else Seq(3L, 9L))
       case "genaudit" => genAudit(spark, sfDir)
+      case "semcurve" => semCurve(spark, sfDir,
+        if (args.length > 2) args(2).split(',').map(_.toLong).toSeq else Seq(1024L, 2048L, 4096L),
+        if (args.length > 3) args(3).split(',').map(_.toInt).toSeq else Seq(1, 2, 3, 4),
+        timeCosts = args.length <= 4 || args(4).toBoolean)
       case "genab" => genAB(spark, sfDir,
         args(2).split(',').toSeq, if (args.length > 3) args(3).toInt else 2)
     } finally spark.stop()
@@ -73,10 +77,21 @@ object ProbeCells {
         .replaceAll("#\\d+L?", "#x")
         .replaceAll("plan_id=\\d+", "plan_id=x")
         .replaceAll("\\[id=#?x?\\d*\\]", "[id=x]")
+        // kernel closures print as Lambda$N/0x...@addr — fresh object per
+        // construction, meaningless for plan-shape comparison
+        .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda@x")
+        .replaceAll("@[0-9a-f]{6,}", "@x")
+        // HOF lambda variables carry a global counter (lambda x_3 vs x_5)
+        .replaceAll("lambda x_\\d+", "lambda x_N")
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     var diffs = List.empty[String]
     names.foreach { name =>
       val q = graft.SparkEntry.queries(name)
+      // warmup construction with default conf: retain() registers cache
+      // entries on FIRST construction, so without this the off-plan sees
+      // bare plans and the on-plan sees InMemoryRelations — a spurious
+      // DIFF that has nothing to do with the rule
+      try { q(spark, sfDir).queryExecution.optimizedPlan } catch { case _: Exception => () }
       spark.conf.set("spark.sql.optimizer.excludedRules", GenRule)
       val off = try Right(normalized(q(spark, sfDir))) catch { case e: Exception => Left(e) }
       spark.conf.unset("spark.sql.optimizer.excludedRules")
@@ -88,9 +103,14 @@ object ProbeCells {
           // the inserted lines are the Filter(s) present only with the
           // rule active; print each (truncated) for cost classification
           val added = b.linesIterator.toSet -- a.linesIterator.toSet
+          val removed = a.linesIterator.toSet -- b.linesIterator.toSet
           val filters = added.filter(_.contains("Filter")).toSeq.sorted
           println(s"[genaudit] $name DIFF (${filters.size} inserted filter(s))")
           filters.foreach(f => println("  + " + f.trim.take(400)))
+          if (filters.isEmpty) {
+            added.toSeq.sorted.take(3).foreach(l => println("  +? " + l.trim.take(300)))
+            removed.toSeq.sorted.take(3).foreach(l => println("  -? " + l.trim.take(300)))
+          }
         case (a, b) =>
           println(s"[genaudit] $name ERROR off=${a.left.toOption.map(_.getMessage)} " +
             s"on=${b.left.toOption.map(_.getMessage)}")
@@ -129,7 +149,9 @@ object ProbeCells {
         f"ruleOff=${med(offT.toSeq)}%.2f s ratio=${med(onT.toSeq) / med(offT.toSeq)}%.3f " +
         f"(on: ${onT.map(t => f"$t%.2f").mkString(",")}; off: ${offT.map(t => f"$t%.2f").mkString(",")})")
     }
-    spark.conf.unset("spark.sql.optimizer.excludedRules")
+    // restore the engine default (Sessions.TuningConf excludes the rule;
+    // unset above removed even the builder-provided value)
+    spark.conf.set("spark.sql.optimizer.excludedRules", GenRule)
   }
 
   private def m10Recall(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
@@ -273,6 +295,91 @@ object ProbeCells {
           f"flat drops=$nDFlat overlap=$inter " +
           f"droppedRecall=${if (nDFlat == 0) 1.0 else inter.toDouble / nDFlat}%.4f")
       }
+    CacheRegistry.unpersistAll(blocking = true)
+  }
+
+  /** r18 verdict #1: the recall-vs-cost CURVE for the production
+    * semantic-dedup shape — pair recall (overall AND stratified by the
+    * exact pair's cosine band) over occupancy × probes at the derived
+    * cell count, plus the wall-clock of the ACTUAL
+    * [[graft.operators.Embeddings.semanticDedupWith]] prune at each
+    * point. The bands answer the structural question the r18 decline
+    * (AUTO 0.514/0.455/0.324 at sf0.1/1/3) raised: is the loss in the
+    * loose [0.45,0.6) tail (SemDeDup's contract is NEAR-dup removal —
+    * a loose-tail decline is priceable) or does it reach the tight
+    * ≥ 0.8 pairs (then the cell rule itself needs to change)?
+    * Both the flat model (what the router picks below TwoLevelCellCap —
+    * every testable tier) and the two-level split (the at-scale shape,
+    * replicated at the derived k) are measured at every grid point. */
+  private def semCurve(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      occs: Seq[Long], probes: Seq[Int], timeCosts: Boolean): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Embeddings
+    val vecs = CacheRegistry.retain("probe.vecs",
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v"))
+    val n = vecs.count()
+    val truth = CacheRegistry.retain("probe.truthc",
+      Embeddings.cosineNearDupPairs(vecs, 0.45, maxRows = 1000000L)
+        .select(col("doc_a"), col("doc_b"), col("cosine")))
+    // NaN (zero-norm) pairs count as tight: both engines treat them as dups
+    val bandCol = when(col("cosine").isNaN || (col("cosine") >= 0.8), lit("b80"))
+      .when(col("cosine") >= 0.6, lit("b60")).otherwise(lit("b45"))
+    val bandTotals = truth.groupBy(bandCol.as("band")).count()
+      .as[(String, Long)].collect().toMap
+    val nTrue = bandTotals.values.sum
+    if (nTrue == 0L) {
+      println(s"[semcurve] $sfDir n=$n truePairs=0 — recall undefined, skipping")
+      CacheRegistry.unpersistAll(blocking = true)
+      return
+    }
+    println(s"[semcurve] $sfDir n=$n truePairs=$nTrue bands: " +
+      Seq("b45", "b60", "b80").map(b => s"$b=${bandTotals.getOrElse(b, 0L)}").mkString(" "))
+    def probedOf(m: Embeddings.CellModel, p: Int): org.apache.spark.sql.DataFrame = {
+      val bc = spark.sparkContext.broadcast(m)
+      vecs.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
+        .flatMap { case (id, v) =>
+          bc.value.probe(v, Embeddings.fpNorm(v), p).iterator.map(c => (id, c))
+        }.toDF("vid", "cell")
+    }
+    occs.foreach { occ =>
+      val k = Embeddings.kMeansCells(n, targetCell = occ)
+      val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+      val kf = (k + kc - 1) / kc
+      val flatM = Embeddings.cellModel(vecs, k, iters = 3, knownN = n)
+      val twoM = Embeddings.twoLevelModel(vecs, kc, kf, iters = 3, knownN = n)
+      Seq("flat" -> flatM, "two" -> twoM).foreach { case (tag, m) =>
+        probes.foreach { p =>
+          val probed = probedOf(m, p)
+          val kept = truth
+            .join(probed.select(col("vid").as("doc_a"), col("cell").as("ca")), "doc_a")
+            .join(probed.select(col("vid").as("doc_b"), col("cell").as("cb")), "doc_b")
+            .filter(col("ca") === col("cb"))
+            .select(col("doc_a"), col("doc_b"), col("cosine")).distinct()
+          val keptBands = kept.groupBy(bandCol.as("band")).count()
+            .as[(String, Long)].collect().toMap
+          val keptAll = keptBands.values.sum
+          def r(b: String) = {
+            val tot = bandTotals.getOrElse(b, 0L)
+            if (tot == 0L) "n/a" else f"${keptBands.getOrElse(b, 0L).toDouble / tot}%.4f"
+          }
+          println(f"[semcurve] occ=$occ k=$k split=${kc}x$kf $tag p=$p " +
+            f"recall=${keptAll.toDouble / nTrue}%.4f " +
+            s"b45=${r("b45")} b60=${r("b60")} b80=${r("b80")}")
+        }
+      }
+      if (timeCosts) probes.foreach { p =>
+        // cost of the REAL prune at this grid point, two-level model (the
+        // at-scale shape); fresh cacheTag per point so nothing reuses
+        val t0 = System.nanoTime()
+        val survivors = Embeddings.semanticDedupWith(vecs, twoM, threshold = 0.45,
+          blocks = 4, probes = p, cacheTag = s"curve.$occ.$p").count()
+        println(f"[semcurve] occ=$occ k=$k cost two p=$p " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s survivors=$survivors")
+        CacheRegistry.release(s"semdedup.assigned.curve.$occ.$p")
+      }
+    }
     CacheRegistry.unpersistAll(blocking = true)
   }
 

@@ -63,6 +63,23 @@ object Sessions {
   private def TuningConf(shufflePartitions: String): Seq[(String, String)] = Seq(
     "spark.sql.shuffle.partitions" -> shufflePartitions,
     "spark.sql.codegen.cache.maxEntries" -> "2000",
+    // InferFiltersFromGenerate copies every explode's ATTRIBUTE input
+    // into a pre-Generate Filter (size(e) > 0 AND isnotnull(e)); when
+    // the attribute is defined by a projection over raw text (toks =
+    // split(text)), predicate pushdown substitutes the definition and
+    // the corpus pays the split once more per inserted filter, below
+    // the Exchange. The r19 sweep (ProbeCells genaudit/genab) plan-
+    // diffed all 123 catalog queries: 10 gain filters under the rule,
+    // none get faster (no empty generator inputs exist in any source —
+    // shingled()/toked() rows always carry >= 1 element), and two pay
+    // real tax (t09 2.84x: three split(text) re-evaluations; t07
+    // 1.28x). The r18 simhash/t15 incidents were the same mechanism
+    // found ad hoc. Excluding the rule engine-wide removes the whole
+    // hazard class, including the streaming signatures() path no bench
+    // row times. Tuning, not correctness: inferred filters never change
+    // results, only plans.
+    "spark.sql.optimizer.excludedRules" ->
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.ui.enabled" -> "false")
 
   // codegen.cache sizing: the default 100 entries thrash once ~70

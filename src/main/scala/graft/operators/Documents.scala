@@ -691,6 +691,21 @@ object Documents {
           shiftrightunsigned(col("simhash"), i * 8).bitwiseAND(lit(0xFFL)).as("k"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.i").as("i"), col("b.k").as("k"))
 
+  /** [[simhashBanded]] plus the band-bucket partition key of the
+    * persisted `_sigs` layout: `kb = i·16 + (k >> 4)` ∈ [0, 128) — 16
+    * contiguous k-values per bucket per band. The stored signature
+    * history is hive-partitioned on `kb`, so an append's resident
+    * probes read ONLY the buckets the delta's band values touch
+    * (`≤ 8·|delta|` of 128 directories — zero for an empty delta)
+    * instead of scanning the whole history per append; at the 100 TB
+    * posture with daily ingest this is what keeps append bookkeeping
+    * delta-proportional rather than corpus-proportional (r18 verdict
+    * #6). 128 buckets balances pruning granularity against small-file
+    * count at gate scale (sf0.01 builds write ≤128 directories). */
+  private def sigBandRows(sim: DataFrame): DataFrame =
+    simhashBanded(sim).withColumn("kb",
+      (col("i") * 16 + shiftrightunsigned(col("k"), 4)).cast("int"))
+
   /** The pair half of the d04 family build: the exhaustive banded
     * self-join over a signature frame (8×8-bit bands; pigeonhole covers
     * hamming ≤ 7, so ≤ 6 loses nothing vs n²). Returns the verified pair
@@ -736,7 +751,12 @@ object Documents {
       graft.CacheRegistry.retain("neardup.simhash", simhashSigsOf(docs))
     }
     graft.plans.PersistedIndex.ensureWith(s, table, meta, force,
-      aux = Seq("_sigs" -> (() => sim)))(simhashPairsFrom(sim))
+      // _sigs persists the BANDED rows hive-partitioned on kb (see
+      // [[sigBandRows]]) so append-time resident probes partition-prune;
+      // repartition by kb first so each bucket directory gets one file
+      // instead of one per input partition
+      aux = Seq("_sigs" -> (() => sigBandRows(sim).repartition(col("kb")))),
+      auxPartition = Map("_sigs" -> "kb"))(simhashPairsFrom(sim))
   }
 
   /** Build-once persisted simhash near-dup index — the
@@ -818,16 +838,19 @@ object Documents {
         "orphan pairs; run ensureSimhashIndex to rebuild instead.")
     val resident =
       try s.read.parquet(P.location(s, table, "_sigs"))
-        .select($"doc_id", $"simhash")
+        .select($"doc_id", $"simhash", $"i", $"k", $"kb")
       catch {
-        // only the NOT-FOUND shape means "old layout, rebuild to
-        // migrate"; transient I/O must propagate as itself (the
+        // only the NOT-FOUND / wrong-column shape means "old layout,
+        // rebuild to migrate" (a pre-r19 _sigs lacks the banded i/k/kb
+        // columns and fails the select the same way a missing table
+        // does); transient I/O must propagate as itself (the
         // appendToPqIndex rationale)
         case e: org.apache.spark.sql.AnalysisException =>
           throw new IllegalStateException(
-            s"graft_index.$table has no persisted signature table — it predates " +
-              "the appendable layout. Run ensureSimhashIndex once to migrate " +
-              "(the freshness probe requires _sigs and will rebuild).", e)
+            s"graft_index.$table has no persisted signature table in the " +
+              "band-keyed layout — it predates the appendable layout or its " +
+              "r19 band-partitioned revision. Run ensureSimhashIndex once to " +
+              "migrate (the freshness probe requires _sigs and will rebuild).", e)
       }
     def diag[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -838,13 +861,25 @@ object Documents {
     }
     val newSigs = diag("newSigs localCheckpoint")(simhashSigsOf(newDocs).localCheckpoint())
     try {
-      diag("disjointness check")(
-      require(resident.join(broadcast(newSigs), Seq("doc_id")).limit(1).count() == 0L,
+      val newBand = sigBandRows(newSigs)
+      // the delta's touched band buckets (≤ 128 values, driver-sized):
+      // every resident probe below prunes to these partitions, so an
+      // empty delta reads ZERO resident directories and a small one
+      // reads ≤ 8·|delta| of 128 — the r18 corpus-proportional
+      // bookkeeping floor made delta-proportional (r18 verdict #6)
+      val kbs = diag("delta band buckets")(
+        newBand.select($"kb").distinct().as[Int].collect().toSeq)
+      // the kb < 16 slice is exactly the i = 0 band rows — one row per
+      // resident doc, pruned to 16 of 128 directories (the one resident
+      // probe that stays corpus-proportional: doc_id equality has no band
+      // relationship to prune on; an EMPTY delta skips it entirely)
+      if (kbs.nonEmpty) diag("disjointness check")(
+      require(resident.filter($"kb" < 16).select($"doc_id")
+          .join(broadcast(newSigs), Seq("doc_id")).limit(1).count() == 0L,
         s"appendToSimhashIndex($table): newDocs doc_ids overlap the indexed corpus " +
           "— an append cannot re-pair resident docs; rebuild instead"))
       diag("poison")(P.poison(s, table, Seq("n", "fp")))
-      val newBand = simhashBanded(newSigs)
-      val resBand = simhashBanded(resident)
+      val resBand = resident.filter($"kb".isin(kbs: _*))
       val cross = resBand.as("x").join(broadcast(newBand).as("y"),
           col("x.i") === col("y.i") && col("x.k") === col("y.k"))
         .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
@@ -859,7 +894,7 @@ object Documents {
       P.appendTable(cross.unionByName(simhashPairsFrom(newSigs))
         .select(col("doc_a"), col("doc_b"), col("hamming")), table, "_pairs"))
       diag("sigs append")(
-      P.appendTable(newSigs.select(col("doc_id"), col("simhash")), table, "_sigs"))
+      P.appendTablePartitioned(newBand, table, "_sigs", "kb"))
       diag("stamp")(P.stamp(s, table, Seq("n" -> grown._1, "fp" -> grown._2)))
     } finally newSigs.unpersist(false)
     P.location(s, table, "_pairs")

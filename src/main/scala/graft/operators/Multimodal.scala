@@ -348,6 +348,15 @@ object Multimodal {
       }
   }
 
+  /** Band-bucket occupancy profile of a signature frame — `(bi, bv,
+    * cnt)`, one row per populated 8-bit band bucket (≤ 8·256 rows at any
+    * corpus size). Persisted as the `_prof` aux so appends gate the
+    * merged corpus without re-scanning the resident signature history. */
+  private def bandProfile(sigs: DataFrame): DataFrame =
+    phashBandRows(sigs).toDF("bi", "bv", "doc_id", "h0", "h1")
+      .groupBy(col("bi"), col("bv"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Hot-bucket gate over band rows (see [[MaxBandBucket]]); `what`
     * names the corpus in the refusal so an append-time firing reads
     * differently from a build-time one. */
@@ -360,6 +369,15 @@ object Multimodal {
     val hottest = Option(banded.toDF("bi", "bv", "doc_id", "h0", "h1")
       .groupBy($"bi", $"bv").count()
       .agg(max($"count")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    gateCheck(hottest, maxBandBucket, what)
+  }
+
+  /** The gate decision over an already-computed hottest-bucket count —
+    * shared by [[phashGate]] (full band-row profile) and the append's
+    * incremental profile merge, so the two paths cannot drift on the
+    * refusal contract. */
+  private[graft] def gateCheck(hottest: Long, maxBandBucket: Long,
+      what: String): Unit = {
     if (hottest > maxBandBucket) {
       // context-specific route: the FLAT kernel's refusal points at the
       // cell-partitioned operator; a refusal from INSIDE that operator
@@ -660,7 +678,14 @@ object Multimodal {
       graft.CacheRegistry.retain("media.phash", phashSigsOf(docs))
     }
     graft.plans.PersistedIndex.ensureWith(s, table, meta, force,
-      aux = Seq("_sigs" -> (() => hashed)))(
+      // _prof persists the band-bucket occupancy profile (bi, bv, cnt —
+      // ≤ 8·256 rows) so the APPEND can gate the merged corpus from a
+      // profile MERGE (stored + delta counts; exact, since absorption
+      // guarantees rep disjointness) instead of re-profiling the whole
+      // resident history per append — the corpus-proportional piece of
+      // m09's bookkeeping floor (r18 verdict #6)
+      aux = Seq("_sigs" -> (() => hashed),
+        "_prof" -> (() => bandProfile(hashed))))(
       phashVerify(hashed, maxBandBucket, "build"))
   }
 
@@ -784,10 +809,32 @@ object Multimodal {
       val freshNew = diag("absorption")(
         absorptionSurvivors(newSigs, resident).localCheckpoint())
       try {
-        // gate BEFORE poison, on the merged profile == grown corpus reps
-        diag("gate re-profile (merged)")(
-        phashGate(phashBandRows(resident.unionByName(freshNew.select(
-          $"doc_id", $"md5", $"h0", $"h1"))), baseGate, "append"))
+        // gate BEFORE poison, on the merged profile == grown corpus reps.
+        // The stored _prof carries the RESIDENT profile, so the merge is
+        // stored + delta counts (exact: absorption guarantees the fresh
+        // reps are disjoint from resident reps) — no resident re-scan.
+        // Materialized driver-side (≤ 8·256 + delta-bucket rows) because
+        // the _prof rewrite below must not read the files it replaces.
+        val storedProf =
+          try s.read.parquet(P.location(s, table, "_prof"))
+            .select($"bi", $"bv", $"cnt").as[(Int, Long, Long)].collect()
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalStateException(
+                s"graft_index.$table has no persisted band profile — it predates " +
+                  "the appendable layout's r19 profile revision. Run " +
+                  "ensureMediaIndex once to migrate (the freshness probe " +
+                  "requires _prof and will rebuild).", e)
+          }
+        val mergedProf = diag("gate (profile merge)") {
+          val deltaProf = bandProfile(freshNew)
+            .as[(Int, Long, Long)].collect()
+          val m = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+          (storedProf.iterator ++ deltaProf.iterator).foreach { case (bi, bv, c) =>
+            m.updateWith((bi, bv))(prev => Some(prev.getOrElse(0L) + c)) }
+          gateCheck(if (m.isEmpty) 0L else m.values.max, baseGate, "append")
+          m
+        }
         P.poison(s, table, base.map(_._1))
         val resBand = phashBandRows(resident).toDF("bi", "bv", "doc_id", "h0", "h1")
         val newBand = phashBandRows(freshNew).toDF("bi", "bv", "doc_id", "h0", "h1")
@@ -810,6 +857,14 @@ object Multimodal {
         diag("sigs append")(
         P.appendTable(freshNew.select($"doc_id", $"md5", $"h0", $"h1"),
           table, "_sigs"))
+        // rewrite the (profile-sized) _prof with the merged counts so the
+        // NEXT append's gate also merges instead of re-profiling; between
+        // poison and stamp, so a crash here leaves the poisoned meta the
+        // next ensure repairs by rebuilding everything including _prof
+        graft.plans.CoLocated.replaceTable(
+          mergedProf.iterator.map { case ((bi, bv), c) => (bi, bv, c) }
+            .toSeq.toDF("bi", "bv", "cnt"),
+          P.Database, table + "_prof")
         P.stamp(s, table, grown)
       } finally freshNew.unpersist(false)
     } finally newSigs.unpersist(false)

@@ -52,7 +52,8 @@ object PersistedIndex {
     * (appenders, by contrast, refuse old layouts loudly; see
     * [[graft.operators.Embeddings.appendToPqIndex]]'s rationale). */
   def ensureWith(s: SparkSession, table: String, meta: Seq[(String, Long)],
-      force: Boolean, aux: Seq[(String, () => DataFrame)])(
+      force: Boolean, aux: Seq[(String, () => DataFrame)],
+      auxPartition: Map[String, String] = Map.empty)(
       compute: => DataFrame): String = {
     import org.apache.spark.sql.functions.col
     // The catch below is the "artifact absent or unreadable-as-ours"
@@ -89,7 +90,10 @@ object PersistedIndex {
       CoLocated.clearTable(s, Database, s"${table}_meta")
       CoLocated.replaceTable(compute, Database, s"${table}_pairs")
       aux.foreach { case (sfx, f) =>
-        CoLocated.replaceTable(f(), Database, table + sfx) }
+        auxPartition.get(sfx) match {
+          case Some(pc) => CoLocated.replacePartitioned(f(), Database, table + sfx, pc)
+          case None => CoLocated.replaceTable(f(), Database, table + sfx)
+        } }
       stamp(s, table, meta)
     }
     location(s, table, "_pairs")
@@ -126,4 +130,11 @@ object PersistedIndex {
   def appendTable(df: DataFrame, table: String, suffix: String): Unit =
     df.write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(s"`$Database`.`$table$suffix`")
+
+  /** [[appendTable]] for a hive-partitioned aux table (the band-keyed
+    * `_sigs` layout) — new files land inside the delta's key
+    * directories; resident files stay byte-identical. */
+  def appendTablePartitioned(df: DataFrame, table: String, suffix: String,
+      partCol: String): Unit =
+    CoLocated.appendPartitioned(df, Database, table + suffix, partCol)
 }
