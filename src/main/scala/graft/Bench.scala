@@ -188,6 +188,45 @@ object Bench {
       entries.map { case (k, v) => util.Json.quote(k) + ":" + v }
         .mkString("{", ",", "}")
     val medians = results.map { case (k, ts, _) => k -> median(ts) }
+    // ---- automatic warm re-probe of round-over-round movers (r18
+    // verdict #2): before overwriting the committed artifact for this
+    // SF, read its PRIOR "queries" medians; any row whose new shared
+    // median exceeds 2x its prior one is re-run twice at the end of the
+    // run and its best warm time recorded under "warm_reprobe" — the
+    // adjudication (host-I/O excursion vs real regression) ships INSIDE
+    // the same artifact instead of requiring a manual probe session.
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val defaultName =
+      if (sfName == "sf0.1") "BENCH_full.json" else s"BENCH_full.$sfName.json"
+    val basePath = sys.env.get("SPARK_GRAFT_BENCH_FULL").map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "."), defaultName))
+    val priorQueries: Map[String, Double] =
+      try {
+        if (!java.nio.file.Files.exists(basePath)) Map.empty
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(basePath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
+            """"([^"]+)":([-0-9.Ee+]+)""".r.findAllMatchIn(m.group(1))
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+          }.getOrElse(Map.empty)
+        }
+      } catch { case _: Exception => Map.empty }
+    val reprobed: Seq[(String, Double)] = medians
+      .filter { case (k, v) => priorQueries.get(k).exists(p => p > 0 && v > 2 * p) }
+      .sortBy { case (k, v) => -(v / priorQueries(k)) }
+      .take(12)
+      .map { case (k, _) =>
+        val ts = (0 until 2).map { _ =>
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(k)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        k -> ts.min
+      }
     // Disclosed by-contract-quadratic anchors, reported on their own
     // line: v04 is an exact all-pairs kernel behind a loud 2^17 refusal
     // gate (the d07/v02/v17 routing lives in its scaladoc), so its cost
@@ -216,6 +255,11 @@ object Bench {
       if (isolated.isEmpty) ""
       else ",\"isolated\":" + qmap(isolated.map { case (k, ts) => k -> median(ts) }) +
         ",\"isolated_min\":" + qmap(isolated.map { case (k, ts) => k -> ts.min })
+    val reprobe =
+      if (reprobed.isEmpty) ""
+      else ",\"warm_reprobe\":" + qmap(reprobed) +
+        ",\"warm_reprobe_prior\":" + qmap(reprobed.map { case (k, _) =>
+          k -> priorQueries(k) })
     val errs =
       if (failures.isEmpty) ""
       else failures.reverse.map { case (k, m) =>
@@ -250,7 +294,12 @@ object Bench {
         "value - anchors_s - builders_s is the steady-state serve-band total. " +
         "refusals = designed gate refusals at this SF (documented bounds, " +
         "not errors); refused rows are excluded from every total/map and " +
-        "queries_n counts runnable rows only." +
+        "queries_n counts runnable rows only. warm_reprobe = rows whose " +
+        "shared median exceeded 2x their median in the PRIOR committed " +
+        "artifact for this SF (warm_reprobe_prior), re-run twice at the " +
+        "end of the run, best warm time — the committed number stays the " +
+        "median; a warm_reprobe near the prior value adjudicates the " +
+        "excursion as host-I/O, near the new median as a real change." +
         (if (anchorReps < reps)
           s" anchor_reps=$anchorReps: anchor-class rows (the disclosed " +
             "by-contract-quadratic v04/v23) ran fewer reps than the serve " +
@@ -263,7 +312,7 @@ object Bench {
     // 2000-char cap), so whatever must always survive goes at the end of
     // the line. The complete JSON is also written to BENCH_full.json in
     // the repo so the official artifact never depends on capture size.
-    val line = s"""{"metric":"total","unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_first":$qsFirst$iso$errs$refs,"notes":$notes,"sf":${util.Json.quote(sfDir)},"reps":$reps,"anchor_reps":$anchorReps,"gc_ms_shared":$gcShared,"gc_ms_isolated":$gcIso,"heap_max_mb":$heapMaxMb,"anchors_s":$anchorsS,"builders_s":$buildersS,"value_first":$totalFirst,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_first":$qsFirst$iso$reprobe$errs$refs,"notes":$notes,"sf":${util.Json.quote(sfDir)},"reps":$reps,"anchor_reps":$anchorReps,"gc_ms_shared":$gcShared,"gc_ms_isolated":$gcIso,"heap_max_mb":$heapMaxMb,"anchors_s":$anchorsS,"builders_s":$buildersS,"value_first":$totalFirst,"value":$total}"""
     // anchor the artifact to the repo (the sbt project dir that forked
     // this JVM, exported as SPARK_GRAFT_REPO in build.sbt), not the
     // process cwd — a bench launched from elsewhere must not drop the
@@ -281,10 +330,9 @@ object Bench {
     // run at another SF would otherwise silently replace the canonical
     // artifact with numbers measured on different data — the same
     // integrity failure the failed-run quarantine exists for. Other SFs
-    // get a suffixed sibling (BENCH_full.sf0.001.json).
-    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val defaultName =
-      if (sfName == "sf0.1") "BENCH_full.json" else s"BENCH_full.$sfName.json"
+    // get a suffixed sibling (BENCH_full.sf0.001.json). sfName/
+    // defaultName/basePath are computed above the warm-reprobe block,
+    // which must read the PRIOR artifact before this write replaces it.
     // <300 chars INCLUDING sbt's "[info] " prefix: nine rounds of driver
     // artifacts carried parsed:null because this line only survives the
     // ~2000-char stdout tail if it fits AFTER everything sbt and Spark
@@ -292,10 +340,7 @@ object Bench {
     // full line and BENCH_full.json. Printed twice (before the full line
     // and again last, after spark.stop() so shutdown logging cannot trail
     // it) so at least one copy sits inside the captured tail.
-    val compact = s"""{"metric":"total","unit":"sec","value":${math.rint(total * 1000) / 1000},"value_first":${math.rint(totalFirst * 1000) / 1000},"sf":${util.Json.quote(sfDir)},"anchors_s":${math.rint(anchorsS * 1000) / 1000},"builders_s":${math.rint(buildersS * 1000) / 1000},"reps":$reps,"queries_n":${results.size},"coupled_n":${isolated.size},"errors_n":${failures.size},"refusals_n":${refusals.size},"full":${util.Json.quote(defaultName)}}"""
-    val basePath = sys.env.get("SPARK_GRAFT_BENCH_FULL").map(java.nio.file.Paths.get(_))
-      .getOrElse(java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_REPO", "."), defaultName))
+    val compact = s"""{"metric":"total","unit":"sec","value":${math.rint(total * 1000) / 1000},"value_first":${math.rint(totalFirst * 1000) / 1000},"sf":${util.Json.quote(sfDir)},"anchors_s":${math.rint(anchorsS * 1000) / 1000},"builders_s":${math.rint(buildersS * 1000) / 1000},"reps":$reps,"queries_n":${results.size},"coupled_n":${isolated.size},"errors_n":${failures.size},"refusals_n":${refusals.size},"reprobed_n":${reprobed.size},"full":${util.Json.quote(defaultName)}}"""
     val fullPath =
       if (failures.isEmpty) basePath
       else basePath.resolveSibling(

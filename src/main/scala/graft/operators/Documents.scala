@@ -692,19 +692,21 @@ object Documents {
       .select(col("doc_id"), col("simhash"), col("b.i").as("i"), col("b.k").as("k"))
 
   /** [[simhashBanded]] plus the band-bucket partition key of the
-    * persisted `_sigs` layout: `kb = i·16 + (k >> 4)` ∈ [0, 128) — 16
+    * persisted `_sigs` layout: `kb = i·8 + (k >> 5)` ∈ [0, 64) — 32
     * contiguous k-values per bucket per band. The stored signature
     * history is hive-partitioned on `kb`, so an append's resident
     * probes read ONLY the buckets the delta's band values touch
-    * (`≤ 8·|delta|` of 128 directories — zero for an empty delta)
+    * (`≤ 8·|delta|` of 64 directories — zero for an empty delta)
     * instead of scanning the whole history per append; at the 100 TB
     * posture with daily ingest this is what keeps append bookkeeping
     * delta-proportional rather than corpus-proportional (r18 verdict
-    * #6). 128 buckets balances pruning granularity against small-file
-    * count at gate scale (sf0.01 builds write ≤128 directories). */
+    * #6). 64 buckets balances pruning granularity against the
+    * per-directory commit constant (measured ~2.6 s at 128 dirs,
+    * ~1.3 s at 64 — the flat price that replaces the r18
+    * corpus-proportional resident scan). */
   private def sigBandRows(sim: DataFrame): DataFrame =
     simhashBanded(sim).withColumn("kb",
-      (col("i") * 16 + shiftrightunsigned(col("k"), 4)).cast("int"))
+      (col("i") * 8 + shiftrightunsigned(col("k"), 5)).cast("int"))
 
   /** The pair half of the d04 family build: the exhaustive banded
     * self-join over a signature frame (8×8-bit bands; pigeonhole covers
@@ -865,16 +867,16 @@ object Documents {
       // the delta's touched band buckets (≤ 128 values, driver-sized):
       // every resident probe below prunes to these partitions, so an
       // empty delta reads ZERO resident directories and a small one
-      // reads ≤ 8·|delta| of 128 — the r18 corpus-proportional
+      // reads ≤ 8·|delta| of 64 — the r18 corpus-proportional
       // bookkeeping floor made delta-proportional (r18 verdict #6)
       val kbs = diag("delta band buckets")(
         newBand.select($"kb").distinct().as[Int].collect().toSeq)
-      // the kb < 16 slice is exactly the i = 0 band rows — one row per
-      // resident doc, pruned to 16 of 128 directories (the one resident
+      // the kb < 8 slice is exactly the i = 0 band rows — one row per
+      // resident doc, pruned to 8 of 64 directories (the one resident
       // probe that stays corpus-proportional: doc_id equality has no band
       // relationship to prune on; an EMPTY delta skips it entirely)
       if (kbs.nonEmpty) diag("disjointness check")(
-      require(resident.filter($"kb" < 16).select($"doc_id")
+      require(resident.filter($"kb" < 8).select($"doc_id")
           .join(broadcast(newSigs), Seq("doc_id")).limit(1).count() == 0L,
         s"appendToSimhashIndex($table): newDocs doc_ids overlap the indexed corpus " +
           "— an append cannot re-pair resident docs; rebuild instead"))
@@ -894,7 +896,12 @@ object Documents {
       P.appendTable(cross.unionByName(simhashPairsFrom(newSigs))
         .select(col("doc_a"), col("doc_b"), col("hamming")), table, "_pairs"))
       diag("sigs append")(
-      P.appendTablePartitioned(newBand, table, "_sigs", "kb"))
+      // repartition by kb first: without it every input partition writes
+      // a file into every touched bucket directory (32 × ≤64 small
+      // files whose commit dominated the append at 24-46 s in the first
+      // r19 measurement); with it the write is ≤ one file per touched
+      // bucket
+      P.appendTablePartitioned(newBand.repartition(col("kb")), table, "_sigs", "kb"))
       diag("stamp")(P.stamp(s, table, Seq("n" -> grown._1, "fp" -> grown._2)))
     } finally newSigs.unpersist(false)
     P.location(s, table, "_pairs")

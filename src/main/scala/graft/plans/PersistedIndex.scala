@@ -91,7 +91,16 @@ object PersistedIndex {
       CoLocated.replaceTable(compute, Database, s"${table}_pairs")
       aux.foreach { case (sfx, f) =>
         auxPartition.get(sfx) match {
-          case Some(pc) => CoLocated.replacePartitioned(f(), Database, table + sfx, pc)
+          // partitioned aux tables are PATH-addressed (no catalog
+          // entry): saveAsTable's dynamic-partition commit pays ~2 s of
+          // per-partition catalog sync per write, pure overhead for an
+          // artifact every reader addresses by location anyway. The
+          // dropAndClear still runs (via clearTable) so a pre-partition
+          // layout's catalog entry and files cannot shadow the new one.
+          case Some(pc) =>
+            CoLocated.clearTable(s, Database, table + sfx)
+            f().write.mode(SaveMode.Overwrite).partitionBy(pc)
+              .parquet(location(s, table, sfx))
           case None => CoLocated.replaceTable(f(), Database, table + sfx)
         } }
       stamp(s, table, meta)
@@ -131,10 +140,12 @@ object PersistedIndex {
     df.write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(s"`$Database`.`$table$suffix`")
 
-  /** [[appendTable]] for a hive-partitioned aux table (the band-keyed
-    * `_sigs` layout) — new files land inside the delta's key
-    * directories; resident files stay byte-identical. */
+  /** [[appendTable]] for a hive-partitioned PATH-addressed aux table
+    * (the band-keyed `_sigs` layout) — new files land inside the
+    * delta's key directories; resident files stay byte-identical. Path
+    * append, not catalog append: see the ensureWith aux writer. */
   def appendTablePartitioned(df: DataFrame, table: String, suffix: String,
       partCol: String): Unit =
-    CoLocated.appendPartitioned(df, Database, table + suffix, partCol)
+    df.write.mode(SaveMode.Append).partitionBy(partCol)
+      .parquet(location(df.sparkSession, table, suffix))
 }

@@ -43,33 +43,6 @@ object CoLocated {
     s"$database.$table"
   }
 
-  /** [[replaceTable]] with a hive partition column — for artifact tables
-    * whose APPEND-time readers probe by a derivable key (the band-keyed
-    * `_sigs` layout): partition pruning turns "scan the whole resident
-    * history per append" into "read only the buckets the delta's keys
-    * touch" — zero directories for an empty delta, ≤ keys-touched for a
-    * small one. Same cross-JVM idempotence prologue as the other
-    * writers. */
-  def replacePartitioned(df: DataFrame, database: String, table: String,
-      partCol: String): String = {
-    dropAndClear(df.sparkSession, database, table)
-    df.write.mode(SaveMode.Overwrite).format("parquet")
-      .partitionBy(partCol)
-      .saveAsTable(s"`$database`.`$table`")
-    s"$database.$table"
-  }
-
-  /** Append into an existing hive-partitioned table — new files land in
-    * their key's directory, resident files untouched (the
-    * [[appendBucketed]] invariant for the partitioned layout). */
-  def appendPartitioned(df: DataFrame, database: String, table: String,
-      partCol: String): String = {
-    df.write.mode(SaveMode.Append).format("parquet")
-      .partitionBy(partCol)
-      .saveAsTable(s"`$database`.`$table`")
-    s"$database.$table"
-  }
-
   /** Resolve the managed location of `database.table` (creating the
     * database entry if this JVM has not seen it yet). Warehouse data
     * OUTLIVES the in-memory catalog — a fresh JVM finds the files but no
