@@ -94,7 +94,10 @@ object Bench {
     // derived cells + autoProbes), whose occupancy-pinned cells keep the
     // pair kernel ~linear; the pinned shape exists for oracle coverage,
     // not as the deployment recipe.
-    val anchorNames = Set("v04_cosine_neardup", "v23_semantic_multiprobe")
+    // v24 (r19) pins the coarse-SPANNING probe at the same 3x3 shape —
+    // same n²/9-by-construction cost class, same anchor treatment.
+    val anchorNames = Set("v04_cosine_neardup", "v23_semantic_multiprobe",
+      "v24_semantic_spanprobe")
     val anchorReps = math.min(reps,
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_ANCHOR_REPS", reps.toString).toInt))
     def median(xs: Seq[Double]): Double = {

@@ -336,11 +336,12 @@ object ProbeCells {
     }
     println(s"[semcurve] $sfDir n=$n truePairs=$nTrue bands: " +
       Seq("b45", "b60", "b80").map(b => s"$b=${bandTotals.getOrElse(b, 0L)}").mkString(" "))
-    def probedOf(m: Embeddings.CellModel, p: Int): org.apache.spark.sql.DataFrame = {
+    def probedOf(m: Embeddings.CellModel, p: Int,
+        span: Int): org.apache.spark.sql.DataFrame = {
       val bc = spark.sparkContext.broadcast(m)
       vecs.select(col("vec_id").cast("long"), col("v")).as[(Long, Array[Double])]
         .flatMap { case (id, v) =>
-          bc.value.probe(v, Embeddings.fpNorm(v), p).iterator.map(c => (id, c))
+          bc.value.probe(v, Embeddings.fpNorm(v), p, span).iterator.map(c => (id, c))
         }.toDF("vid", "cell")
     }
     occs.foreach { occ =>
@@ -349,9 +350,10 @@ object ProbeCells {
       val kf = (k + kc - 1) / kc
       val flatM = Embeddings.cellModel(vecs, k, iters = 3, knownN = n)
       val twoM = Embeddings.twoLevelModel(vecs, kc, kf, iters = 3, knownN = n)
-      Seq("flat" -> flatM, "two" -> twoM).foreach { case (tag, m) =>
+      Seq(("flat", flatM, 1), ("two", twoM, 1), ("twoSpan", twoM, 2))
+        .foreach { case (tag, m, span) =>
         probes.foreach { p =>
-          val probed = probedOf(m, p)
+          val probed = probedOf(m, p, span)
           val kept = truth
             .join(probed.select(col("vid").as("doc_a"), col("cell").as("ca")), "doc_a")
             .join(probed.select(col("vid").as("doc_b"), col("cell").as("cb")), "doc_b")
@@ -369,15 +371,19 @@ object ProbeCells {
             s"b45=${r("b45")} b60=${r("b60")} b80=${r("b80")}")
         }
       }
-      if (timeCosts) probes.foreach { p =>
-        // cost of the REAL prune at this grid point, two-level model (the
-        // at-scale shape); fresh cacheTag per point so nothing reuses
-        val t0 = System.nanoTime()
-        val survivors = Embeddings.semanticDedupWith(vecs, twoM, threshold = 0.45,
-          blocks = 4, probes = p, cacheTag = s"curve.$occ.$p").count()
-        println(f"[semcurve] occ=$occ k=$k cost two p=$p " +
-          f"${(System.nanoTime() - t0) / 1e9}%.2f s survivors=$survivors")
-        CacheRegistry.release(s"semdedup.assigned.curve.$occ.$p")
+      if (timeCosts) Seq(("flat", flatM, 1), ("two", twoM, 1), ("twoSpan", twoM, 2))
+        .foreach { case (tag, m, span) =>
+        probes.foreach { p =>
+          // cost of the REAL prune at this grid point; fresh cacheTag per
+          // point so nothing reuses
+          val t0 = System.nanoTime()
+          val survivors = Embeddings.semanticDedupWith(vecs, m, threshold = 0.45,
+            blocks = 4, probes = p, cacheTag = s"curve.$tag.$occ.$p",
+            coarseSpan = span).count()
+          println(f"[semcurve] occ=$occ k=$k cost $tag p=$p " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s survivors=$survivors")
+          CacheRegistry.release(s"semdedup.assigned.curve.$tag.$occ.$p")
+        }
       }
     }
     CacheRegistry.unpersistAll(blocking = true)

@@ -475,6 +475,42 @@ object Embeddings {
         }
       }
     }
+    /** Coarse-SPANNING probe: the `probes` budget split as evenly as
+      * possible over the row's top-`coarseSpan` coarse cells (earlier
+      * coarse ranks get the remainder — `coarseSpan = 2, probes = 3`
+      * probes 2 fine cells of the nearest coarse cell and 1 of the
+      * second), each coarse cell contributing the prefix of its OWN
+      * fine ranking; an empty-fine coarse cell contributes its single
+      * fallback cell (`cc · fineStride`, [[assign]]'s contract).
+      * `coarseSpan = 1` is byte-identical to [[probe]]. This is the
+      * knob that lifts the two-level probe's measured recall ceiling:
+      * fine-only probing cannot bridge a COARSE argmax boundary, so
+      * two-level recall saturates at p = 2 (~0.46-0.53 of true pairs at
+      * the derived sf1 shapes, PROBES_r19) while flat multi-probe keeps
+      * climbing; spanning probes the neighbor coarse cell's fine
+      * structure instead. Flat models ignore `coarseSpan` (every cell
+      * is already globally ranked). */
+    def probe(v: Array[Double], nrm: Double, probes: Int,
+        coarseSpan: Int): Array[Long] = {
+      require(coarseSpan > 0, s"coarseSpan must be positive, got $coarseSpan")
+      if (coarseSpan <= 1 || fineStride <= 0L) probe(v, nrm, probes)
+      else {
+        require(probes > 0, s"probes must be positive, got $probes")
+        val span = math.min(coarseSpan, probes)
+        val ccs = topCells(coarse, v, nrm, span)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var i = 0
+        while (i < ccs.length) {
+          val quota = probes / span + (if (i < probes % span) 1 else 0)
+          if (quota > 0) fine.get(ccs(i)) match {
+            case Some(fcs) if fcs.nonEmpty => out ++= topCells(fcs, v, nrm, quota)
+            case _ => out += ccs(i) * fineStride
+          }
+          i += 1
+        }
+        out.toArray
+      }
+    }
     private def topCells(cs: Array[(Long, Array[Double], Double)],
         v: Array[Double], nrm: Double, p: Int): Array[Long] = {
       val top = new TopKBuffer(p)
@@ -761,8 +797,19 @@ object Embeddings {
     val model = cellModel(vectors, k, iters, sampleTarget, nAll)
     if (model.isEmpty)
       return Seq.empty[(Long, Long)].toDF("vec_id", "cell")
+    // AUTO (probes = 0) on a two-level route also SPANS the top-2 coarse
+    // cells (r18 verdict #1, measured r19): fine-only probing saturates
+    // at p = 2 (the coarse argmax boundary is never bridged — recall
+    // ceiling 0.46/0.36 of true pairs at the sf1/sf3 derived shapes no
+    // matter how many fine cells are probed), while the SAME p = 2
+    // budget split 1 + 1 over the two nearest coarse cells reads
+    // 0.59/0.39 and keeps climbing with p (PROBES_r19 semcurve).
+    // Explicit probes >= 1 keeps the classic fine-only contract
+    // (span = 1) — the documented opt-out, and v23's pinned semantics.
+    val span = if (probes == 0 && model.fineStride > 0L) 2 else 1
     semanticDedupWith(vectors, model, threshold, blocks,
-      probes = autoProbes(model, probes), cacheTag = s"c$k.s$sampleTarget")
+      probes = autoProbes(model, probes), cacheTag = s"c$k.s$sampleTarget",
+      coarseSpan = span)
   }
 
   /** Probe-count resolution for the production semantic-dedup paths
@@ -795,9 +842,10 @@ object Embeddings {
     * distinct over vec_id, never over pairs). */
   def semanticDedupWith(vectors: DataFrame, model: CellModel,
       threshold: Double = 0.45, blocks: Int = 4, probes: Int = 1,
-      cacheTag: String = "explicit"): DataFrame = {
+      cacheTag: String = "explicit", coarseSpan: Int = 1): DataFrame = {
     require(blocks > 0, s"blocks must be positive, got $blocks")
     require(probes > 0, s"probes must be positive, got $probes")
+    require(coarseSpan > 0, s"coarseSpan must be positive, got $coarseSpan")
     val session = vectors.sparkSession
     import session.implicits._
     if (model.isEmpty)
@@ -834,13 +882,14 @@ object Embeddings {
     val B = blocks
     val t = threshold
     val P = probes
+    val S = coarseSpan
     val tagged = assignedDs.flatMap { case (id, cell, v, nrm) =>
       val b = java.lang.Math.floorMod(id, B.toLong).toInt
       // probes = 1 rides the cached assignment (cell) untouched; the
       // multi-probe path re-ranks against the broadcast model once per
       // row — the same flops the assignment pass paid
       val cs = if (P == 1) Iterator.single(cell)
-        else bc.value.probe(v, nrm, P).iterator
+        else bc.value.probe(v, nrm, P, S).iterator
       cs.flatMap { c =>
         (0 until B).iterator.map { c2 =>
           // group key = cell * B² + unordered block pair: a pair of rows
@@ -3390,6 +3439,36 @@ object Embeddings {
       },
       Some(twoLevelOracleSql(3, 3, 3, 256L, EmbeddingsBaseSelect))),
 
+    QueryDef("v24_semantic_spanprobe",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // the COARSE-boundary half of the multi-probe story (r18 verdict
+        // #1): v23 pinned fine-only probing, whose recall saturates at
+        // p = 2 because a pair split by the coarse argmax boundary can
+        // never co-probe; this row pins [[CellModel.probe]]'s SPANNING
+        // form — the same p = 2 budget split 1 + 1 over the row's two
+        // nearest coarse cells, each contributing the prefix of its own
+        // fine ranking (an empty-fine coarse cell contributes its
+        // fallback cell, assign's contract). This is what AUTO deploys
+        // on two-level routes since r19 (measured: 0.59/0.39 pair
+        // recall at the sf1/sf3 derived shapes vs fine-only's
+        // 0.46/0.32 at the SAME probe count — PROBES_r19). The oracle
+        // replays the full composition: both trainers, the coarse
+        // top-2 ranking, the per-coarse fine ranking prefixes with the
+        // fallback branch, the probed-cell pair prune (v04's native
+        // prefilter + exact fixed-point fold) and rank-1 survivor
+        // cells. COST class: pinned 3×3 shape = n²/9 by construction —
+        // anchor-classed like v04/v23; the deployment path derives
+        // occupancy-pinned cells and stays ~linear.
+        val base = based(s, dir)
+        val model = Embeddings.twoLevelModel(base, coarseCells = 3,
+          finePer = 3, iters = 3, sampleTarget = 256L)
+        Embeddings.semanticDedupWith(base, model, threshold = 0.45,
+          blocks = 4, probes = 2, cacheTag = "v24", coarseSpan = 2)
+          .orderBy($"vec_id")
+      },
+      Some(spanProbeDedupOracleSql(3, 3, 3, 256L, 2, 2, 0.45, EmbeddingsBaseSelect))),
+
     QueryDef("v23_semantic_multiprobe",
       (s: SparkSession, dir: String) => {
         import s.implicits._
@@ -3422,6 +3501,74 @@ object Embeddings {
       },
       Some(multiProbeDedupOracleSql(3, 3, 3, 256L, 2, 0.45, EmbeddingsBaseSelect)))
   )
+
+  /** v24's oracle: [[multiProbeDedupOracleSql]] with the probed-cell set
+    * replaced by [[CellModel.probe]]'s SPANNING form — the `probes`
+    * budget split as evenly as possible over each row's top-`span`
+    * coarse cells (earlier coarse ranks take the remainder), each coarse
+    * cell contributing the prefix of its OWN fine ranking, and a coarse
+    * cell that trained no fine centroids contributing its single
+    * fallback cell `cc · finePer`. The coarse top-`span` ranking is the
+    * prolog's own `pr` CTE (the full per-row coarse ranking the probe
+    * tail of [[KMeansPrologTemplate]] already computes); the per-coarse
+    * fine ranking re-ranks `ffd`'s dots PARTITIONed BY (vid, coarse).
+    * Assignment (`prim`) and the pair-prune tail are v23's verbatim —
+    * spanning changes candidate generation only, never the survivor's
+    * rank-1 cell. */
+  private[operators] def spanProbeDedupOracleSql(coarseCells: Int, finePer: Int,
+      iters: Int, sampleTarget: Long, probes: Int, span: Int, threshold: Double,
+      baseSelect: String): String = {
+    require(span >= 2, s"span >= 2 is the spanning form (got $span); use " +
+      "multiProbeDedupOracleSql for fine-only probing")
+    val eff = math.min(span, probes)
+    // quota per coarse rank r (1-based): the engine's even split with the
+    // remainder to earlier ranks
+    val quotaCase = (1 to eff).map { r =>
+      s"WHEN $r THEN ${probes / eff + (if (r - 1 < probes % eff) 1 else 0)}"
+    }.mkString("CASE crn ", " ", " ELSE 0 END")
+    val last = s"fm$iters"
+    val fp = "1000000000000.0"
+    twoLevelRankedCtes(coarseCells, finePer, iters, sampleTarget, baseSelect) +
+      s""",
+        prim AS MATERIALIZED (
+                 SELECT c.cid AS vid, COALESCE(f.cell, c.cell * $finePer) AS cell
+                 FROM corp c LEFT JOIN ffa f ON c.cid = f.vid),
+        cor$eff AS MATERIALIZED (SELECT vid, cell AS cc, rn AS crn
+                 FROM pr WHERE rn <= $eff),
+        -- per-(row, probed-coarse) fine dots and ranking: the engine's
+        -- topCells over THAT coarse cell's fine centroids
+        sfd AS MATERIALIZED (SELECT vid, crn, cell, CAST(SUM(CAST(FLOOR((bx*cx) * $fp + 0.5) AS BIGINT)) AS DOUBLE) / $fp AS dot
+               FROM (SELECT b.vec_id AS vid, t.crn, m.cell, unnest(b.v) AS bx, unnest(m.cv) AS cx
+                     FROM base b JOIN cor$eff t ON b.vec_id = t.vid
+                     JOIN $last m ON m.cc = t.cc) GROUP BY 1, 2, 3),
+        sfr AS MATERIALIZED (
+                 SELECT d.vid, d.crn, d.cell, row_number() OVER (
+                          PARTITION BY d.vid, d.crn
+                          ORDER BY d.dot / (n2.nrm * m.cn) DESC, d.cell) AS rnf
+                 FROM sfd d JOIN n2 ON d.vid = n2.vec_id JOIN $last m ON d.cell = m.cell),
+        probedS AS MATERIALIZED (
+                 SELECT vid, cell FROM sfr WHERE rnf <= $quotaCase
+                 UNION ALL
+                 -- empty-fine coarse cells probe their one fallback cell
+                 SELECT t.vid, t.cc * $finePer FROM cor$eff t
+                 WHERE ($quotaCase) > 0
+                   AND NOT EXISTS (SELECT 1 FROM $last m WHERE m.cc = t.cc)),
+        enp AS MATERIALIZED (
+                 SELECT p.vid AS cid, p.cell, b.v, n.nrm
+                 FROM probedS p JOIN base b ON p.vid = b.vec_id
+                 JOIN n2 n ON p.vid = n.vec_id),
+        dropped AS (
+                 SELECT DISTINCT c.cid AS vec_id
+                 FROM enp q JOIN enp c ON q.cell = c.cell AND q.cid < c.cid
+                 WHERE list_inner_product(q.v, c.v) + 1e-6 * (q.nrm * c.nrm + 1)
+                          >= $threshold * (q.nrm * c.nrm)
+                   AND (CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                          i -> CAST(FLOOR((q.v[i] * c.v[i]) * $fp + 0.5) AS BIGINT))) AS DOUBLE)
+                          / $fp) / (q.nrm * c.nrm) >= $threshold)
+        SELECT p.vid AS vec_id, p.cell FROM prim p
+        LEFT JOIN dropped d ON p.vid = d.vec_id
+        WHERE d.vec_id IS NULL ORDER BY vec_id"""
+  }
 
   /** v21's oracle: top-20 exact panel, candidate-pair similarities, and
     * the greedy MMR selection UNROLLED into five argmax CTEs (fixed k

@@ -923,6 +923,83 @@ class EmbeddingsSpec extends SparkSpec {
         "was just regenerated, re-seed it with a boundary-split near-dup " +
         "pair (see FIXTURES.md) — this asserts a fixture property, not " +
         "operator correctness")
+    // the r19 SPANNING knob (what AUTO deploys on two-level routes):
+    // the same p=2 budget split 1+1 over the two nearest coarse cells.
+    // Rank-1 (the assign cell) is always probed (quota(1) >= 1), so
+    // spanning structurally supersets the single-assignment relation;
+    // the deployment floor is vs FLAT — the baseline the two-level
+    // route replaced (derived-shape sf1/sf3: 0.59/0.39 vs flat p1
+    // 0.29/0.17, PROBES_r19 semcurve).
+    val spanCellsOf = vecs.as[(Long, Array[Double])].collect()
+      .map { case (id, v) => id -> two.probe(v, Embeddings.fpNorm(v), 2, 2).toSet }.toMap
+    val spanRecall = truePairs.count { case (a, b) =>
+      (spanCellsOf(a) & spanCellsOf(b)).nonEmpty }.toDouble / truePairs.size
+    info(f"two-level-span2=$spanRecall%.3f")
+    assert(spanRecall >= twoRecall,
+      "spanning probes include every rank-1 cell, so the pair relation " +
+        "can only widen vs single assignment")
+    assert(spanRecall >= flatRecall,
+      f"spanning probes=2 recall $spanRecall%.3f fell below flat " +
+        f"$flatRecall%.3f — the r19 AUTO default (probes=2, span=2 on " +
+        "two-level) no longer recovers the coarse+fine boundary cost")
+  }
+
+  test("spanning probe: span=1 is byte-identical to the classic probe; derived-shape floor holds") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    val all = vecs.as[(Long, Array[Double])].collect()
+      .map { case (id, v) => (id, v, Embeddings.fpNorm(v)) }
+    val n = all.length.toLong
+    // the DERIVED shape (r18 verdict #1's floor demand: "at a derived
+    // shape, not just the fixture"): the router's own kMeansCells count
+    // and ceil-sqrt split on this corpus — the shape semanticDedup
+    // would run, not a hand-pinned k
+    val k = Embeddings.kMeansCells(n)
+    val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+    val kf = (k + kc - 1) / kc
+    val two = Embeddings.twoLevelModel(vecs, kc, kf, iters = 3, knownN = n)
+    val flat = Embeddings.cellModel(vecs, k, iters = 3, knownN = n)
+    // span=1 delegates to the classic probe — byte-identical, every p
+    all.take(100).foreach { case (_, v, nrm) =>
+      (1 to 4).foreach { p =>
+        assert(two.probe(v, nrm, p, 1).sameElements(two.probe(v, nrm, p)),
+          "probe(v, nrm, p, 1) must equal probe(v, nrm, p)")
+        assert(flat.probe(v, nrm, p, 2).sameElements(flat.probe(v, nrm, p)),
+          "flat models have no coarse boundary — span must be a no-op")
+      }
+    }
+    // spanning budget split: p=3, span=2 probes 2 fine cells of the
+    // nearest coarse cell and 1 of the second — never more than p cells
+    all.take(100).foreach { case (_, v, nrm) =>
+      assert(two.probe(v, nrm, 3, 2).length <= 3)
+      assert(two.probe(v, nrm, 2, 2).length <= 2)
+    }
+    // derived-shape recall floor (threshold relaxed to 0.30 for pair
+    // density, as in the recall test above): AUTO's spanning p=2 must
+    // see at least the pairs the flat single-assignment baseline sees
+    val truePairs = (for {
+      i <- all.indices.iterator
+      j <- (i + 1 until all.length).iterator
+      c = Embeddings.fpCos(all(i)._2, all(j)._2, all(i)._3, all(j)._3)
+      if c >= 0.30 || c.isNaN
+    } yield (all(i)._1, all(j)._1)).toVector
+    assert(truePairs.size >= 200,
+      s"fixture must carry enough pairs at the derived shape: ${truePairs.size}")
+    def pairRecall(cellsOf: Map[Long, Set[Long]]): Double =
+      truePairs.count { case (a, b) =>
+        (cellsOf(a) & cellsOf(b)).nonEmpty }.toDouble / truePairs.size
+    val flatAssign = all.map { case (id, v, nrm) =>
+      id -> Set(flat.assign(v, nrm)) }.toMap
+    val spanProbe = all.map { case (id, v, nrm) =>
+      id -> two.probe(v, nrm, 2, 2).toSet }.toMap
+    val rFlat = pairRecall(flatAssign)
+    val rSpan = pairRecall(spanProbe)
+    info(f"derived k=$k split=${kc}x$kf flat.assign=$rFlat%.3f twoSpan.p2=$rSpan%.3f")
+    assert(rSpan >= rFlat,
+      f"derived-shape spanning recall $rSpan%.3f fell below the flat " +
+        f"single-assign baseline $rFlat%.3f — the r19 AUTO default no " +
+        "longer pays for the two-level route at the shape production runs")
   }
 
   test("v23 semantic multi-probe: nests around probes=1; recovers boundary drops; fallback probes") {
