@@ -80,7 +80,24 @@ object Sessions {
     // results, only plans.
     "spark.sql.optimizer.excludedRules" ->
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    "spark.ui.enabled" -> "false")
+    "spark.ui.enabled" -> "false") ++ extraConf
+
+  /** `SPARK_GRAFT_CONF="k=v;k2=v2"` — tuning overrides appended LAST so
+    * they win over the defaults above (builder config is last-write-
+    * wins). This is the parameterization point for scale-dependent
+    * settings (the optimization-guide rule: local defaults keep the
+    * bench comparable, a cluster submit sets its own values) and the
+    * instrument behind the r19 conf A/B probes. Tuning-only by
+    * position: CorrectnessConf is applied separately and cannot be
+    * overridden here. */
+  private def extraConf: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(';').toSeq)
+      .map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
+        kv.substring(0, i).trim -> kv.substring(i + 1).trim
+      }
 
   // codegen.cache sizing: the default 100 entries thrash once ~70
   // queries x ~8 codegen stages have run in one session, so late

@@ -1187,10 +1187,41 @@ object Embeddings {
   /** One deterministic [[kMeansModel]] codebook per subspace, trained on
     * the sliced corpus. This is the EXPENSIVE step — PqS × iters full
     * corpus passes — which is why the persisted path pays it once. */
+  /** Run `body` on its own daemon thread; the returned thunk joins and
+    * yields the result (rethrowing `body`'s failure). Spark's scheduler
+    * happily runs jobs from several driver threads at once, and local
+    * properties (job descriptions) are InheritableThreadLocal, so a
+    * forked chain keeps the caller's labeling. Used to OVERLAP
+    * independent driver-synchronous job chains (optimization-guide
+    * §2.6): each Lloyd round is a small job ending in a model-sized
+    * collect, so a sequential chain leaves the executor pool idle at
+    * every round's tail — concurrent chains back-fill it. Never changes
+    * results: forked chains share nothing but the immutable input
+    * frame. */
+  private def fork[A](name: String)(body: => A): () => A = {
+    @volatile var out: Either[Throwable, A] = null
+    val th = new Thread(() => {
+      out = try Right(body) catch { case e: Throwable => Left(e) }
+    }, name)
+    th.setDaemon(true)
+    th.start()
+    () => { th.join(); out.fold(e => throw e, identity) }
+  }
+
+  /** The 4 subspace codebooks train CONCURRENTLY (fork/join): each is an
+    * independent chain of 4 tiny jobs (seed scan + 3 Lloyd rounds) whose
+    * per-round collect round-trips dominate its wall-clock at every
+    * corpus size (rows × 16 flops per round is nothing), so running the
+    * chains sequentially paid 16 job tails back-to-back — measured 3.5 s
+    * warm at sf0.1 for v12, ~2.4 s of it this training ladder; overlapped
+    * ≈ the slowest chain. Models are byte-identical: the subspaces share
+    * no state, and each chain is the exact sequential computation. */
   private[operators] def pqTrain(base: DataFrame): Seq[Array[(Long, Array[Double], Double)]] =
     (0 until PqS).map { si =>
-      kMeansModel(base.select(col("vec_id"), slice(col("v"), si * PqD + 1, PqD).as("v")), PqK, 3)
-    }
+      fork(s"graft-pq-train-$si") {
+        kMeansModel(base.select(col("vec_id"), slice(col("v"), si * PqD + 1, PqD).as("v")), PqK, 3)
+      }
+    }.map(_())
 
   /** Encode every vector to its 4 nearest-centroid ids (one broadcast of
     * the model-sized codebooks, one map over the corpus — no shuffle).
@@ -1348,18 +1379,21 @@ object Embeddings {
       // physically invalidate meta FIRST (catalog drop alone leaves the
       // files "valid" for a fresh JVM if this build crashes mid-rewrite)
       graft.plans.CoLocated.clearTable(s, database, s"${table}_meta")
+      // the IVF half of an IVFADC index: the coarse quantizer (8 full-
+      // dim centroids) and each vector's nearest coarse cell persist
+      // WITH the codes, so cell-pruned serving (v18) reads no raw
+      // vector — the inverted-list assignment is part of the index,
+      // exactly as the codes are. Trained CONCURRENTLY with the 4
+      // subspace books (the [[fork]]/§2.6 overlap — a fifth independent
+      // Lloyd chain over the same immutable input).
+      val coarseJoin = fork("graft-pq-coarse")(kMeansModel(prepared, 8, 3))
       val models = pqTrain(prepared)
       val books = models.zipWithIndex.flatMap { case (m, si) =>
         m.map { case (cell, cv, cn) => (si, cell, cv.toSeq, cn) }
       }
       graft.plans.CoLocated.replaceTable(
         books.toDF("s", "cell", "cv", "cn"), database, s"${table}_books")
-      // the IVF half of an IVFADC index: the coarse quantizer (8 full-
-      // dim centroids) and each vector's nearest coarse cell persist
-      // WITH the codes, so cell-pruned serving (v18) reads no raw
-      // vector — the inverted-list assignment is part of the index,
-      // exactly as the codes are
-      val coarse = kMeansModel(prepared, 8, 3)
+      val coarse = coarseJoin()
       graft.plans.CoLocated.replaceTable(
         coarse.toSeq.map { case (cell, cv, cn) => (cell, cv.toSeq, cn) }
           .toDF("cell", "cv", "cn"), database, s"${table}_coarse")
