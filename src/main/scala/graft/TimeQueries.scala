@@ -33,6 +33,15 @@ object TimeQueries {
       val ts = (0 until reps).map(_ => once(name))
       val med = ts.sorted.apply(ts.length / 2)
       println(f"TIME $name%-34s median=$med%8.3f s  reps=${ts.map(t => f"$t%.3f").mkString(",")}")
+      // SPARK_GRAFT_EXECUTED_PLAN=1: print the POST-execution adaptive
+      // plan (final AQE shape — ReusedQueryStage/AQEShuffleRead visible,
+      // unlike explain() on an unexecuted frame)
+      if (sys.env.get("SPARK_GRAFT_EXECUTED_PLAN").contains("1")) {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        println(s"==== EXECUTED PLAN $name ====")
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }

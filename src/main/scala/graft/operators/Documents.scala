@@ -635,7 +635,7 @@ object Documents {
     * Factored out of the pair kernel so the incremental append
     * ([[appendToSimhashIndex]]) hashes NEW docs with the identical
     * arithmetic. */
-  private def simhashSigsOf(docs: DataFrame): DataFrame = {
+  private[graft] def simhashSigsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // Fold the per-doc majority counts DIRECTLY over the shingle array:
@@ -708,19 +708,67 @@ object Documents {
     simhashBanded(sim).withColumn("kb",
       (col("i") * 8 + shiftrightunsigned(col("k"), 5)).cast("int"))
 
-  /** The pair half of the d04 family build: the exhaustive banded
-    * self-join over a signature frame (8×8-bit bands; pigeonhole covers
+  /** The pair half of the d04 family build: exhaustive banded pairing
+    * over a signature frame (8×8-bit bands; pigeonhole covers
     * hamming ≤ 7, so ≤ 6 loses nothing vs n²). Returns the verified pair
-    * set — the build PRODUCT the persisted index stores. */
-  private def simhashPairsFrom(sim: DataFrame): DataFrame = {
-    val withBand = simhashBanded(sim)
-    withBand.as("x").join(withBand.as("y"),
-        col("x.i") === col("y.i") && col("x.k") === col("y.k") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 6)
+    * set — the build PRODUCT the persisted index stores.
+    *
+    * Shape (r19): per-bucket primitive kernel — the
+    * [[graft.operators.Multimodal.phashKernel]] design applied to the
+    * text family. The pre-r19 banded SELF-JOIN shuffled the banded
+    * stream twice (both join inputs), sorted both sides, and paid a
+    * third exchange for the `distinct()` that dropped cross-band
+    * duplicate pairs; the kernel shuffles the stream ONCE (groupByKey
+    * on (i, k)), probes each bucket at register speed over primitive
+    * long arrays, and emits a qualifying pair only in its FIRST
+    * matching band (a band j < i collides iff xor's byte j is zero —
+    * no distinct() exchange, identical pair set). d00 build portion
+    * measured 2.0 → 1.3 s warm at sf0.1; plan 3 Exchange → 1. Bucket
+    * state is primitive-sized (16 B/doc) and the quadratic probe is
+    * the SAME candidate set the join co-located per bucket anyway. */
+  private[graft] def simhashPairsFrom(sim: DataFrame): DataFrame = {
+    val s = sim.sparkSession
+    import s.implicits._
+    simhashBanded(sim).select(col("i"), col("k"), col("doc_id"), col("simhash"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Long), iter: Iterator[(Int, Long, Long, Long)]) =>
+        val bi = key._1
+        val items = iter.toArray
+        val n = items.length
+        if (n < 2) Iterator.empty
+        else {
+          val ids = new Array[Long](n)
+          val hs = new Array[Long](n)
+          var t = 0
+          while (t < n) { ids(t) = items(t)._3; hs(t) = items(t)._4; t += 1 }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var a = 0
+          while (a < n) {
+            var b = a + 1
+            while (b < n) {
+              val x = hs(a) ^ hs(b)
+              val ham = java.lang.Long.bitCount(x)
+              if (ham <= 6) {
+                var j = 0
+                var firstHere = true
+                while (firstHere && j < bi) {
+                  if (((x >>> (j * 8)) & 0xFFL) == 0L) firstHere = false
+                  j += 1
+                }
+                if (firstHere) {
+                  val (da, db) =
+                    if (ids(a) <= ids(b)) (ids(a), ids(b)) else (ids(b), ids(a))
+                  out += ((da, db, ham.toLong))
+                }
+              }
+              b += 1
+            }
+            a += 1
+          }
+          out.iterator
+        }
+      }.toDF("doc_a", "doc_b", "hamming")
   }
 
   /** Shared build body for the dir-keyed and frame-keyed ensures. */
@@ -1038,16 +1086,34 @@ object Documents {
         val sigCols = (0 until H).map(h => min(xxhash64($"h0", lit(h))).as(s"mh$h"))
         val sig = ex.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
         // band keys: hash of each band's rows; docs sharing any band key
-        // become candidate pairs
+        // become candidate pairs. Candidates are GROUP-EMITTED (collect
+        // the bucket's doc_ids, emit ordered pairs in place) rather than
+        // self-joined: the self-join form recomputed the ENTIRE 64-min
+        // signature pipeline for each join side — AQE never
+        // stage-reused the two identical aggregation subtrees (executed
+        // plan probed r19: two HashAggregate(min×64) stages, zero
+        // ReusedQueryStage) — and paid a SortMergeJoin (2 sorts + 2
+        // exchanges) for the pair emission on top. One signature pass +
+        // one (band, key) exchange produce the IDENTICAL candidate set:
+        // a bucket of ids yields exactly its ordered pairs, same as the
+        // equi-self-join's doc_id< condition. Per-bucket state is the
+        // near-dup cluster sharing the band key (the set whose pairs
+        // the join emitted quadratically anyway); d03 warm median
+        // 1.77 -> 1.37 s at sf0.1 (the remaining cost is the shared
+        // shingle explode + signature aggregation itself).
         val bandStructs = (0 until bands).map(b =>
           struct(lit(b).as("band"),
             xxhash64(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key")))
         val bk = sig.select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
           .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
-        val cand = bk.as("x").join(bk.as("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        val cand = bk.groupBy($"band", $"key")
+          .agg(sort_array(collect_list($"doc_id")).as("ids"))
+          .filter(size($"ids") >= 2)
+          .select(explode(expr(
+            "flatten(transform(ids, (a, i) -> " +
+              "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+              "b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+          .select($"p.doc_a", $"p.doc_b")
           .distinct()
         // verification pass: exact Jaccard on candidates only → precision 1
         cand

@@ -33,6 +33,35 @@ class DocumentsSpec extends SparkSpec {
     assert(sim.subsetOf(exact), s"non-neardup pairs leaked: ${sim.diff(exact)}")
   }
 
+  test("simhash pair kernel equals the banded self-join + distinct reference form") {
+    // r19 optimization gate: simhashPairsFrom switched from a banded
+    // self-join + distinct() (3 exchanges) to a per-bucket primitive
+    // kernel emitting each pair in its FIRST matching band (1 exchange).
+    // The pair SET with hammings must be identical to the reference
+    // join form — this replays the pre-r19 form inline and compares.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sigs = Documents.simhashSigsOf(docs)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 8).map(i =>
+        struct(lit(i).as("i"),
+          shiftrightunsigned(col("simhash"), i * 8).bitwiseAND(lit(0xFFL)).as("k"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.i").as("i"), col("b.k").as("k"))
+    val ref = banded.as("x").join(banded.as("y"),
+        col("x.i") === col("y.i") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val kernel = Documents.simhashPairsFrom(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ref.nonEmpty, "fixture corpus plants simhash near-dups")
+    assert(kernel == ref,
+      s"kernel minus ref: ${kernel.diff(ref)}; ref minus kernel: ${ref.diff(kernel)}")
+  }
+
   test("d01 exact dedup: one fingerprint per distinct text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val distinctTexts = docs.select("text").distinct().count()
