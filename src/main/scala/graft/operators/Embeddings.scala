@@ -376,13 +376,23 @@ object Embeddings {
     val session = vectors.sparkSession
     import session.implicits._
     val src = vectors.select(col("vec_id").cast("long"), col("v"))
-    val filtered =
-      if (sampleTarget > 0L) {
-        val n = if (knownN >= 0L) knownN else src.select(col("vec_id")).count()
-        src.filter(graft.QueryHelpers.knuthHash(col("vec_id")) <
-          lit(trainSampleCut(n, sampleTarget)))
-      } else src
-    val base = filtered.as[(Long, Array[Double])]
+    if (sampleTarget > 0L) {
+      // SAMPLED route (r19): the sample is bounded at ~sampleTarget rows
+      // BY CONTRACT (the hash-prefix cut), i.e. model-building input, not
+      // data — collect it once and run the identical Lloyd fold locally
+      // ([[lloydLocal]]). The distributed form paid 1 + iters tiny jobs
+      // whose shuffle/collect round-trips dominate at EVERY corpus size
+      // (each round's work is sample × cells flops); one collect replaces
+      // them all. Results are bit-identical — seeding order, argmax
+      // arithmetic and the DECIMAL(38,12) mean are the same code or an
+      // exact replica (spec-gated against the distributed form; the
+      // sf0.01 oracle gate re-verifies every consumer).
+      val n = if (knownN >= 0L) knownN else src.select(col("vec_id")).count()
+      val sample = src.filter(graft.QueryHelpers.knuthHash(col("vec_id")) <
+        lit(trainSampleCut(n, sampleTarget))).as[(Long, Array[Double])].collect()
+      return lloydLocal(sample, k, iters)
+    }
+    val base = src.as[(Long, Array[Double])]
     val seeds = base.toDF("vec_id", "v")
       .withColumn("_r", graft.QueryHelpers.knuthHash($"vec_id"))
       .orderBy($"_r", $"vec_id").limit(k)
@@ -415,6 +425,120 @@ object Embeddings {
         means.get(cell).map(m => (cell, m, fpNorm(m))).getOrElse((cell, cv, cn))
       }
       bc.destroy()
+      round += 1
+    }
+    model
+  }
+
+  /** Exact scala replica of [[graft.QueryHelpers.knuthHash]]'s column
+    * form: `pmod(id, 1048573) * 2654435761 % 1000000007`, all i64 (the
+    * product is < 2.8e15 — no overflow). One constant source with the
+    * column form (spec-gated equal) so the local trainer's seed order
+    * cannot drift from the distributed one. */
+  private[operators] def knuthHashLong(id: Long): Long = {
+    val m = 1048573L
+    ((id % m + m) % m) * 2654435761L % 1000000007L
+  }
+
+  /** The distributed trainer's per-(cell, pos) mean, replicated exactly:
+    * Spark computes `sum(cast(x as DECIMAL(38,12))).cast(double) /
+    * count`. Cast double→decimal(38,12) is `BigDecimal.valueOf(x)`
+    * (shortest decimal form) rounded HALF_UP to scale 12; the sum is
+    * exact decimal addition (order-independent — what makes the chunked
+    * parallel fold below deterministic); decimal→double is
+    * `BigDecimal.doubleValue` (correctly rounded); the divide is IEEE
+    * double division. */
+  private def sqlDecimalMean(sum: java.math.BigDecimal, count: Long): Double =
+    sum.doubleValue() / count.toDouble
+
+  private def toDecimal12(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP)
+
+  /** Driver-local [[kMeansModel]] over an already-collected sample —
+    * the SAMPLED trainer route. Bit-identical to the distributed form:
+    * same seed order (knuth hash asc, vec_id asc, take k), same
+    * [[argmaxCell]] assignment, same DECIMAL(38,12) HALF_UP mean
+    * ([[sqlDecimalMean]]), same keep-old-centroid rule for emptied
+    * cells. The fold is chunk-parallel over [[fork]] threads; exact
+    * decimal addition and per-row argmax make the result independent of
+    * chunking. Cost: iters × sample × k cosines on local cores — the
+    * same flops the executors did, minus 1 + iters job round-trips. */
+  private[operators] def lloydLocal(sample: Array[(Long, Array[Double])], k: Int,
+      iters: Int): Array[(Long, Array[Double], Double)] = {
+    val seeds = sample.sortBy { case (id, _) => (knuthHashLong(id), id) }.take(k)
+    var model = seeds.zipWithIndex.map { case ((_, v), i) => (i.toLong, v, fpNorm(v)) }
+    if (model.isEmpty) return model
+    val nrms = sample.map(r => fpNorm(r._2))
+    val nThreads = math.max(1, math.min(Runtime.getRuntime.availableProcessors(), 16))
+    val chunk = math.max(1, (sample.length + nThreads - 1) / nThreads)
+    var round = 0
+    while (round < iters) {
+      val cs = model
+      // per-chunk partial state: (cell, pos) -> (exact decimal sum, count)
+      val parts = sample.indices.by(chunk).map { lo =>
+        val hi = math.min(lo + chunk, sample.length)
+        fork(s"graft-lloyd-$lo") {
+          val acc = new java.util.HashMap[Long, (Array[java.math.BigDecimal], Array[Long])]()
+          var r = lo
+          while (r < hi) {
+            val v = sample(r)._2
+            val cell = argmaxCell(cs, v, nrms(r))
+            var st = acc.get(cell)
+            if (st == null) {
+              st = (Array.fill(v.length)(java.math.BigDecimal.ZERO), new Array[Long](v.length))
+              acc.put(cell, st)
+            } else if (st._1.length < v.length) {
+              // ragged rows: grow to the longest seen (positions beyond a
+              // row's length simply receive no contribution, exactly like
+              // posexplode)
+              st = (st._1.padTo(v.length, java.math.BigDecimal.ZERO),
+                st._2.padTo(v.length, 0L))
+              acc.put(cell, st)
+            }
+            var p = 0
+            while (p < v.length) {
+              st._1(p) = st._1(p).add(toDecimal12(v(p)))
+              st._2(p) += 1L
+              p += 1
+            }
+            r += 1
+          }
+          acc
+        }
+      }.map(_())
+      val merged = new java.util.HashMap[Long, (Array[java.math.BigDecimal], Array[Long])]()
+      parts.foreach { acc =>
+        acc.forEach { (cell, st) =>
+          val cur = merged.get(cell)
+          if (cur == null) merged.put(cell, st)
+          else {
+            val len = math.max(cur._1.length, st._1.length)
+            val sums = new Array[java.math.BigDecimal](len)
+            val cnts = new Array[Long](len)
+            var p = 0
+            while (p < len) {
+              val a = if (p < cur._1.length) cur._1(p) else java.math.BigDecimal.ZERO
+              val b = if (p < st._1.length) st._1(p) else java.math.BigDecimal.ZERO
+              sums(p) = a.add(b)
+              cnts(p) = (if (p < cur._2.length) cur._2(p) else 0L) +
+                (if (p < st._2.length) st._2(p) else 0L)
+              p += 1
+            }
+            merged.put(cell, (sums, cnts))
+          }
+        }
+      }
+      model = model.map { case (cell, cv, cn) =>
+        val st = merged.get(cell)
+        if (st == null) (cell, cv, cn)
+        else {
+          // positions with zero count (possible only on ragged rows)
+          // don't exist in the distributed collect_list either
+          val m = st._1.indices.filter(st._2(_) > 0L)
+            .map(p => sqlDecimalMean(st._1(p), st._2(p))).toArray
+          (cell, m, fpNorm(m))
+        }
+      }
       round += 1
     }
     model
@@ -551,16 +675,20 @@ object Embeddings {
     val session = vectors.sparkSession
     import session.implicits._
     val src = vectors.select(col("vec_id").cast("long"), col("v"))
-    val sampDf =
-      if (sampleTarget > 0L) {
-        val n = if (knownN >= 0L) knownN else src.select(col("vec_id")).count()
-        src.filter(graft.QueryHelpers.knuthHash(col("vec_id")) <
-          lit(trainSampleCut(n, sampleTarget)))
-      } else src
+    if (sampleTarget > 0L) {
+      // SAMPLED route (r19): one collect of the contract-bounded sample,
+      // then coarse + fine Lloyd run locally ([[lloydLocal]] /
+      // [[twoLevelLocal]]) — the kMeansModel rationale; the distributed
+      // form below paid ~2 + 2·(1 + iters) tiny jobs per training.
+      val n = if (knownN >= 0L) knownN else src.select(col("vec_id")).count()
+      val sample = src.filter(graft.QueryHelpers.knuthHash(col("vec_id")) <
+        lit(trainSampleCut(n, sampleTarget))).as[(Long, Array[Double])].collect()
+      return twoLevelLocal(sample, coarseCells, finePer, iters)
+    }
     // the sample feeds the coarse trainer (1 + iters scans), the seed
     // rank and each fine round — checkpoint the bounded frame so none
     // of those re-scan the corpus-sized input
-    val samp = sampDf.localCheckpoint()
+    val samp = src.localCheckpoint()
     try {
       val coarse = kMeansModel(samp, coarseCells, iters)
       if (coarse.isEmpty)
@@ -621,6 +749,106 @@ object Embeddings {
         new CellModel(coarse, fine, stride)
       } finally sampAssigned.unpersist(false)
     } finally samp.unpersist(false)
+  }
+
+  /** Driver-local [[twoLevelModel]] over an already-collected sample —
+    * bit-identical replay of the distributed form: coarse =
+    * [[lloydLocal]]; assignment = the same [[argmaxCell]]; fine seeds =
+    * per-coarse (knuth hash asc, vec_id asc) rank ≤ finePer (the
+    * distributed window's exact order); fine rounds = the same
+    * argmax-within-coarse + DECIMAL(38,12) mean fold, rows whose coarse
+    * cell trained no seeds contributing nothing (the flatMap's
+    * Iterator.empty branch). */
+  private[operators] def twoLevelLocal(sample: Array[(Long, Array[Double])],
+      coarseCells: Int, finePer: Int, iters: Int): CellModel = {
+    val stride = finePer.toLong
+    val coarse = lloydLocal(sample, coarseCells, iters)
+    if (coarse.isEmpty) return new CellModel(coarse, Map.empty, stride)
+    val nrms = sample.map(r => fpNorm(r._2))
+    val ccOf = sample.indices.map(i => argmaxCell(coarse, sample(i)._2, nrms(i))).toArray
+    var fine: Map[Long, Array[(Long, Array[Double], Double)]] =
+      sample.indices.groupBy(ccOf(_)).map { case (cc, idxs) =>
+        cc -> idxs.sortBy(i => (knuthHashLong(sample(i)._1), sample(i)._1))
+          .take(finePer).zipWithIndex.map { case (i, fi) =>
+            (cc * stride + fi, sample(i)._2, fpNorm(sample(i)._2))
+          }.toArray
+      }
+    var round = 0
+    while (round < iters) {
+      val fm = fine
+      // same chunk-parallel exact fold as lloydLocal, keyed by the
+      // GLOBAL fine cell id
+      val nThreads = math.max(1, math.min(Runtime.getRuntime.availableProcessors(), 16))
+      val chunk = math.max(1, (sample.length + nThreads - 1) / nThreads)
+      val parts = sample.indices.by(chunk).map { lo =>
+        val hi = math.min(lo + chunk, sample.length)
+        fork(s"graft-fine-$lo") {
+          val acc = new java.util.HashMap[Long, (Array[java.math.BigDecimal], Array[Long])]()
+          var r = lo
+          while (r < hi) {
+            fm.get(ccOf(r)) match {
+              case Some(fcs) if fcs.nonEmpty =>
+                val v = sample(r)._2
+                val cell = argmaxCell(fcs, v, nrms(r))
+                var st = acc.get(cell)
+                if (st == null) {
+                  st = (Array.fill(v.length)(java.math.BigDecimal.ZERO),
+                    new Array[Long](v.length))
+                  acc.put(cell, st)
+                } else if (st._1.length < v.length) {
+                  st = (st._1.padTo(v.length, java.math.BigDecimal.ZERO),
+                    st._2.padTo(v.length, 0L))
+                  acc.put(cell, st)
+                }
+                var p = 0
+                while (p < v.length) {
+                  st._1(p) = st._1(p).add(toDecimal12(v(p)))
+                  st._2(p) += 1L
+                  p += 1
+                }
+              case _ => ()
+            }
+            r += 1
+          }
+          acc
+        }
+      }.map(_())
+      val merged = new java.util.HashMap[Long, (Array[java.math.BigDecimal], Array[Long])]()
+      parts.foreach { acc =>
+        acc.forEach { (cell, st) =>
+          val cur = merged.get(cell)
+          if (cur == null) merged.put(cell, st)
+          else {
+            val len = math.max(cur._1.length, st._1.length)
+            val sums = new Array[java.math.BigDecimal](len)
+            val cnts = new Array[Long](len)
+            var p = 0
+            while (p < len) {
+              val a = if (p < cur._1.length) cur._1(p) else java.math.BigDecimal.ZERO
+              val b = if (p < st._1.length) st._1(p) else java.math.BigDecimal.ZERO
+              sums(p) = a.add(b)
+              cnts(p) = (if (p < cur._2.length) cur._2(p) else 0L) +
+                (if (p < st._2.length) st._2(p) else 0L)
+              p += 1
+            }
+            merged.put(cell, (sums, cnts))
+          }
+        }
+      }
+      fine = fine.map { case (cc, fcs) =>
+        cc -> fcs.map { case (g, cv, cn) =>
+          val st = merged.get(g)
+          if (st == null) (g, cv, cn)
+          else {
+            val m = st._1.indices.filter(st._2(_) > 0L)
+              .map(p => sqlDecimalMean(st._1(p), st._2(p))).toArray
+            (g, m, fpNorm(m))
+          }
+        }
+      }
+      round += 1
+    }
+    new CellModel(coarse, fine, stride)
   }
 
   /** The one router every derived-cells consumer calls: flat sampled

@@ -804,6 +804,38 @@ class EmbeddingsSpec extends SparkSpec {
       "a 128-row sample must diverge from the 500-row trainer on this fixture")
   }
 
+  test("two-level LOCAL trainer (r19 sampled route) == distributed two-level trainer") {
+    // sampleTarget >= n makes the cut a no-op, so the r19 driver-local
+    // sampled route must reproduce the distributed (sampleTarget = 0)
+    // trainer bit-for-bit: coarse array, every fine centroid, stride.
+    // This plus the flat "sampled trainer" spec gates the whole
+    // lloydLocal/twoLevelLocal arithmetic replica (decimal(38,12)
+    // HALF_UP means, knuth seed order, argmax ties).
+    def key(m: Array[(Long, Array[Double], Double)]) =
+      m.map { case (c, v, n) => (c, v.toSeq, n) }.toSeq
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    val local = Embeddings.twoLevelModel(vecs, coarseCells = 3, finePer = 3,
+      iters = 2, sampleTarget = 500L)
+    val dist = Embeddings.twoLevelModel(vecs, coarseCells = 3, finePer = 3,
+      iters = 2, sampleTarget = 0L)
+    assert(local.fineStride == dist.fineStride)
+    assert(key(local.coarse) == key(dist.coarse), "coarse models must be identical")
+    assert(local.fine.keySet == dist.fine.keySet, "fine cell coverage must match")
+    local.fine.keySet.foreach { cc =>
+      assert(key(local.fine(cc)) == key(dist.fine(cc)), s"fine centroids differ at cc=$cc")
+    }
+    // knuthHashLong is the column hash, including negative ids
+    import org.apache.spark.sql.functions._
+    val ids = Seq(-1048574L, -1L, 0L, 1L, 42L, 1048572L, 1048573L, Long.MaxValue, Long.MinValue + 1)
+    import spark.implicits._
+    val viaSql = ids.toDF("id")
+      .select(graft.QueryHelpers.knuthHash(col("id")).as("h"))
+      .as[Long].collect().toSeq
+    assert(ids.map(Embeddings.knuthHashLong) == viaSql,
+      "knuthHashLong must replicate the column form exactly")
+  }
+
   test("cellModel: flat below the cap, coarse→fine above it, deterministic fallback") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
