@@ -236,46 +236,62 @@ object Documents {
     // bounds keep every product in-range: (avail mod w)·10⁹ < w·10⁹ ≤
     // 1e15, avail·(W − cumW) ≤ 1e12·(sources·1e6), R*·w ≤ budget·1e6 —
     // all under the i64 edge for any realistic deployment (1e12 tokens
-    // per source, million-scale weights); ANSI throws loudly beyond
+    // per source, million-scale weights); rejected loudly beyond.
+    //
+    // Computed DRIVER-LOCALLY (r19): the input is SOURCE-level metadata,
+    // tiny by contract — the pre-r19 form already collected its bounds
+    // row but then ran the water-filling as a single-partition Window +
+    // agg + crossJoin (2 extra actions and a WindowExec warning per
+    // call). One collect computes the identical closed-form prefix rule
+    // in pure i64 arithmetic (property-gated against the iterative
+    // reference in DocumentsSpec); string ties order by UTF-8 bytes,
+    // exactly Spark's string comparison.
     require(budget >= 0 && budget <= 1000000000000L,
       s"budget out of range [0, 1e12]: $budget")
-    import org.apache.spark.sql.functions._
-    // one action over the SOURCE-LEVEL frame (tiny by contract)
-    val lim = perSource.agg(min(col("w")), max(col("w")), min(col("avail")),
-      max(col("avail")), sum(col("w"))).collect()(0)
-    if (!lim.isNullAt(0)) {
-      require(lim.getLong(0) >= 1 && lim.getLong(1) <= 1000000L,
-        s"weights out of range [1, 1e6]: ${lim.getLong(0)}..${lim.getLong(1)}")
-      require(lim.getLong(2) >= 0 && lim.getLong(3) <= 1000000000000L,
-        s"avail out of range [0, 1e12]: ${lim.getLong(2)}..${lim.getLong(3)}")
-      // the per-bound ranges above admit instances the i64 arithmetic
-      // cannot serve: the saturation test's avail·(W − cumW) term is
-      // bounded by max(avail)·sum(w), which crosses the i64 edge once
-      // total weight mass passes ~9.2e6 at max avail. Reject HERE with
-      // a named message instead of letting ANSI throw mid-plan.
-      require(BigInt(lim.getLong(3)) * BigInt(lim.getLong(4)) <= Long.MaxValue,
-        s"max(avail) * sum(w) = ${lim.getLong(3)} * ${lim.getLong(4)} " +
+    val s = perSource.sparkSession
+    import s.implicits._
+    val rows = perSource.select(col("source"), col("w"), col("avail"))
+      .as[(String, Long, Long)].collect()
+    if (rows.nonEmpty) {
+      val minW = rows.iterator.map(_._2).min
+      val maxW = rows.iterator.map(_._2).max
+      val minA = rows.iterator.map(_._3).min
+      val maxA = rows.iterator.map(_._3).max
+      val sumW = rows.iterator.map(r => BigInt(r._2)).sum
+      require(minW >= 1 && maxW <= 1000000L,
+        s"weights out of range [1, 1e6]: $minW..$maxW")
+      require(minA >= 0 && maxA <= 1000000000000L,
+        s"avail out of range [0, 1e12]: $minA..$maxA")
+      require(BigInt(maxA) * sumW <= Long.MaxValue,
+        s"max(avail) * sum(w) = $maxA * $sumW " +
           "overflows the i64 saturation arithmetic; shrink weights or avail")
     }
-    val wOrd = Window.orderBy(
-        expr("avail div w"), expr("((avail % w) * 1000000000) div w"), col("source"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val flagged = perSource
-      .withColumn("_cum_a", coalesce(sum(col("avail")).over(wOrd), lit(0L)))
-      .withColumn("_cum_w", coalesce(sum(col("w")).over(wOrd), lit(0L)))
-      .withColumn("_wtot", sum(col("w")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("_sat",
-        col("avail") * (col("_wtot") - col("_cum_w")) <=
-          (lit(budget) - col("_cum_a")) * col("w"))
-    val bound = flagged.agg(
-      (lit(budget) - coalesce(sum(when(col("_sat"), col("avail"))), lit(0L))).as("_rstar"),
-      coalesce(sum(when(!col("_sat"), col("w"))), lit(0L)).as("_wstar"))
-    flagged.crossJoin(broadcast(bound))
-      .withColumn("alloc",
-        when(col("_sat"), col("avail"))
-          .otherwise(expr("(_rstar * w) div _wstar")))
-      .drop("_cum_a", "_cum_w", "_wtot", "_sat", "_rstar", "_wstar")
+    def utf8Cmp(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val ord = rows.sortWith { case ((sa, wa, aa), (sb, wb, ab)) =>
+      val k1 = aa / wa - ab / wb
+      if (k1 != 0L) k1 < 0L
+      else {
+        val k2 = ((aa % wa) * 1000000000L) / wa - ((ab % wb) * 1000000000L) / wb
+        if (k2 != 0L) k2 < 0L else utf8Cmp(sa, sb) < 0
+      }
+    }
+    val wtot = ord.iterator.map(_._2).sum
+    var cumA = 0L
+    var cumW = 0L
+    val flagged = ord.map { case (src, w, avail) =>
+      val sat = avail * (wtot - cumW) <= (budget - cumA) * w
+      cumA += avail
+      cumW += w
+      (src, w, avail, sat)
+    }
+    val rstar = budget - flagged.iterator.filter(_._4).map(_._3).sum
+    val wstar = flagged.iterator.filterNot(_._4).map(_._2).sum
+    flagged.toSeq.map { case (src, w, avail, sat) =>
+      (src, w, avail, if (sat) avail else rstar * w / wstar)
+    }.toDF("source", "w", "avail", "alloc")
   }
 
   /** Misra-Gries frequent-items sketch over a token stream — the
@@ -494,18 +510,37 @@ object Documents {
         out.result()
       }
       .toDF("doc_id", "pos", "sh", "sp")
-    // one row per duplicated span: its keeper (min doc_id) — grouping on
-    // the span TEXT alongside the hash is the exact-verify step (hash
-    // collisions cannot cut an innocent span)
-    val dup = occ.select($"doc_id", $"sh", $"sp").distinct()
-      .groupBy($"sh", $"sp")
-      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("ndocs"))
-      .filter($"ndocs" >= 2)
-      .select($"sh", $"sp", $"keeper")
-    // token positions to drop, merged across overlapping occurrences
-    val drops = occ.join(dup, Seq("sh", "sp"))
-      .filter($"doc_id" =!= $"keeper")
-      .select($"doc_id", explode(sequence($"pos", $"pos" + lit(k - 1))).as("j"))
+    // token positions to drop: per (sh, sp) bucket — grouping on the
+    // span TEXT alongside the hash is the exact-verify step (hash
+    // collisions cannot cut an innocent span) — the keeper is the min
+    // doc_id and every occurrence in another doc loses positions
+    // pos..pos+k-1. GROUP-EMITTED in one pass (r19): the declarative
+    // form computed the occurrence kernel THREE times (the dup
+    // aggregate, the occ side of the join, and dup's subtree inside it
+    // — self-join subtrees never stage-reuse, the d03 finding) and paid
+    // join + distinct exchanges; one groupByKey emits the identical
+    // (doc_id, j) set directly.
+    val kk = k
+    val drops = occ.select($"sh", $"sp", $"doc_id", $"pos")
+      .as[(Long, String, Long, Int)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (_, iter) =>
+        val items = iter.toArray
+        var keeper = Long.MaxValue
+        var i = 0
+        while (i < items.length) {
+          if (items(i)._3 < keeper) keeper = items(i)._3
+          i += 1
+        }
+        // >= 2 DISTINCT docs share the span (d08's dup rule — a span
+        // repeated only within one doc cuts nothing)
+        val hasOther = items.exists(_._3 != keeper)
+        if (!hasOther) Iterator.empty
+        else items.iterator.filter(_._3 != keeper).flatMap { t =>
+          (t._4 until t._4 + kk).iterator.map(j => (t._3, j))
+        }
+      }
+      .toDF("doc_id", "j")
       .groupBy($"doc_id").agg(collect_set($"j").as("_js"))
     docs.join(drops.withColumnRenamed("doc_id", "_cut_id"),
         col("doc_id").cast("long") === col("_cut_id"), "left")
@@ -1792,10 +1827,20 @@ object Documents {
             seen.iterator.map { case (h, sp) => (id, h, sp) }
           }
           .toDF("doc_id", "sh", "sp")
-        spans.as("a").join(spans.as("b"),
-            col("a.sh") === col("b.sh") && col("a.sp") === col("b.sp") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        // GROUP-EMITTED pairs (r19, the d03 rewrite): the self-join form
+        // ran the span kernel on BOTH join sides (never stage-reused)
+        // and shuffled the span text twice; one (sh, sp) exchange emits
+        // the identical ordered pairs in place (spans are per-doc
+        // distinct, so a bucket's ids are unique and each pair counts
+        // one shared span per bucket — exactly the join's row per pair).
+        spans.groupBy($"sh", $"sp")
+          .agg(sort_array(collect_list($"doc_id")).as("ids"))
+          .filter(size($"ids") >= 2)
+          .select(explode(expr(
+            "flatten(transform(ids, (a, i) -> " +
+              "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+              "b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+          .groupBy($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
           .agg(count(lit(1)).as("n_spans"))
           .orderBy($"doc_a", $"doc_b")
       },
