@@ -418,9 +418,12 @@ object Embeddings {
         .select($"cell", posexplode($"v").as(Seq("pos", "x")))
         .groupBy($"cell", $"pos")
         .agg((sum($"x".cast(DecimalType38)).cast("double") / count(lit(1))).as("m"))
-        .groupBy($"cell")
-        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
-        .as[(Long, Array[Double])].collect().toMap
+        // model-sized from here (cells × dims rows): collect and
+        // assemble the arrays driver-side instead of paying a second
+        // exchange + collect_list stage per round — same (cell, pos, m)
+        // values, same pos order (r19)
+        .as[(Long, Int, Double)].collect()
+        .groupBy(_._1).map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3) }
       model = model.map { case (cell, cv, cn) =>
         means.get(cell).map(m => (cell, m, fpNorm(m))).getOrElse((cell, cv, cn))
       }
@@ -735,9 +738,10 @@ object Embeddings {
             .select($"cell", posexplode($"v").as(Seq("pos", "x")))
             .groupBy($"cell", $"pos")
             .agg((sum($"x".cast(DecimalType38)).cast("double") / count(lit(1))).as("m"))
-            .groupBy($"cell")
-            .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
-            .as[(Long, Array[Double])].collect().toMap
+            // model-sized: driver-side array assembly (kMeansModel's
+            // r19 treatment — one exchange per round, not two)
+            .as[(Long, Int, Double)].collect()
+            .groupBy(_._1).map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3) }
           fine = fine.map { case (cc, fcs) =>
             cc -> fcs.map { case (g, cv, cn) =>
               means.get(g).map(m => (g, m, fpNorm(m))).getOrElse((g, cv, cn))
@@ -3042,19 +3046,22 @@ object Embeddings {
           .select($"label", posexplode($"v").as(Seq("pos", "x")))
           .groupBy($"label", $"pos")
           .agg((sum($"x".cast(DecimalType38)).cast("double") / count(lit(1))).as("m"))
-        val cents = comps.groupBy($"label")
-          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
-        val cnorm = comps.groupBy($"label")
-          .agg(sqrt(sum(floor(($"m" * $"m") * lit(ScaleD) + lit(0.5))).cast("double") / lit(ScaleD))
-            .as("cn"))
         // ascending label order ⇒ strict-greater replacement (under SQL
         // ordering, where NaN ranks first) keeps the smallest cell on
         // cosine ties — identical to the declarative row_number ordering
         // (ccos DESC, cell ASC) the oracle uses, including for zero-norm
-        // vectors whose every cell cosine is 0/0 = NaN
-        val model = cents.join(cnorm, "label")
-          .select($"label", $"cv", $"cn").as[(Long, Array[Double], Double)]
-          .collect().sortBy(_._1)
+        // vectors whose every cell cosine is 0/0 = NaN.
+        // comps is collected ONCE (label × dims rows — the model) and cv
+        // / cn assemble driver-side: the pre-r19 cents ⋈ cnorm form
+        // aggregated the comps subtree TWICE (self-referencing subtrees
+        // never stage-reuse — the d03 finding) and paid a join for a
+        // model-sized result. cn replays the identical arithmetic:
+        // sqrt(Σ floor(m·m·1e12 + 0.5) / 1e12) IS fpNorm.
+        val model = comps.as[(Long, Int, Double)].collect()
+          .groupBy(_._1).map { case (label, rows) =>
+            val cv = rows.sortBy(_._2).map(_._3)
+            (label, cv, fpNorm(cv))
+          }.toArray.sortBy(_._1)
         val bcModel = s.sparkContext.broadcast(model)
         val cells = base.select($"vec_id", $"v", $"nrm").as[(Long, Array[Double], Double)]
           .mapPartitions { it =>
@@ -3077,7 +3084,13 @@ object Embeddings {
         val corpus = withCell
           .select($"cell", $"vec_id".as("neighbor_id"), $"v".as("nv"), $"nrm".as("nn"))
         val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-        queries.join(corpus, Seq("cell")).filter($"query_id" =!= $"neighbor_id")
+        // the query panel is 10 rows by construction — broadcast it so
+        // the serve join is a map-side BHJ over ONE corpus pass instead
+        // of a SortMergeJoin that exchanges + sorts both sides (and
+        // recomputes the corpus subtree for the panel side; the panel
+        // side's recomputation under broadcast is a vec_id < 10
+        // pushed-down scan)
+        broadcast(queries).join(corpus, Seq("cell")).filter($"query_id" =!= $"neighbor_id")
           .withColumn("cosine", expr(dotSql("qv", "nv")) / ($"qn" * $"nn"))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter($"rnk" <= 3)

@@ -757,7 +757,11 @@ object Relational {
         // Oracle spells the same relation as the canonical orderkey
         // self-join with part_a < part_b — checking the pair GENERATOR
         // (sorted-set combinations), not just the counts.
-        tbl(s, dir, "lineitem").select($"l_orderkey", $"l_partkey").distinct()
+        // no pre-distinct: collect_set dedups per order (including in
+        // its map-side partial), so the former distinct() paid a whole
+        // extra (orderkey, partkey) exchange for nothing — 3 Exchange
+        // → 2 (r19), identical pair sets
+        tbl(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
           .groupBy($"l_orderkey")
           .agg(sort_array(collect_set($"l_partkey")).as("ps"))
           .select(explode(expr(
