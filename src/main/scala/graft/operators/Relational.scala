@@ -353,13 +353,50 @@ object Relational {
     QueryDef("q19_revenue_deciles",
       (s: SparkSession, dir: String) => {
         import s.implicits._
-        // ntile deciles WITHIN each priority — partitioned windows keep
-        // the sort distributed (a global ntile would funnel every row
-        // through one partition)
-        val w = Window.partitionBy($"o_orderpriority")
+        // ntile deciles WITHIN each priority. Five priorities funnel
+        // n/5 rows each through ONE window task — the few-key
+        // partitioned-window single-reducer shape (measured 8.3 s of
+        // the sf6.4 serve band). r19: p01's two-phase bucketed rank —
+        // RANGE-bucket each priority on o_totalprice (monotone, so
+        // bucket-major order IS the window order; equal prices land in
+        // one bucket so the (price, orderkey) tiebreak stays local),
+        // rank = per-bucket local row_number + the bucket's exclusive
+        // prefix count (a window over ≤ priorities × B count rows),
+        // and ntile's exact integer rule replayed on the rank:
+        // bs = n DIV 10, rem = n MOD 10, thresh = (bs+1)·rem;
+        // r ≤ thresh → (r−1) DIV (bs+1) + 1 else
+        // rem + (r−1−thresh) DIV bs + 1 (bs = 0 ⇒ thresh = n ⇒ the
+        // else branch is unreachable, so no zero division). Identical
+        // output: RelationalSpec replays ntile-vs-two-phase row for
+        // row, and the oracle still spells ntile.
+        val B = 32
+        val o = tbl(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        val spans = o.groupBy($"o_orderpriority").agg(
+          min($"o_totalprice").as("_lo"), max($"o_totalprice").as("_hi"),
+          count(lit(1)).as("_n"))
+          .withColumn("_w", (($"_hi" - $"_lo") / lit(B.toDouble)))
+        val withB = o.join(broadcast(spans), Seq("o_orderpriority"))
+          .withColumn("_bkt", least(lit(B - 1),
+            when($"_w" > 0.0, floor(($"o_totalprice" - $"_lo") / $"_w").cast("int"))
+              .otherwise(lit(0))))
+        val wLocal = Window.partitionBy($"o_orderpriority", $"_bkt")
           .orderBy($"o_totalprice", $"o_orderkey")
-        tbl(s, dir, "orders")
-          .withColumn("decile", ntile(10).over(w).cast("long"))
+        val wOff = Window.partitionBy($"o_orderpriority").orderBy($"_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = withB.groupBy($"o_orderpriority", $"_bkt")
+          .agg(count(lit(1)).as("_bn"))
+          .withColumn("_off", coalesce(sum($"_bn").over(wOff), lit(0L)))
+          .select($"o_orderpriority", $"_bkt", $"_off")
+        withB
+          .withColumn("_lrn", row_number().over(wLocal).cast("long"))
+          .join(broadcast(offs), Seq("o_orderpriority", "_bkt"))
+          .withColumn("_r", $"_off" + $"_lrn")
+          .withColumn("decile", expr(
+            """CASE WHEN _r <= ((_n DIV 10) + 1) * (_n % 10)
+                 THEN (_r - 1) DIV ((_n DIV 10) + 1) + 1
+                 ELSE (_n % 10) + (_r - 1 - ((_n DIV 10) + 1) * (_n % 10)) DIV (_n DIV 10) + 1
+               END""").cast("long"))
           .groupBy($"o_orderpriority", $"decile")
           .agg(
             count(lit(1)).as("n"),
@@ -536,11 +573,48 @@ object Relational {
         // exchange on o_orderpriority feeds both functions (shared
         // window frame) — same partitioned-sort scale shape as q19's
         // ntile; nothing global.
-        val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
-        tbl(s, dir, "orders")
+        // Two-phase bucketed form (r19, q19's rationale — five
+        // priorities previously funneled n/5 rows each through one
+        // window task, 8.4 s of the sf6.4 serve band): range-bucket on
+        // o_totalprice (equal prices share a bucket, so tie groups stay
+        // local), global rank = bucket exclusive-prefix count + local
+        // rank() (tie-min, exactly the window's), peers-inclusive count
+        // = prefix + local RANGE-frame count, then percent_rank's and
+        // cume_dist's own arithmetic replayed on the exact integers:
+        // (rank−1)/(n−1) with the n = 1 → 0.0 guard, cnt/n — the same
+        // single IEEE divisions. RelationalSpec replays the direct
+        // window row for row; the oracle still spells
+        // percent_rank/cume_dist.
+        val B = 32
+        val o = tbl(s, dir, "orders")
           .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
-          .withColumn("pct_rank", percent_rank().over(w))
-          .withColumn("cume", cume_dist().over(w))
+        val spans = o.groupBy($"o_orderpriority").agg(
+          min($"o_totalprice").as("_lo"), max($"o_totalprice").as("_hi"),
+          count(lit(1)).as("_n"))
+          .withColumn("_w", (($"_hi" - $"_lo") / lit(B.toDouble)))
+        val withB = o.join(broadcast(spans), Seq("o_orderpriority"))
+          .withColumn("_bkt", least(lit(B - 1),
+            when($"_w" > 0.0, floor(($"o_totalprice" - $"_lo") / $"_w").cast("int"))
+              .otherwise(lit(0))))
+        val wRnk = Window.partitionBy($"o_orderpriority", $"_bkt")
+          .orderBy($"o_totalprice")
+        val wOff = Window.partitionBy($"o_orderpriority").orderBy($"_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = withB.groupBy($"o_orderpriority", $"_bkt")
+          .agg(count(lit(1)).as("_bn"))
+          .withColumn("_off", coalesce(sum($"_bn").over(wOff), lit(0L)))
+          .select($"o_orderpriority", $"_bkt", $"_off")
+        withB
+          .withColumn("_lrk", rank().over(wRnk).cast("long"))
+          .withColumn("_lcnt", count(lit(1)).over(wRnk).cast("long"))
+          .join(broadcast(offs), Seq("o_orderpriority", "_bkt"))
+          .withColumn("pct_rank",
+            when($"_n" > 1L, ($"_off" + $"_lrk" - 1L).cast("double") /
+              ($"_n" - 1L).cast("double")).otherwise(lit(0.0)))
+          .withColumn("cume",
+            ($"_off" + $"_lcnt").cast("double") / $"_n".cast("double"))
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+            $"pct_rank", $"cume")
           .orderBy($"o_orderkey")
       },
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
@@ -758,9 +832,10 @@ object Relational {
         // self-join with part_a < part_b — checking the pair GENERATOR
         // (sorted-set combinations), not just the counts.
         // no pre-distinct: collect_set dedups per order (including in
-        // its map-side partial), so the former distinct() paid a whole
-        // extra (orderkey, partkey) exchange for nothing — 3 Exchange
-        // → 2 (r19), identical pair sets
+        // its map-side partial). Catalyst was already collapsing the
+        // former distinct() into the aggregate (r19 plan diff:
+        // byte-identical physical plans), so this only simplifies the
+        // source; identical pair sets either way
         tbl(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
           .groupBy($"l_orderkey")
           .agg(sort_array(collect_set($"l_partkey")).as("ps"))

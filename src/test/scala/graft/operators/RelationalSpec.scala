@@ -10,6 +10,43 @@ import graft.{Catalog, SparkSpec}
 class RelationalSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("q19 two-phase bucketed ntile == the direct ntile window, row for row") {
+    // r19 optimization gate: q19 derives each row's decile from a
+    // range-bucketed two-phase rank plus ntile's integer rule instead
+    // of one window task per priority. The per-(priority, decile)
+    // aggregate must equal the direct window form exactly — compare on
+    // the fixture at full row granularity.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        graft.QueryHelpers.sumExact(col("o_totalprice")).as("sum_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    val got = Catalog.byName("q19_revenue_deciles").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == direct, s"two-phase minus direct: ${got.diff(direct)}; direct minus two-phase: ${direct.diff(got)}")
+  }
+
+  test("q27 two-phase percent_rank/cume_dist == the direct window, row for row") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    val got = Catalog.byName("q27_price_distribution_ranks").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == direct,
+      s"two-phase minus direct: ${got.diff(direct).take(3)}; direct minus two-phase: ${direct.diff(got).take(3)}")
+  }
+
   test("q25 z-order buckets are narrow rectangles in (partkey, suppkey) space") {
     val rows = Catalog.byName("q25_zorder_layout").run(spark, sf).collect()
     assert(rows.nonEmpty)
