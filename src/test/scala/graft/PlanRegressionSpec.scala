@@ -122,12 +122,22 @@ class PlanRegressionSpec extends SparkSpec {
       "q17 must stay an equi-join star")
   }
 
-  test("e10b: one exchange feeds both windows; rank selection combines map-side") {
-    // exact percentiles need ONE per-key sort; a second exchange (e.g.
-    // from mismatched window specs) would double the data-sized shuffle
+  test("e10b: bucketed rank — no whole-key window task; selection combines map-side") {
+    // r19 two-phase form: the rank window partitions on
+    // (event_type, _bkt), never on event_type alone — a regression to
+    // the single-key window funnels n/|types| rows through one task
+    // (9.1 s of the sf6.4 serve band); the bucket offsets ride
+    // broadcast joins and the percentile selection keeps its map-side
+    // partial aggregation.
     val p = planOf("e10b_value_percentiles")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges <= 2, s"rank + agg should share the event_type exchange:\n${p.take(3000)}")
+    val rowNumberSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(rowNumberSpecs.nonEmpty, s"rank window missing:\n${p.take(2000)}")
+    assert(rowNumberSpecs.forall(_.contains("_bkt")),
+      s"the rank window must partition on (event_type, _bkt), not the bare key:\n$rowNumberSpecs")
+    assert(p.contains("partial_max"), "percentile selection lost its map-side partial")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "offset attachment must stay broadcast-hash")
   }
 
   test("d07: within-cell prune plans the grouped kernel, not a join explosion") {
